@@ -1,0 +1,146 @@
+"""Shared transformer building blocks (functional, MXU-friendly).
+
+Design rules (TPU-first, see /opt/skills/guides/pallas_guide.md):
+  - matmuls run in the compute dtype (bf16 by default) with f32 accumulation
+    via `preferred_element_type`;
+  - LayerNorm and softmax run in f32 regardless of compute dtype;
+  - per-layer parameters are STACKED along a leading layer axis so the whole
+    transformer body is one `lax.scan` — a single compiled layer, minimal
+    compile time, and XLA can pipeline weight prefetch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = 1e-5) -> jnp.ndarray:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def dense(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None,
+          compute_dtype: jnp.dtype) -> jnp.ndarray:
+    y = jnp.dot(
+        x.astype(compute_dtype),
+        kernel.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(compute_dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """OpenAI CLIP activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x.astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+
+
+def attention(
+    x: jnp.ndarray,             # [B, T, W]
+    p: Params,                  # {wq, wk, wv, wo: [W, W]; bq, bk, bv, bo: [W]}
+    heads: int,
+    mask: jnp.ndarray | None,   # additive f32 mask broadcastable to [B, H, Q, K]
+    compute_dtype: jnp.dtype,
+) -> jnp.ndarray:
+    b, t, w = x.shape
+    hd = w // heads
+    q = dense(x, p["wq"], p["bq"], compute_dtype).reshape(b, t, heads, hd)
+    k = dense(x, p["wk"], p["bk"], compute_dtype).reshape(b, t, heads, hd)
+    v = dense(x, p["wv"], p["bv"], compute_dtype).reshape(b, t, heads, hd)
+    scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(compute_dtype)
+    out = out.reshape(b, t, w)
+    return dense(out, p["wo"], p["bo"], compute_dtype)
+
+
+def mlp(x: jnp.ndarray, p: Params, act, compute_dtype: jnp.dtype) -> jnp.ndarray:
+    h = dense(x, p["w1"], p["b1"], compute_dtype)
+    h = act(h)
+    return dense(h, p["w2"], p["b2"], compute_dtype)
+
+
+def pre_ln_block(
+    x: jnp.ndarray,
+    p: Params,
+    heads: int,
+    mask: jnp.ndarray | None,
+    act,
+    compute_dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """CLIP-style pre-LayerNorm residual block."""
+    x = x + attention(layer_norm(x, p["ln1_scale"], p["ln1_bias"]), p["attn"],
+                      heads, mask, compute_dtype)
+    x = x + mlp(layer_norm(x, p["ln2_scale"], p["ln2_bias"]), p["mlp"],
+                act, compute_dtype)
+    return x
+
+
+def scan_blocks(
+    x: jnp.ndarray,
+    stacked: Params,            # every leaf has leading layer axis L
+    heads: int,
+    mask: jnp.ndarray | None,
+    act,
+    compute_dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """Run all transformer blocks via one lax.scan over stacked params."""
+
+    def body(h, layer_params):
+        return pre_ln_block(h, layer_params, heads, mask, act, compute_dtype), None
+
+    out, _ = jax.lax.scan(body, x, stacked)
+    return out
+
+
+def init_block_params(key, layers: int, width: int, mlp_ratio: int = 4,
+                      dtype=jnp.float32) -> Params:
+    """Random init of stacked pre-LN block params (for tests / from-scratch)."""
+    ks = jax.random.split(key, 8)
+    s = 0.02
+    hidden = width * mlp_ratio
+
+    def nrm(k, shape):
+        return (jax.random.normal(k, (layers, *shape)) * s).astype(dtype)
+
+    def zeros(shape):
+        return jnp.zeros((layers, *shape), dtype)
+
+    def ones(shape):
+        return jnp.ones((layers, *shape), dtype)
+
+    return {
+        "ln1_scale": ones((width,)), "ln1_bias": zeros((width,)),
+        "ln2_scale": ones((width,)), "ln2_bias": zeros((width,)),
+        "attn": {
+            "wq": nrm(ks[0], (width, width)), "bq": zeros((width,)),
+            "wk": nrm(ks[1], (width, width)), "bk": zeros((width,)),
+            "wv": nrm(ks[2], (width, width)), "bv": zeros((width,)),
+            "wo": nrm(ks[3], (width, width)), "bo": zeros((width,)),
+        },
+        "mlp": {
+            "w1": nrm(ks[4], (width, hidden)), "b1": zeros((hidden,)),
+            "w2": nrm(ks[5], (hidden, width)), "b2": zeros((width,)),
+        },
+    }

@@ -1,0 +1,84 @@
+"""Per-stage timing/throughput statistics.
+
+First-class replacement for the reference's manual `time.time()` stage
+accumulators in the cascade (code/union_clip_llava2.py:163-168,215-218,
+263-268): a `StageStats` object tracks wall-clock, item counts, and
+derived rates per named stage, and renders the same style of summary.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Dict, Iterator
+
+
+@dataclass
+class StageRecord:
+    seconds: float = 0.0
+    count: int = 0
+    calls: int = 0
+
+    @property
+    def items_per_sec(self) -> float:
+        return self.count / self.seconds if self.seconds > 0 else 0.0
+
+    @property
+    def mean_seconds(self) -> float:
+        return self.seconds / self.calls if self.calls > 0 else 0.0
+
+
+@dataclass
+class StageStats:
+    stages: Dict[str, StageRecord] = field(default_factory=dict)
+
+    def record(self, stage: str, seconds: float, count: int = 1) -> None:
+        rec = self.stages.setdefault(stage, StageRecord())
+        rec.seconds += seconds
+        rec.count += count
+        rec.calls += 1
+
+    @contextmanager
+    def timed(self, stage: str, count: int = 1) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.record(stage, time.perf_counter() - t0, count)
+
+    def summary(self) -> str:
+        lines = []
+        for name, rec in self.stages.items():
+            lines.append(
+                f"{name}: {rec.seconds:.4f}s total, {rec.count} items, "
+                f"{rec.calls} calls, {rec.items_per_sec:.1f} items/s, "
+                f"{rec.mean_seconds * 1e3:.2f} ms/call"
+            )
+        return "\n".join(lines)
+
+    def as_dict(self) -> Dict[str, Dict[str, float]]:
+        return {
+            name: {
+                "seconds": rec.seconds,
+                "count": rec.count,
+                "calls": rec.calls,
+                "items_per_sec": rec.items_per_sec,
+                "mean_seconds": rec.mean_seconds,
+            }
+            for name, rec in self.stages.items()
+        }
+
+
+class StageTimer:
+    """Context-manager timer for a single stage."""
+
+    def __init__(self) -> None:
+        self.seconds = 0.0
+
+    def __enter__(self) -> "StageTimer":
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.seconds = time.perf_counter() - self._t0

@@ -1,0 +1,24 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Mirrors SURVEY.md §4's multi-device test strategy: sharded gallery /
+distributed top-k / dedup paths are exercised on
+`--xla_force_host_platform_device_count=8` without TPU hardware.
+Must run before jax initializes, hence the env mutation at import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# The CPU backend's default matmul precision is reduced (oneDNN bf16-class);
+# parity tests compare against f64/torch oracles, so force true f32 matmuls.
+# On TPU the production path controls precision explicitly via compute_dtype.
+jax.config.update("jax_default_matmul_precision", "highest")
