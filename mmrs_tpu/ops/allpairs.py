@@ -33,8 +33,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(tau_ref, nrows_ref, ncols_ref, a_ref, b_ref, out_ref, run_min,
-            *, tile: int, intra: bool):
+def _kernel(tau_ref, nrows_ref, ncols_ref, offs_ref, a_ref, b_ref, out_ref,
+            run_min, *, tile: int, intra: bool):
     i = pl.program_id(0)   # row tile
     j = pl.program_id(1)   # col tile (inner loop)
     num_j = pl.num_programs(1)
@@ -57,7 +57,10 @@ def _kernel(tau_ref, nrows_ref, ncols_ref, a_ref, b_ref, out_ref, run_min,
     mask &= col_ids < ncols_ref[0]
     mask &= row_ids < nrows_ref[0]
     if intra:
-        mask &= col_ids < row_ids     # only earlier rows count as keepers
+        # Global ordering constraint: only earlier GLOBAL rows count as
+        # keepers. Offsets place this shard's rows/cols in the full matrix
+        # (sharded ring dedup passes non-zero offsets).
+        mask &= (col_ids + offs_ref[1]) < (row_ids + offs_ref[0])
 
     cand = jnp.where(mask, col_ids, BIG)
     tile_min = jnp.min(cand, axis=1, keepdims=True)       # [TILE, 1]
@@ -73,6 +76,8 @@ def _first_match_pallas(
     b: jnp.ndarray,        # [M, D] candidate keepers
     tau: float,
     intra: bool,
+    row_offset=0,
+    col_offset=0,
     tile: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -84,6 +89,8 @@ def _first_match_pallas(
 
     a_p = jnp.zeros((np_, dp), a.dtype).at[:n, :d].set(a)
     b_p = jnp.zeros((mp, dp), b.dtype).at[:m, :d].set(b)
+    offs = jnp.stack([jnp.asarray(row_offset, jnp.int32),
+                      jnp.asarray(col_offset, jnp.int32)])
 
     out = pl.pallas_call(
         functools.partial(_kernel, tile=tile, intra=intra),
@@ -92,6 +99,7 @@ def _first_match_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tau
             pl.BlockSpec(memory_space=pltpu.SMEM),   # n rows
             pl.BlockSpec(memory_space=pltpu.SMEM),   # n cols
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # [row_offset, col_offset]
             pl.BlockSpec((tile, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
@@ -104,20 +112,21 @@ def _first_match_pallas(
         jnp.asarray([tau], jnp.float32),
         jnp.asarray([n], jnp.int32),
         jnp.asarray([m], jnp.int32),
+        offs,
         a_p,
         b_p,
     )
     return out[:n, 0]
 
 
-def _first_match_xla(a, b, tau, intra):
+def _first_match_xla(a, b, tau, intra, row_offset=0, col_offset=0):
     sims = jnp.dot(a.astype(jnp.float32), b.astype(jnp.float32).T,
                    preferred_element_type=jnp.float32)
     n, m = sims.shape
     mask = sims >= tau
     if intra:
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1) + jnp.asarray(col_offset, jnp.int32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0) + jnp.asarray(row_offset, jnp.int32)
         mask &= col < row
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
     cand = jnp.where(mask, col_ids, BIG)
@@ -131,23 +140,29 @@ def first_match(
     b: jnp.ndarray,
     tau: float,
     intra: bool = False,
+    row_offset=0,
+    col_offset=0,
     impl: str = "auto",
     tile: int = 512,
 ) -> jnp.ndarray:
-    """For each row of `a`, index of the first row of `b` with cosine >= tau
-    (or -1). With `intra=True`, a and b must be the SAME matrix and only
-    earlier rows (j < i) count — keep-first dedup semantics.
+    """For each row of `a`, LOCAL index of the first row of `b` with
+    cosine >= tau (or -1). With `intra=True`, only columns whose GLOBAL id
+    (local + col_offset) precedes the row's global id (local + row_offset)
+    count — keep-first dedup semantics; pass offsets of 0 when a and b are
+    the same un-sharded matrix.
 
     Both inputs must be L2-normalized.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
-        return _first_match_xla(a, b, tau, intra)
+        return _first_match_xla(a, b, tau, intra, row_offset, col_offset)
     if impl == "pallas":
-        return _first_match_pallas(a, b, tau, intra, tile=tile)
+        return _first_match_pallas(a, b, tau, intra, row_offset, col_offset,
+                                   tile=tile)
     if impl == "pallas_interpret":
-        return _first_match_pallas(a, b, tau, intra, tile=tile, interpret=True)
+        return _first_match_pallas(a, b, tau, intra, row_offset, col_offset,
+                                   tile=tile, interpret=True)
     raise ValueError(f"unknown impl {impl!r}")
 
 

@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Some environments pre-register an accelerator backend from sitecustomize
+# (before this file runs); the config update wins over the env var there.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # The CPU backend's default matmul precision is reduced (oneDNN bf16-class);
 # parity tests compare against f64/torch oracles, so force true f32 matmuls.

@@ -1,0 +1,84 @@
+"""Sharded top-k and ring dedup on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mmrs_tpu.config import MeshConfig
+from mmrs_tpu.ops.allpairs import first_match
+from mmrs_tpu.ops.topk import cosine_topk
+from mmrs_tpu.parallel import make_mesh, sharded_cosine_topk, sharded_first_match
+from mmrs_tpu.parallel.topk import place_gallery
+
+
+def _norm_rows(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return make_mesh(MeshConfig())
+
+
+def test_mesh_shape(mesh):
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+
+
+def test_sharded_topk_matches_single_device(mesh):
+    rng = np.random.default_rng(0)
+    n, d, k = 4096, 64, 10
+    gallery = jnp.asarray(_norm_rows(rng.normal(size=(n, d))).astype(np.float32))
+    queries = jnp.asarray(_norm_rows(rng.normal(size=(5, d))).astype(np.float32))
+
+    v_ref, i_ref = cosine_topk(queries, gallery, k, impl="xla")
+
+    g_sharded = place_gallery(gallery, mesh)
+    v, i = sharded_cosine_topk(queries, g_sharded, k, mesh, impl="xla")
+
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_sharded_topk_duplicate_in_last_shard(mesh):
+    rng = np.random.default_rng(1)
+    n, d = 1024, 32
+    gallery = _norm_rows(rng.normal(size=(n, d))).astype(np.float32)
+    query = _norm_rows(rng.normal(size=(1, d))).astype(np.float32)
+    gallery[n - 3] = query[0]  # exact hit lives in the last shard
+
+    g_sharded = place_gallery(jnp.asarray(gallery), mesh)
+    v, i = sharded_cosine_topk(jnp.asarray(query), g_sharded, 3, mesh, impl="xla")
+    assert int(np.asarray(i)[0, 0]) == n - 3
+    assert np.asarray(v)[0, 0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_sharded_dedup_matches_single_device(mesh):
+    rng = np.random.default_rng(2)
+    n, d = 512, 32
+    x = _norm_rows(rng.normal(size=(n, d))).astype(np.float32)
+    # Duplicates crossing shard boundaries (shard size 64):
+    x[70] = x[3]      # dup across shards 1->0
+    x[130] = x[3]     # chained dup, shard 2
+    x[511] = x[200]   # last row dup of shard-3 row
+    x[65] = x[64]     # adjacent rows, same shard
+
+    ref = np.asarray(first_match(jnp.asarray(x), jnp.asarray(x), tau=0.999,
+                                 intra=True, impl="xla"))
+
+    xs = place_gallery(jnp.asarray(x), mesh)
+    out = np.asarray(sharded_first_match(xs, tau=0.999, mesh=mesh, intra=True,
+                                         impl="xla"))
+    np.testing.assert_array_equal(out, ref)
+    assert out[70] == 3 and out[130] == 3 and out[511] == 200 and out[65] == 64
+
+
+def test_sharded_dedup_intra_vs_cross_semantics(mesh):
+    """intra=False: every row matching ANY row (incl. itself) reports a hit."""
+    rng = np.random.default_rng(3)
+    x = _norm_rows(rng.normal(size=(256, 16))).astype(np.float32)
+    xs = place_gallery(jnp.asarray(x), mesh)
+    out = np.asarray(sharded_first_match(xs, tau=0.999, mesh=mesh, intra=False,
+                                         impl="xla"))
+    np.testing.assert_array_equal(out, np.arange(256))  # self-match
