@@ -1,0 +1,135 @@
+"""Headline benchmark: ViT-B/32 image-embedding throughput (images/sec/chip).
+
+Baseline target (BASELINE.json north star): >= 5,000 images/sec/chip on TPU
+v5e. Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Secondary numbers (top-k query latency, dedup scan rate) go to stderr.
+
+Timing method: this environment reaches the chip through a tunnel with
+~26 ms round-trip per host fetch, so per-call host timing lies. We dispatch
+a pipeline of async batches and fetch only the last result; per-batch time
+= (pipelined_total - single_call) / (n_batches - 1), which cancels the RTT.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 5000.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def pipelined_seconds(fn, inputs, fetch, warmups=2):
+    """Total wall time to run fn over all inputs, minus one-call RTT."""
+    for i in range(warmups):
+        fetch(fn(inputs[i % len(inputs)]))
+    t0 = time.perf_counter()
+    out = None
+    for x in inputs:
+        out = fn(x)
+    fetch(out)
+    total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fetch(fn(inputs[0]))
+    single = time.perf_counter() - t0
+    n = len(inputs)
+    return max((total - single) / max(n - 1, 1), 1e-9)
+
+
+def bench_embed():
+    from mmrs_tpu.models import clip
+    from mmrs_tpu.models.clip import CLIPConfig
+    from mmrs_tpu.models.configs import CLIP_TEXT_B32, VIT_B32
+    from mmrs_tpu.ops.preprocess import normalize_images
+
+    cfg = CLIPConfig(vision=VIT_B32, text=CLIP_TEXT_B32)
+    # Init on host CPU (tiny-op round-trips through the device tunnel are
+    # slow), then ship once; params must be jit ARGUMENTS, not closure
+    # constants, or they get serialized into the compile request.
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = clip.init(jax.random.key(0), cfg)
+    params = jax.device_put(params, jax.devices()[0])
+    batch = 512
+
+    @jax.jit
+    def embed(params, images_u8):
+        x = normalize_images(images_u8, dtype=jnp.bfloat16, impl="xla")
+        return clip.encode_image(params, x, cfg)
+
+    # Generate batches ON DEVICE: the tunnel's host->device link is not
+    # representative of production ingest, and uploading 8 x 77 MB would
+    # dominate the measurement. Each dispatch still executes the full
+    # normalize+tower pipeline per batch.
+    batches = [
+        jax.random.randint(jax.random.key(i), (batch, 224, 224, 3), 0, 256,
+                           jnp.uint8)
+        for i in range(4)
+    ]
+    jax.block_until_ready(batches)
+    per_batch = pipelined_seconds(
+        lambda b: embed(params, b), batches, lambda r: np.asarray(r[0, 0])
+    )
+    ips = batch / per_batch
+    log(f"embed: {per_batch * 1e3:.2f} ms / {batch} imgs -> {ips:.0f} images/sec/chip")
+    return ips
+
+
+def bench_query():
+    from mmrs_tpu.ops.topk import cosine_topk
+
+    n, d = 1_048_576, 512
+    g = jax.random.normal(jax.random.key(0), (n, d), jnp.bfloat16)
+    qs = [jax.random.normal(jax.random.key(i + 1), (8, d), jnp.bfloat16)
+          for i in range(8)]
+    per = pipelined_seconds(
+        lambda q: cosine_topk(q, g, 10, impl="pallas"),
+        qs, lambda r: np.asarray(r[0][0, 0]),
+    )
+    log(f"query: top-10 over 1M gallery p50 ~{per * 1e3:.2f} ms "
+        f"({n * d * 2 / per / 1e9:.0f} GB/s effective)")
+    return per
+
+
+def bench_dedup():
+    from mmrs_tpu.ops.allpairs import first_match
+
+    n, d = 131_072, 512
+    x = jax.random.normal(jax.random.key(0), (n, d), jnp.bfloat16)
+    x = x / jnp.linalg.norm(x.astype(jnp.float32), axis=1, keepdims=True).astype(jnp.bfloat16)
+    xs = [x * (1.0 + 1e-6 * i) for i in range(4)]
+    per = pipelined_seconds(
+        lambda a: first_match(a, a, tau=0.99, intra=True, impl="pallas"),
+        xs, lambda r: np.asarray(r[0]),
+    )
+    rate = n * n / per
+    log(f"dedup: {n}x{n} all-pairs in {per * 1e3:.1f} ms -> {rate / 1e9:.1f} Gpairs/s")
+    return rate
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    ips = bench_embed()
+    try:
+        bench_query()
+        bench_dedup()
+    except Exception as e:  # secondary benches must not break the headline
+        log("secondary bench failed:", repr(e))
+    print(json.dumps({
+        "metric": "vit_b32_embed_throughput",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

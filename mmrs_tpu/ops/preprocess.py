@@ -1,0 +1,122 @@
+"""Image preprocessing: host decode/resize (PIL-parity) + fused device normalize.
+
+Split follows SURVEY.md §7 "hard parts": PIL's bicubic resample cannot be
+bit-matched cheaply on device, and rank parity with the reference depends on
+it — so decode + resize + center-crop stay on host with PIL-identical math
+(CLIP/lab1.py:26 `preprocess(img)`), while the per-pixel affine
+(uint8 -> scale -> CLIP mean/std normalize -> bf16) is fused into one Pallas
+kernel on device, saving an f32 round-trip through HBM: the batch travels
+host->HBM as uint8 (4x smaller) and is normalized en route to the tower.
+
+CLIP normalization constants from code/custom.py:28.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# OpenAI CLIP constants (code/custom.py:28)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+# --------------------------------------------------------------------------
+# Host side: PIL-parity resize + center crop (matches clip.load preprocess)
+# --------------------------------------------------------------------------
+
+def resize_center_crop(img, size: int = 224):
+    """PIL path of OpenAI CLIP preprocess: BICUBIC resize of the SHORT side
+    to `size`, then center crop size x size. Returns HWC uint8 ndarray."""
+    from PIL import Image
+
+    w, h = img.size
+    if w < h:
+        nw, nh = size, max(size, int(round(h * size / w)))
+    else:
+        nw, nh = max(size, int(round(w * size / h))), size
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def hf_resize_center_crop(img, size: int = 224):
+    """HF CLIPImageProcessor path (used by the Chinese tower,
+    CLIP-Chinese/lab_chinese.py:29): shortest-edge resize WITHOUT the
+    round-to-int aspect quirk differences, then center crop. PIL bicubic as
+    well; kept as a separate function so each tower gets its exact stack."""
+    from PIL import Image
+
+    w, h = img.size
+    short, long = (w, h) if w <= h else (h, w)
+    new_short = size
+    new_long = int(size * long / short)
+    nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Device side: fused uint8 -> normalized bf16
+# --------------------------------------------------------------------------
+
+def _norm_kernel(x_ref, mean_ref, inv_std_ref, out_ref):
+    x = x_ref[:].astype(jnp.float32) * (1.0 / 255.0)
+    out_ref[:] = ((x - mean_ref[:]) * inv_std_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "impl"))
+def normalize_images(
+    images_u8: jnp.ndarray,        # [B, H, W, 3] uint8
+    dtype=jnp.bfloat16,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """(x/255 - mean) / std, fused on device, output in compute dtype."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    inv_std = 1.0 / jnp.asarray(CLIP_STD, jnp.float32)
+
+    if impl == "xla":
+        x = images_u8.astype(jnp.float32) / 255.0
+        return ((x - mean) * inv_std).astype(dtype)
+
+    b, h, w, c = images_u8.shape
+    # Flatten to [B*H, W*C] rows; broadcast mean/std to a [1, W*C] row so the
+    # kernel is one VPU multiply-add per tile.
+    flat = images_u8.reshape(b * h, w * c)
+    mean_row = jnp.tile(mean, w)[None, :]
+    inv_row = jnp.tile(inv_std, w)[None, :]
+
+    interpret = impl == "pallas_interpret"
+    rows = b * h
+    tile_r = min(1024, rows)
+    pad = (-rows) % tile_r
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        _norm_kernel,
+        grid=((rows + pad) // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, w * c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_r, w * c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows + pad, w * c), dtype),
+        interpret=interpret,
+    )(flat, mean_row, inv_row)
+    return out[:rows].reshape(b, h, w, c)
