@@ -1,0 +1,229 @@
+"""Dedup + leakage-removal engines (the governance core).
+
+Three modes matching the reference's tools, each with the reference's
+keep-policy and a --dry-run default (tool/delete.py:4 had a test_mode that
+production disabled; here dry-run is the DEFAULT and destruction is opt-in):
+
+  - exact  (tool/find_repeated.py): MD5 of raw RGB pixels; cross-folder —
+    keeps the REFERENCE folder's copy, removes matches in the target folder.
+  - perceptual (tool/find_repeated_in_same_folder.py): pHash+dHash+wHash,
+    duplicate if ANY Hamming <= 5; keeps the LARGEST file.
+  - embedding (TPU-native semantic mode, SURVEY.md §7): L2-normalized
+    encoder embeddings through the tiled `first_match` kernel; keep-first.
+
+Leakage removal (tool/delete repeated.py): dHash of every test image; train
+images whose dHash matches exactly (Hamming <= 0 in the reference) are
+removed from TRAIN. Implemented as an O(N) dict lookup instead of the
+reference's O(N_train * N_test) loop; a tolerance>0 falls back to the
+vectorized packed-Hamming path.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mmrs_tpu.govern.hashing import (
+    PerceptualHashes,
+    dhash,
+    exact_pixel_hash,
+    packed_hamming,
+    perceptual_hashes,
+)
+from mmrs_tpu.io.images import pil_loader
+from mmrs_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclass
+class DedupReport:
+    duplicates: List[Tuple[str, str]] = field(default_factory=list)  # (dup, keeper)
+    errors: List[Tuple[str, str]] = field(default_factory=list)      # (path, error)
+    removed: List[str] = field(default_factory=list)
+    dry_run: bool = True
+
+    @property
+    def num_duplicates(self) -> int:
+        return len(self.duplicates)
+
+    def summary(self) -> str:
+        return (
+            f"{len(self.duplicates)} duplicates, {len(self.errors)} errors, "
+            f"{len(self.removed)} removed (dry_run={self.dry_run})"
+        )
+
+
+def _iter_hashes(paths: Sequence[str], fn: Callable, errors: list):
+    for p in paths:
+        try:
+            with pil_loader(p) as img:
+                yield p, fn(img)
+        except Exception as e:  # noqa: BLE001 — corrupt files are reported
+            errors.append((p, repr(e)))
+
+
+def _apply_removals(report: DedupReport, dry_run: bool) -> None:
+    report.dry_run = dry_run
+    if dry_run:
+        return
+    for dup, _keeper in report.duplicates:
+        try:
+            os.remove(dup)
+            report.removed.append(dup)
+        except OSError as e:
+            report.errors.append((dup, repr(e)))
+
+
+def exact_dedup(
+    reference_paths: Sequence[str],
+    target_paths: Sequence[str],
+    dry_run: bool = True,
+) -> DedupReport:
+    """Cross-folder exact dedup: delete files in `target` whose pixels match
+    any file in `reference` (tool/find_repeated.py:35-71 semantics; the
+    reference-folder copy is always the keeper)."""
+    report = DedupReport()
+    ref: Dict[str, str] = {}
+    for p, h in _iter_hashes(reference_paths, exact_pixel_hash, report.errors):
+        ref.setdefault(h, p)
+    for p, h in _iter_hashes(target_paths, exact_pixel_hash, report.errors):
+        if h in ref and os.path.abspath(p) != os.path.abspath(ref[h]):
+            report.duplicates.append((p, ref[h]))
+    _apply_removals(report, dry_run)
+    return report
+
+
+def perceptual_dedup(
+    paths: Sequence[str],
+    threshold: int = 5,
+    dry_run: bool = True,
+) -> DedupReport:
+    """Intra-folder perceptual dedup; keeps the LARGEST file of each
+    duplicate group (tool/find_repeated_in_same_folder.py:73 sorts by size
+    desc and scans kept files linearly)."""
+    report = DedupReport()
+    sized = []
+    for p in paths:
+        try:
+            sized.append((os.path.getsize(p), p))
+        except OSError as e:
+            report.errors.append((p, repr(e)))
+    sized.sort(key=lambda t: (-t[0], t[1]))
+    ordered = [p for _, p in sized]
+
+    hashes: List[Tuple[str, PerceptualHashes]] = list(
+        _iter_hashes(ordered, perceptual_hashes, report.errors)
+    )
+    if not hashes:
+        return report
+
+    names = [p for p, _ in hashes]
+    ph = np.asarray([h.phash for _, h in hashes], np.uint64)
+    dh = np.asarray([h.dhash for _, h in hashes], np.uint64)
+    wh = np.asarray([h.whash for _, h in hashes], np.uint64)
+
+    # Vectorized keep-first over the size-ordered list, in row blocks.
+    n = len(names)
+    kept_mask = np.ones(n, bool)
+    keeper_of = np.full(n, -1, np.int64)
+    block = 2048
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        # distances of rows [i0:i1] against all earlier + in-block columns
+        cols = np.arange(0, i1)
+        dup = (
+            (packed_hamming(ph[i0:i1], ph[cols]) <= threshold)
+            | (packed_hamming(dh[i0:i1], dh[cols]) <= threshold)
+            | (packed_hamming(wh[i0:i1], wh[cols]) <= threshold)
+        )
+        for r in range(i1 - i0):
+            i = i0 + r
+            row = dup[r, :i]
+            cand = np.nonzero(row & kept_mask[:i])[0]
+            if cand.size:
+                kept_mask[i] = False
+                keeper_of[i] = cand[0]
+    for i in range(n):
+        if not kept_mask[i]:
+            report.duplicates.append((names[i], names[keeper_of[i]]))
+    _apply_removals(report, dry_run)
+    return report
+
+
+def leakage_removal(
+    train_paths: Sequence[str],
+    test_paths: Sequence[str],
+    tolerance: int = 0,
+    dry_run: bool = True,
+) -> DedupReport:
+    """Remove train images whose dHash is within `tolerance` of any test
+    image (tool/delete repeated.py:11-162; the reference uses tolerance 0
+    and always deletes from TRAIN)."""
+    report = DedupReport()
+    test_hashes: List[Tuple[str, np.uint64]] = list(
+        _iter_hashes(test_paths, dhash, report.errors)
+    )
+    if tolerance <= 0:
+        lookup: Dict[int, str] = {}
+        for p, h in test_hashes:
+            lookup.setdefault(int(h), p)
+        for p, h in _iter_hashes(train_paths, dhash, report.errors):
+            hit = lookup.get(int(h))
+            if hit is not None:
+                report.duplicates.append((p, hit))
+    else:
+        th = np.asarray([h for _, h in test_hashes], np.uint64)
+        tnames = [p for p, _ in test_hashes]
+        train_hashes = list(_iter_hashes(train_paths, dhash, report.errors))
+        if train_hashes and len(th):
+            trh = np.asarray([h for _, h in train_hashes], np.uint64)
+            dist = packed_hamming(trh, th)
+            rows, cols = np.nonzero(dist <= tolerance)
+            seen = set()
+            for r, c in zip(rows, cols):
+                if r not in seen:
+                    seen.add(r)
+                    report.duplicates.append((train_hashes[r][0], tnames[c]))
+    _apply_removals(report, dry_run)
+    return report
+
+
+def embedding_dedup(
+    embeddings: np.ndarray,        # [N, D] L2-normalized, size-desc or keep-order
+    paths: Sequence[str],
+    tau: float = 0.96,
+    dry_run: bool = True,
+    mesh=None,
+    impl: str = "auto",
+) -> DedupReport:
+    """Semantic dedup on encoder embeddings via the tiled first_match kernel
+    (single chip) or the ring-sharded version (mesh). Keep-first: order the
+    rows by preference (e.g. file size desc) before calling."""
+    import jax.numpy as jnp
+
+    from mmrs_tpu.ops.allpairs import first_match
+
+    report = DedupReport()
+    x = jnp.asarray(embeddings)
+    if mesh is not None:
+        from mmrs_tpu.parallel.dedup import sharded_first_match
+        from mmrs_tpu.parallel.topk import place_gallery
+
+        fm = np.asarray(sharded_first_match(place_gallery(x, mesh), tau, mesh,
+                                            intra=True, impl=impl))
+    else:
+        fm = np.asarray(first_match(x, x, tau, intra=True, impl=impl))
+    for i, j in enumerate(fm):
+        if j >= 0:
+            # resolve chains to the ultimate keeper
+            k = int(j)
+            while fm[k] >= 0:
+                k = int(fm[k])
+            report.duplicates.append((paths[i], paths[k]))
+    _apply_removals(report, dry_run)
+    return report
