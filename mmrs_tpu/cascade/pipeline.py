@@ -1,0 +1,121 @@
+"""Dual-tower OR-threshold gate + VLM-verify cascade.
+
+Reference: `union_clip_by_threshold` (code/union_clip_llava2.py:134-271) and
+the merge_dataset.py batch variant (:259-311, :430-442).
+
+Design differences (TPU-first, documented per SURVEY.md §7):
+  - the reference scores one image at a time (:172-260); here both towers
+    score the WHOLE batch on device, then the OR-mask selects the (few)
+    survivors that pay the expensive VLM call;
+  - merge_dataset.py's inverted predicate (pred 0 == positive, :279, :440)
+    is normalized to "score >= threshold => positive" at this API, as the
+    survey directs;
+  - per-stage wall-clock + counts ride a StageStats instead of prints
+    (:163-168, :263-268).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mmrs_tpu.cascade.verifier import Verifier
+from mmrs_tpu.search.metrics import PRF1, binary_prf1
+from mmrs_tpu.utils.stats import StageStats
+
+
+@dataclass
+class CascadeResult:
+    paths: List[str]
+    en_scores: np.ndarray           # [N]
+    cn_scores: np.ndarray           # [N]
+    gate_passed: np.ndarray         # [N] bool — OR-threshold survivors
+    verified: np.ndarray            # [N] bool — final positives
+    verifier_calls: int
+    stats: StageStats
+    metrics: Optional[PRF1] = None
+
+    def summary(self) -> str:
+        lines = [
+            f"images: {len(self.paths)}",
+            f"gate passed: {int(self.gate_passed.sum())}",
+            f"verifier calls: {self.verifier_calls}",
+            f"final positives: {int(self.verified.sum())}",
+        ]
+        if self.metrics:
+            m = self.metrics
+            lines.append(
+                f"P {m.precision:.4f} R {m.recall:.4f} F1 {m.f1:.4f}"
+            )
+        lines.append(self.stats.summary())
+        return "\n".join(lines)
+
+
+class CascadePipeline:
+    """score (cheap, batched, both towers) -> OR gate -> verify (expensive)."""
+
+    def __init__(
+        self,
+        en_scorer=None,     # callable: paths -> [N] scores (or None)
+        cn_scorer=None,
+        en_threshold: float = 0.0,
+        cn_threshold: float = 0.0,
+        verifier: Optional[Verifier] = None,
+    ):
+        if en_scorer is None and cn_scorer is None:
+            raise ValueError("at least one tower scorer is required")
+        self.en_scorer = en_scorer
+        self.cn_scorer = cn_scorer
+        self.en_threshold = en_threshold
+        self.cn_threshold = cn_threshold
+        self.verifier = verifier
+
+    def run(
+        self,
+        paths: Sequence[str],
+        category: str,
+        labels: Optional[Sequence[bool]] = None,
+    ) -> CascadeResult:
+        stats = StageStats()
+        n = len(paths)
+        neg_inf = np.full(n, -np.inf, np.float32)
+
+        if self.en_scorer is not None:
+            with stats.timed("en_clip", count=n):
+                en_scores = np.asarray(self.en_scorer(paths), np.float32)
+        else:
+            en_scores = neg_inf
+        if self.cn_scorer is not None:
+            with stats.timed("cn_clip", count=n):
+                cn_scores = np.asarray(self.cn_scorer(paths), np.float32)
+        else:
+            cn_scores = neg_inf
+
+        gate = (en_scores >= self.en_threshold) | (cn_scores >= self.cn_threshold)
+
+        verified = gate.copy()
+        calls = 0
+        if self.verifier is not None:
+            survivors = np.nonzero(gate)[0]
+            with stats.timed("verifier", count=len(survivors)):
+                for i in survivors:
+                    calls += 1
+                    if not self.verifier.verify(paths[i], category):
+                        verified[i] = False
+
+        metrics = None
+        if labels is not None:
+            metrics = binary_prf1(verified, np.asarray(labels, bool))
+
+        return CascadeResult(
+            paths=list(paths),
+            en_scores=en_scores,
+            cn_scores=cn_scores,
+            gate_passed=gate,
+            verified=verified,
+            verifier_calls=calls,
+            stats=stats,
+            metrics=metrics,
+        )

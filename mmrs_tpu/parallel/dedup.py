@@ -18,7 +18,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mmrs_tpu.ops.allpairs import first_match
 from mmrs_tpu.parallel.mesh import DATA_AXIS
@@ -79,6 +79,6 @@ def sharded_first_match(
         mesh=mesh,
         in_specs=(P(axis, None),),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(x)

@@ -16,7 +16,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mmrs_tpu.ops.topk import cosine_topk
 from mmrs_tpu.parallel.mesh import DATA_AXIS
@@ -56,7 +56,7 @@ def sharded_cosine_topk(
         mesh=mesh,
         in_specs=(P(), P(axis, None)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(queries, gallery)
 

@@ -1,0 +1,137 @@
+"""Cascade pipeline + zero-shot eval harness tests."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mmrs_tpu.cascade import CallableVerifier, CascadePipeline, StubVerifier, parse_yes_no
+from mmrs_tpu.eval.sweep import pair_threshold_sweep, write_sweep_csv
+from mmrs_tpu.eval.zeroshot import (
+    binary_zeroshot,
+    multiclass_zeroshot,
+    write_multiclass_csv,
+)
+
+
+def test_parse_yes_no_reference_semantics():
+    assert parse_yes_no("Yes")
+    assert parse_yes_no("  YES, it does")
+    assert parse_yes_no("The answer is yes.")
+    assert not parse_yes_no("No")
+    assert not parse_yes_no("It is a violin")
+
+
+def test_callable_verifier_prompt():
+    seen = {}
+
+    def gen(path, prompt):
+        seen["prompt"] = prompt
+        return "yes"
+
+    v = CallableVerifier(gen)
+    assert v.verify("img.jpg", "lychee")
+    assert seen["prompt"] == "Does this image contain a lychee?"
+
+
+def test_cascade_gate_and_verifier():
+    paths = [f"img{i}.jpg" for i in range(6)]
+    # EN catches 0,1; CN catches 2; 5 is a gate false positive
+    en = {p: s for p, s in zip(paths, [30.0, 28.0, 10.0, 5.0, 5.0, 26.0])}
+    cn = {p: s for p, s in zip(paths, [3.0, 3.0, 12.0, 4.0, 4.0, 4.0])}
+    labels = [True, True, True, False, False, False]
+
+    verifier = StubVerifier(answers={"img5.jpg": False}, default=True)
+    pipe = CascadePipeline(
+        en_scorer=lambda ps: [en[p] for p in ps],
+        cn_scorer=lambda ps: [cn[p] for p in ps],
+        en_threshold=25.61,
+        cn_threshold=10.0,
+        verifier=verifier,
+    )
+    res = pipe.run(paths, "T-shirt", labels=labels)
+
+    assert list(np.nonzero(res.gate_passed)[0]) == [0, 1, 2, 5]
+    # verifier only sees gate survivors (the cascade's whole point)
+    assert res.verifier_calls == 4
+    assert sorted(p for p, _ in verifier.calls) == [
+        "img0.jpg", "img1.jpg", "img2.jpg", "img5.jpg"]
+    # img5 flipped to negative by the verifier
+    assert list(np.nonzero(res.verified)[0]) == [0, 1, 2]
+    assert res.metrics.f1 == pytest.approx(1.0)
+    # stage stats recorded
+    d = res.stats.as_dict()
+    assert set(d) == {"en_clip", "cn_clip", "verifier"}
+    assert d["verifier"]["count"] == 4
+
+
+def test_cascade_single_tower():
+    pipe = CascadePipeline(en_scorer=lambda ps: [1.0] * len(ps),
+                           en_threshold=0.5)
+    res = pipe.run(["a.jpg"], "cat")
+    assert res.gate_passed.all() and res.verified.all()
+    with pytest.raises(ValueError):
+        CascadePipeline()
+
+
+def _clustered(rng, proto, n, noise=0.25):
+    f = proto + noise * rng.normal(size=(n, proto.shape[-1]))
+    return f / np.linalg.norm(f, axis=1, keepdims=True)
+
+
+def test_multiclass_zeroshot_and_csv(tmp_path):
+    rng = np.random.default_rng(0)
+    d = 32
+    protos = rng.normal(size=(3, d))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    feats = np.concatenate([_clustered(rng, protos[c], 30) for c in range(3)])
+    labels = np.repeat([0, 1, 2], 30)
+
+    res = multiclass_zeroshot(
+        jnp.asarray(feats.astype(np.float32)),
+        jnp.asarray(protos.astype(np.float32)),
+        labels, ["cat", "dog", "others"],
+    )
+    assert res.accuracy > 0.9
+    assert set(res.per_class) == {"cat", "dog", "others"}
+    np.testing.assert_allclose(res.probs.sum(1), 1.0, atol=1e-5)
+
+    out = str(tmp_path / "lab1.csv")
+    write_multiclass_csv(res, out)
+    lines = open(out).read().splitlines()
+    assert len(lines) == 1 + 3 + 2  # header + classes + acc + macro
+
+
+def test_binary_zeroshot():
+    rng = np.random.default_rng(1)
+    d = 16
+    pos_t = rng.normal(size=d); pos_t /= np.linalg.norm(pos_t)
+    neg_t = -pos_t
+    feats = np.concatenate([
+        _clustered(rng, pos_t, 20, 0.2),
+        _clustered(rng, neg_t, 20, 0.2),
+    ]).astype(np.float32)
+    labels = [True] * 20 + [False] * 20
+    res = binary_zeroshot(
+        {"baozi": jnp.asarray(feats)},
+        {"baozi": jnp.asarray(pos_t.astype(np.float32))},
+        {"baozi": jnp.asarray(neg_t.astype(np.float32))},
+        {"baozi": labels},
+    )
+    assert res.per_target["baozi"].f1 > 0.95
+
+
+def test_pair_sweep_and_csv(tmp_path):
+    rng = np.random.default_rng(2)
+    pos_sims = {"dog": rng.normal(0.7, 0.05, 100).clip(0, 1)}
+    neg_sims = {"dog": rng.normal(0.4, 0.05, 100).clip(0, 1)}
+    sweeps = pair_threshold_sweep(pos_sims, neg_sims, pairs=[("dog", "wolf")])
+    assert sweeps["dog"].result.best_f1 > 0.99
+    assert 0.4 < sweeps["dog"].result.best_threshold < 0.7
+
+    summary = write_sweep_csv(sweeps, str(tmp_path))
+    assert os.path.exists(summary)
+    assert os.path.exists(str(tmp_path / "sweep_dog.csv"))
+    rows = open(summary).read().splitlines()
+    assert rows[1].startswith("dog,wolf,")

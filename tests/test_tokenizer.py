@@ -1,0 +1,109 @@
+"""Tokenizers: CLIP BPE vs the HF fast tokenizer algorithm (when buildable
+offline) and contract tests; BERT WordPiece vs transformers' BertTokenizer."""
+
+import numpy as np
+import pytest
+
+from mmrs_tpu.models.tokenizer import (
+    BertWordPieceTokenizer,
+    CLIPTokenizer,
+    bytes_to_unicode,
+)
+
+
+def test_bytes_to_unicode_reversible():
+    m = bytes_to_unicode()
+    assert len(m) == 256
+    assert len(set(m.values())) == 256
+
+
+def test_clip_tokenizer_layout():
+    tok = CLIPTokenizer.synthetic(["hello", "world"], context_length=16)
+    out = tok(["hello world", "a photo of hello"])
+    assert out.shape == (2, 16)
+    assert (out[:, 0] == tok.sot).all()
+    # EOT present exactly once per row and is the max id (EOT-pooling contract)
+    for row in out:
+        nz = row[row != 0]
+        assert nz[-1] == tok.eot
+        assert nz.max() == tok.eot
+    # merged words encode to single tokens
+    ids = tok.encode("hello")
+    assert len(ids) == 1
+
+
+def test_clip_tokenizer_truncation():
+    tok = CLIPTokenizer.synthetic([], context_length=8)
+    long_text = "x " * 50
+    out = tok([long_text], truncate=True)
+    assert out.shape == (1, 8)
+    assert out[0, -1] == tok.eot
+    with pytest.raises(ValueError):
+        tok([long_text], truncate=False)
+
+
+def test_clip_tokenizer_roundtrip():
+    tok = CLIPTokenizer.synthetic(["photo"], context_length=32)
+    ids = tok.encode("a photo of 2 cats!")
+    assert tok.decode(ids) == "a photo of 2 cats !"
+
+
+def test_clip_bpe_matches_hf_algorithm():
+    """Build an HF CLIPTokenizer offline from OUR synthetic vocab/merges and
+    compare token streams — proves the BPE algorithm is identical."""
+    transformers = pytest.importorskip("transformers")
+    import json, tempfile, os
+
+    ours = CLIPTokenizer.synthetic(["photo", "cat", "dog"], context_length=32)
+    with tempfile.TemporaryDirectory() as d:
+        vocab_file = os.path.join(d, "vocab.json")
+        merges_file = os.path.join(d, "merges.txt")
+        with open(vocab_file, "w") as f:
+            json.dump(ours.encoder, f)
+        with open(merges_file, "w") as f:
+            f.write("#version: 0.2\n")
+            for pair, _rank in sorted(ours.bpe_ranks.items(), key=lambda kv: kv[1]):
+                f.write(" ".join(pair) + "\n")
+        hf = transformers.CLIPTokenizer(
+            vocab_file, merges_file,
+            bos_token="<|startoftext|>", eos_token="<|endoftext|>",
+            unk_token="<|endoftext|>", pad_token="<|endoftext|>",
+        )
+        for text in ["a photo of a cat", "dog!", "the CAT and the dog",
+                     "a photo of 2 dogs, one cat"]:
+            theirs = hf(text, add_special_tokens=False)["input_ids"]
+            assert ours.encode(text) == theirs, text
+
+
+@pytest.fixture()
+def zh_vocab():
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+            "一", "张", "猫", "的", "图", "片", "狗",
+            "photo", "##graph", "ph", "##oto", "a"]
+    return {t: i for i, t in enumerate(toks)}
+
+
+def test_wordpiece_cjk_split(zh_vocab):
+    tok = BertWordPieceTokenizer(zh_vocab, max_length=16)
+    ids, mask = tok("一张猫的图片")
+    assert ids[0, 0] == zh_vocab["[CLS]"]
+    n = mask[0].sum()
+    assert ids[0, n - 1] == zh_vocab["[SEP]"]
+    middle = [int(t) for t in ids[0, 1:n - 1]]
+    assert middle == [zh_vocab[c] for c in "一张猫的图片"]
+
+
+def test_wordpiece_matches_transformers(zh_vocab, tmp_path):
+    transformers = pytest.importorskip("transformers")
+    vocab_path = tmp_path / "vocab.txt"
+    with open(vocab_path, "w", encoding="utf-8") as f:
+        for t, _ in sorted(zh_vocab.items(), key=lambda kv: kv[1]):
+            f.write(t + "\n")
+    hf = transformers.BertTokenizer(str(vocab_path))
+    ours = BertWordPieceTokenizer(zh_vocab, max_length=32)
+    for text in ["一张猫的图片", "photograph", "a photo", "狗猫",
+                 "unknownword 猫"]:
+        theirs = hf(text)["input_ids"]
+        ids, mask = ours(text)
+        n = mask[0].sum()
+        assert [int(t) for t in ids[0, :n]] == theirs, text
