@@ -1,5 +1,410 @@
-"""CLI entry point (subcommands filled in as subsystems land)."""
+"""`mmrs` CLI — subcommands over the framework.
+
+Replaces the reference's per-script hardcoded main()s (SURVEY.md §5 config
+story). Every destructive operation defaults to --dry-run; pass --no-dry-run
+to apply.
+
+  mmrs index build   --root DIR --out DIR [--config cfg.yaml]
+  mmrs search        --index DIR (--image PATH... | --text "query") [-k 10]
+  mmrs calibrate     --index DIR --positive-class NAME (per-class sweep)
+  mmrs dedup         --mode exact|perceptual|embedding ...
+  mmrs leakage       --train DIR --test DIR
+  mmrs convert       --root DIR          (format normalization to JPEG)
+  mmrs clean         --root DIR          (delete non-jpeg)
+  mmrs rename        --root DIR          (canonical two-phase rename)
+  mmrs merge         --root DIR --map 'src=dst' ...
+  mmrs dataset make  --variant v1..v5 --root DIR --out PATH ...
+  mmrs adapter train --features NPZ ... (Tip-Adapter-F over cached features)
+  mmrs weights convert --source hf_clip|openai_clip|taiyi --in PT --out NPZ
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+import numpy as np
 
 
-def main() -> None:
-    raise SystemExit("mmrs CLI: subcommands arrive with the pipeline layers")
+def _load_config(path: Optional[str]):
+    from mmrs_tpu import config as config_mod
+
+    return config_mod.load(path) if path else config_mod.Config()
+
+
+# --------------------------------------------------------------------------
+# subcommand implementations
+# --------------------------------------------------------------------------
+
+def cmd_index_build(args) -> int:
+    from mmrs_tpu.index.gallery import build_index
+    from mmrs_tpu.io.dataset import FolderDataset
+    from mmrs_tpu.pipeline import build_towers
+
+    cfg = _load_config(args.config)
+    towers = build_towers(cfg)
+    ds = FolderDataset.from_root(args.root, num_workers=args.workers)
+    idx = build_index(ds, towers.image_encode, args.out,
+                      batch_size=cfg.gallery.batch_size,
+                      shard_rows=cfg.gallery.shard_rows,
+                      resume=not args.no_resume)
+    print(json.dumps({"entries": len(idx), "dim": idx.dim, "out": args.out}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.io.images import load_image
+    from mmrs_tpu.pipeline import build_towers
+    from mmrs_tpu.search.engine import SearchEngine
+
+    cfg = _load_config(args.config)
+    idx = GalleryIndex.load(args.index)
+    engine = SearchEngine(idx, cfg.search)
+    towers = build_towers(cfg)
+
+    if args.image:
+        pixels = np.stack([load_image(p).pixels for p in args.image])
+        vecs = towers.image_encode(pixels)
+        if args.prototype and len(args.image) > 1:
+            hits = engine.query_prototype(vecs, strategy=args.prototype)
+        else:
+            hits = engine.query_image(vecs, top_k=args.k)
+    elif args.text:
+        if towers.text_encode is None:
+            print("text search needs a tokenizer (--merges/--vocab)",
+                  file=sys.stderr)
+            return 2
+        vecs = towers.text_encode([args.text])
+        hits = engine.query_text(vecs, top_k=args.k)
+    else:
+        print("need --image or --text", file=sys.stderr)
+        return 2
+
+    for qi, qhits in enumerate(hits):
+        for h in qhits:
+            print(f"{qi}\t{h.rank}\t{h.score:.4f}\t{h.cls}\t{h.path}")
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.search.calibrate import find_thresholds
+    from mmrs_tpu.search.engine import SearchEngine
+    from mmrs_tpu.search.prototypes import build_prototype
+
+    cfg = _load_config(args.config)
+    idx = GalleryIndex.load(args.index)
+    engine = SearchEngine(idx, cfg.search)
+
+    labels = np.asarray([c == args.positive_class for c in idx.classes])
+    if not labels.any():
+        print(f"no rows of class {args.positive_class!r}", file=sys.stderr)
+        return 2
+    emb = np.asarray(idx.embeddings, np.float32)
+    import jax.numpy as jnp
+    proto = build_prototype(jnp.asarray(emb[labels][: args.shots]),
+                            strategy=args.prototype)
+    sims = engine.similarities(np.asarray(proto)[None, :])[0]
+    res = find_thresholds(sims[labels], sims[~labels])
+    print(json.dumps({
+        "class": args.positive_class,
+        "best_threshold": res.best_threshold,
+        "best_f1": res.best_f1,
+        "precision": res.best_precision,
+        "recall": res.best_recall,
+    }))
+    return 0
+
+
+def _collect(root: str) -> List[str]:
+    from mmrs_tpu.io.dataset import scan_folder
+
+    return [p for p, _ in scan_folder(root)]
+
+
+def cmd_dedup(args) -> int:
+    from mmrs_tpu.govern import dedup as dd
+
+    dry = not args.no_dry_run
+    if args.mode == "exact":
+        rep = dd.exact_dedup(_collect(args.reference), _collect(args.target),
+                             dry_run=dry)
+    elif args.mode == "perceptual":
+        rep = dd.perceptual_dedup(_collect(args.target),
+                                  threshold=args.hamming, dry_run=dry)
+    elif args.mode == "embedding":
+        from mmrs_tpu.index.gallery import GalleryIndex
+
+        idx = GalleryIndex.load(args.index)
+        rep = dd.embedding_dedup(np.asarray(idx.embeddings, np.float32),
+                                 idx.paths, tau=args.tau, dry_run=dry)
+    else:
+        print(f"unknown mode {args.mode}", file=sys.stderr)
+        return 2
+    print(rep.summary())
+    for dup, keeper in rep.duplicates:
+        print(f"DUP\t{dup}\t-> keeper {keeper}")
+    return 0
+
+
+def cmd_leakage(args) -> int:
+    from mmrs_tpu.govern.dedup import leakage_removal
+
+    rep = leakage_removal(_collect(args.train), _collect(args.test),
+                          tolerance=args.tolerance,
+                          dry_run=not args.no_dry_run)
+    print(rep.summary())
+    for dup, src in rep.duplicates:
+        print(f"LEAK\t{dup}\t(matches test {src})")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from mmrs_tpu.govern.normalize import convert_to_jpeg
+
+    rep = convert_to_jpeg(args.root, quality=args.quality,
+                          dry_run=not args.no_dry_run)
+    print(f"{len(rep.converted)} converted, {len(rep.errors)} errors "
+          f"(dry_run={rep.dry_run})")
+    return 0
+
+
+def cmd_clean(args) -> int:
+    from mmrs_tpu.govern.normalize import delete_non_jpeg
+
+    rep = delete_non_jpeg(args.root, dry_run=not args.no_dry_run)
+    print(f"{len(rep.deleted)} deleted (dry_run={rep.dry_run})")
+    return 0
+
+
+def cmd_rename(args) -> int:
+    from mmrs_tpu.govern.manifest import canonical_rename
+
+    rep = canonical_rename(args.root, dry_run=not args.no_dry_run)
+    print(f"{len(rep.renamed)} renamed (dry_run={rep.dry_run})")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from mmrs_tpu.govern.manifest import merge_folders
+
+    mapping = dict(kv.split("=", 1) for kv in args.map)
+    rep = merge_folders(args.root, mapping, dry_run=not args.no_dry_run)
+    print(f"{len(rep.moved)} moved (dry_run={rep.dry_run})")
+    return 0
+
+
+def cmd_dataset_make(args) -> int:
+    from mmrs_tpu.govern import vqa
+    from mmrs_tpu.io.dataset import scan_folder
+
+    by_class: dict = {}
+    for p, c in scan_folder(args.root):
+        by_class.setdefault(c, []).append(p)
+    easy = by_class.pop("ez_negative", [])
+    hard = {c[: -len("_negative")]: v for c, v in list(by_class.items())
+            if c.endswith("_negative")}
+    for c in list(by_class):
+        if c.endswith("_negative"):
+            del by_class[c]
+
+    if args.variant == "v1":
+        recs = vqa.build_v1(by_class, args.out, seed=args.seed)
+    elif args.variant == "v2":
+        recs = vqa.build_v2(by_class, args.out, seed=args.seed)
+    elif args.variant == "v3":
+        recs = vqa.build_v3(by_class, easy, args.out, seed=args.seed)
+    elif args.variant == "v4":
+        out = vqa.build_v4(by_class, easy, hard, out_dir=args.out,
+                           seed=args.seed)
+        print(json.dumps({k: len(getattr(out, k)) for k in
+                          ("positives", "with_cross", "with_simple",
+                           "with_hard")}))
+        return 0
+    elif args.variant == "v5":
+        recs = vqa.build_v5(by_class, out_path=args.out, seed=args.seed)
+    else:
+        print(f"unknown variant {args.variant}", file=sys.stderr)
+        return 2
+    print(json.dumps({"records": len(recs), "out": args.out}))
+    return 0
+
+
+def cmd_weights_convert(args) -> int:
+    import torch
+
+    from mmrs_tpu.models import checkpoint, convert
+    from mmrs_tpu.models.configs import (
+        CLIP_TEXT_B32, CLIP_TEXT_L14, TAIYI_ROBERTA_LARGE, VIT_B32, VIT_L14,
+    )
+
+    sd = torch.load(args.input, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = convert.state_dict_to_numpy(sd)
+    vision = VIT_B32 if args.arch == "b32" else VIT_L14
+    text = CLIP_TEXT_B32 if args.arch == "b32" else CLIP_TEXT_L14
+    if args.source == "hf_clip":
+        params = convert.hf_clip(sd, vision, text)
+    elif args.source == "openai_clip":
+        params = convert.openai_clip(sd, vision, text)
+    elif args.source == "taiyi":
+        params = convert.hf_bert_classifier(sd, TAIYI_ROBERTA_LARGE)
+    else:
+        print(f"unknown source {args.source}", file=sys.stderr)
+        return 2
+    checkpoint.save_npz(params, args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_adapter_train(args) -> int:
+    import jax.numpy as jnp
+
+    from mmrs_tpu.adapt import tip_adapter as tip
+
+    data = np.load(args.features)
+    keys, values = tip.build_cache(
+        jnp.asarray(data["aug_features"]), jnp.asarray(data["train_labels"]),
+        int(data["num_classes"]),
+    )
+    res = tip.train_tip_adapter_f(
+        jnp.asarray(data["train_features"]), jnp.asarray(data["train_labels"]),
+        jnp.asarray(data["test_features"]), jnp.asarray(data["test_labels"]),
+        keys, values, jnp.asarray(data["clip_weights"]),
+        num_classes=int(data["num_classes"]),
+        lr=args.lr, epochs=args.epochs, alpha=args.alpha, beta=args.beta,
+        run_search_hp=args.search_hp,
+    )
+    if args.out:
+        np.savez(args.out, adapter_keys=res.adapter_keys)
+    print(json.dumps({
+        "best_f1": res.best_f1, "best_epoch": res.best_epoch,
+        "hp": None if res.hp is None else
+        {"beta": res.hp.beta, "alpha": res.hp.alpha, "f1": res.hp.f1},
+    }))
+    return 0
+
+
+# --------------------------------------------------------------------------
+# parser
+# --------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mmrs", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_dry(sp):
+        sp.add_argument("--no-dry-run", action="store_true",
+                        help="actually apply destructive changes")
+
+    index = sub.add_parser("index").add_subparsers(dest="subcmd", required=True)
+    b = index.add_parser("build")
+    b.add_argument("--root", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--config")
+    b.add_argument("--workers", type=int, default=8)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_index_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--image", nargs="*")
+    s.add_argument("--text")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--prototype")
+    s.add_argument("--config")
+    s.set_defaults(fn=cmd_search)
+
+    c = sub.add_parser("calibrate")
+    c.add_argument("--index", required=True)
+    c.add_argument("--positive-class", required=True)
+    c.add_argument("--shots", type=int, default=10)
+    c.add_argument("--prototype", default="mean")
+    c.add_argument("--config")
+    c.set_defaults(fn=cmd_calibrate)
+
+    d = sub.add_parser("dedup")
+    d.add_argument("--mode", required=True,
+                   choices=["exact", "perceptual", "embedding"])
+    d.add_argument("--reference")
+    d.add_argument("--target")
+    d.add_argument("--index")
+    d.add_argument("--hamming", type=int, default=5)
+    d.add_argument("--tau", type=float, default=0.96)
+    add_dry(d)
+    d.set_defaults(fn=cmd_dedup)
+
+    lk = sub.add_parser("leakage")
+    lk.add_argument("--train", required=True)
+    lk.add_argument("--test", required=True)
+    lk.add_argument("--tolerance", type=int, default=0)
+    add_dry(lk)
+    lk.set_defaults(fn=cmd_leakage)
+
+    cv = sub.add_parser("convert")
+    cv.add_argument("--root", required=True)
+    cv.add_argument("--quality", type=int, default=95)
+    add_dry(cv)
+    cv.set_defaults(fn=cmd_convert)
+
+    cl = sub.add_parser("clean")
+    cl.add_argument("--root", required=True)
+    add_dry(cl)
+    cl.set_defaults(fn=cmd_clean)
+
+    rn = sub.add_parser("rename")
+    rn.add_argument("--root", required=True)
+    add_dry(rn)
+    rn.set_defaults(fn=cmd_rename)
+
+    mg = sub.add_parser("merge")
+    mg.add_argument("--root", required=True)
+    mg.add_argument("--map", nargs="+", required=True,
+                    help="src=dst folder mappings")
+    add_dry(mg)
+    mg.set_defaults(fn=cmd_merge)
+
+    ds = sub.add_parser("dataset").add_subparsers(dest="subcmd", required=True)
+    mk = ds.add_parser("make")
+    mk.add_argument("--variant", required=True,
+                    choices=["v1", "v2", "v3", "v4", "v5"])
+    mk.add_argument("--root", required=True)
+    mk.add_argument("--out", required=True)
+    mk.add_argument("--seed", type=int, default=0)
+    mk.set_defaults(fn=cmd_dataset_make)
+
+    wt = sub.add_parser("weights").add_subparsers(dest="subcmd", required=True)
+    wc = wt.add_parser("convert")
+    wc.add_argument("--source", required=True,
+                    choices=["hf_clip", "openai_clip", "taiyi"])
+    wc.add_argument("--arch", default="b32", choices=["b32", "l14"])
+    wc.add_argument("--input", required=True)
+    wc.add_argument("--out", required=True)
+    wc.set_defaults(fn=cmd_weights_convert)
+
+    ad = sub.add_parser("adapter").add_subparsers(dest="subcmd", required=True)
+    at = ad.add_parser("train")
+    at.add_argument("--features", required=True,
+                    help="npz with aug_features/train_*/test_*/clip_weights")
+    at.add_argument("--out")
+    at.add_argument("--lr", type=float, default=1e-3)
+    at.add_argument("--epochs", type=int, default=20)
+    at.add_argument("--alpha", type=float, default=1.0)
+    at.add_argument("--beta", type=float, default=1.0)
+    at.add_argument("--search-hp", action="store_true")
+    at.set_defaults(fn=cmd_adapter_train)
+
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = build_parser().parse_args(argv)
+    raise SystemExit(args.fn(args))
+
+
+if __name__ == "__main__":
+    main()

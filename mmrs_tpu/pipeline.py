@@ -1,0 +1,100 @@
+"""Glue layer: config -> towers -> encode callables -> index/search/report.
+
+This is where the CLI (and notebooks) assemble the pieces. Encoders are
+plain callables `pixels_u8 [B,S,S,3] -> np.ndarray [B,D]` so every consumer
+(index build, cascade scorer, eval harness) composes the same way the
+reference's scripts reuse `encode_image` loops.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmrs_tpu.config import Config
+from mmrs_tpu.models import clip
+from mmrs_tpu.models.clip import CLIPConfig, TaiyiCLIPConfig
+from mmrs_tpu.models.configs import (
+    CLIP_TEXT_B32,
+    CLIP_TEXT_L14,
+    IMAGE_TOWERS,
+    TAIYI_ROBERTA_LARGE,
+    VIT_B32,
+)
+from mmrs_tpu.ops.preprocess import normalize_images
+
+
+@dataclass
+class Towers:
+    """A ready pair of encode callables + the underlying params/config."""
+
+    image_encode: Callable[[np.ndarray], np.ndarray]
+    text_encode: Optional[Callable] = None
+    params: Optional[dict] = None
+    clip_config: Optional[object] = None
+    tokenizer: Optional[object] = None
+
+
+def _host_cpu():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return jax.devices()[0]
+
+
+def build_towers(cfg: Config, tokenizer=None) -> Towers:
+    """Construct the configured tower pair. Weights come from
+    cfg.model.checkpoint_path (an npz saved from models/convert.py output);
+    without one, randomly-initialized towers are used (bring-up mode)."""
+    from mmrs_tpu.models import checkpoint
+
+    vision = IMAGE_TOWERS[cfg.model.image_tower]
+    if cfg.model.text_tower == "taiyi_roberta":
+        ccfg = TaiyiCLIPConfig(vision=vision, text=TAIYI_ROBERTA_LARGE)
+    else:
+        text = CLIP_TEXT_B32 if cfg.model.image_tower == "vit_b32" else CLIP_TEXT_L14
+        ccfg = CLIPConfig(vision=vision, text=text)
+
+    if cfg.model.checkpoint_path:
+        params = checkpoint.load_npz(cfg.model.checkpoint_path)
+    else:
+        with jax.default_device(_host_cpu()):
+            if isinstance(ccfg, TaiyiCLIPConfig):
+                params = clip.taiyi_init(jax.random.key(cfg.seed), ccfg)
+            else:
+                params = clip.init(jax.random.key(cfg.seed), ccfg)
+
+    compute_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+
+    @functools.partial(jax.jit, static_argnums=())
+    def _embed_images(p, images_u8):
+        x = normalize_images(images_u8, dtype=compute_dtype, impl="xla")
+        return clip.encode_image(p, x, ccfg, compute_dtype=compute_dtype)
+
+    def image_encode(pixels_u8: np.ndarray) -> np.ndarray:
+        out = _embed_images(params, jnp.asarray(pixels_u8))
+        return np.asarray(out, dtype=np.float32)
+
+    text_encode = None
+    if tokenizer is not None:
+        if isinstance(ccfg, TaiyiCLIPConfig):
+            def text_encode(texts):
+                ids, mask = tokenizer(texts)
+                out = clip.taiyi_encode_text(
+                    params, jnp.asarray(ids), jnp.asarray(mask), ccfg,
+                    compute_dtype=compute_dtype)
+                return np.asarray(out, dtype=np.float32)
+        else:
+            def text_encode(texts):
+                ids = tokenizer(texts)
+                out = clip.encode_text(params, jnp.asarray(ids), ccfg,
+                                       compute_dtype=compute_dtype)
+                return np.asarray(out, dtype=np.float32)
+
+    return Towers(image_encode=image_encode, text_encode=text_encode,
+                  params=params, clip_config=ccfg, tokenizer=tokenizer)

@@ -1,0 +1,113 @@
+"""CLI end-to-end on a synthetic tree (random-weight towers, CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_gallery")
+    rng = np.random.default_rng(0)
+    for cls in ["red", "blue"]:
+        d = root / cls
+        d.mkdir()
+        color = (255, 0, 0) if cls == "red" else (0, 0, 255)
+        for i in range(3):
+            arr = np.zeros((40, 40, 3), np.uint8)
+            arr[..., :] = color
+            arr = np.clip(arr.astype(int) + rng.integers(0, 30, arr.shape),
+                          0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{cls}{i}.jpg")
+    # an exact duplicate for dedup
+    import shutil
+    shutil.copy(root / "red" / "red0.jpg", root / "red" / "red0_copy.jpg")
+    return str(root)
+
+
+def _run(args, **kw):
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    })
+    return subprocess.run([sys.executable, "-m", "mmrs_tpu.cli.main"] + args,
+                          capture_output=True, text=True, env=env, **kw)
+
+
+def test_cli_help():
+    r = _run(["--help"])
+    assert r.returncode == 0
+    for cmd in ["index", "search", "calibrate", "dedup", "leakage",
+                "dataset", "adapter", "weights"]:
+        assert cmd in r.stdout
+
+
+def test_cli_index_search_calibrate(tree, tmp_path):
+    out = str(tmp_path / "idx")
+    r = _run(["index", "build", "--root", tree, "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["entries"] == 7
+
+    query = os.path.join(tree, "red", "red1.jpg")
+    r = _run(["search", "--index", out, "--image", query, "-k", "3"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [l.split("\t") for l in r.stdout.strip().splitlines()]
+    assert len(rows) == 3
+    assert rows[0][2] >= rows[-1][2]  # scores descending
+
+    r = _run(["calibrate", "--index", out, "--positive-class", "red",
+              "--shots", "3"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["class"] == "red" and 0 <= res["best_f1"] <= 1
+
+
+def test_cli_dedup_exact_dry_run(tree):
+    r = _run(["dedup", "--mode", "exact", "--reference", tree,
+              "--target", tree])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "DUP" in r.stdout
+    # dry run: file still exists
+    assert os.path.exists(os.path.join(tree, "red", "red0_copy.jpg"))
+
+
+def test_cli_dataset_make(tree, tmp_path):
+    out = str(tmp_path / "vqa.json")
+    r = _run(["dataset", "make", "--variant", "v2", "--root", tree,
+              "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = json.load(open(out))
+    assert recs and all("conversations" in x for x in recs)
+
+
+def test_cli_adapter_train(tmp_path):
+    rng = np.random.default_rng(0)
+    d, nc = 16, 3
+    protos = rng.normal(size=(nc, d)).astype(np.float32)
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+
+    def sample(n):
+        f = np.concatenate([
+            protos[c] + 0.3 * rng.normal(size=(n, d)) for c in range(nc)
+        ]).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        return f, np.repeat(np.arange(nc), n)
+
+    train_f, train_y = sample(8)
+    test_f, test_y = sample(20)
+    feats = str(tmp_path / "feats.npz")
+    np.savez(feats, aug_features=train_f[None], train_features=train_f,
+             train_labels=train_y, test_features=test_f, test_labels=test_y,
+             clip_weights=protos.T, num_classes=nc)
+    r = _run(["adapter", "train", "--features", feats, "--epochs", "3"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["best_f1"] > 0.5
