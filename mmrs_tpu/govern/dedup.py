@@ -31,7 +31,6 @@ from mmrs_tpu.govern.hashing import (
     PerceptualHashes,
     dhash,
     exact_pixel_hash,
-    packed_hamming,
     perceptual_hashes,
 )
 from mmrs_tpu.io.images import pil_loader
@@ -123,34 +122,26 @@ def perceptual_dedup(
         return report
 
     names = [p for p, _ in hashes]
-    ph = np.asarray([h.phash for _, h in hashes], np.uint64)
-    dh = np.asarray([h.dhash for _, h in hashes], np.uint64)
-    wh = np.asarray([h.whash for _, h in hashes], np.uint64)
+    stacked = np.stack([
+        np.asarray([h.phash for _, h in hashes], np.uint64),
+        np.asarray([h.dhash for _, h in hashes], np.uint64),
+        np.asarray([h.whash for _, h in hashes], np.uint64),
+    ])
 
-    # Vectorized keep-first over the size-ordered list, in row blocks.
-    n = len(names)
-    kept_mask = np.ones(n, bool)
-    keeper_of = np.full(n, -1, np.int64)
-    block = 2048
-    for i0 in range(0, n, block):
-        i1 = min(i0 + block, n)
-        # distances of rows [i0:i1] against all earlier + in-block columns
-        cols = np.arange(0, i1)
-        dup = (
-            (packed_hamming(ph[i0:i1], ph[cols]) <= threshold)
-            | (packed_hamming(dh[i0:i1], dh[cols]) <= threshold)
-            | (packed_hamming(wh[i0:i1], wh[cols]) <= threshold)
-        )
-        for r in range(i1 - i0):
-            i = i0 + r
-            row = dup[r, :i]
-            cand = np.nonzero(row & kept_mask[:i])[0]
-            if cand.size:
-                kept_mask[i] = False
-                keeper_of[i] = cand[0]
-    for i in range(n):
-        if not kept_mask[i]:
-            report.duplicates.append((names[i], names[keeper_of[i]]))
+    # Threaded native keep-first scan (numpy-block fallback inside).
+    from mmrs_tpu.govern.native import hamming_first_match
+
+    first = hamming_first_match(stacked, threshold=threshold)
+    # first[i] is the earliest (largest-file) match; because the list is
+    # size-ordered and first matches resolve to still-earlier rows, walk the
+    # chain to the ultimate keeper.
+    for i in range(len(names)):
+        j = int(first[i])
+        if j < 0:
+            continue
+        while int(first[j]) >= 0:
+            j = int(first[j])
+        report.duplicates.append((names[i], names[j]))
     _apply_removals(report, dry_run)
     return report
 
@@ -181,13 +172,12 @@ def leakage_removal(
         tnames = [p for p, _ in test_hashes]
         train_hashes = list(_iter_hashes(train_paths, dhash, report.errors))
         if train_hashes and len(th):
+            from mmrs_tpu.govern.native import hamming_cross_any
+
             trh = np.asarray([h for _, h in train_hashes], np.uint64)
-            dist = packed_hamming(trh, th)
-            rows, cols = np.nonzero(dist <= tolerance)
-            seen = set()
-            for r, c in zip(rows, cols):
-                if r not in seen:
-                    seen.add(r)
+            first = hamming_cross_any(trh[None], th[None], threshold=tolerance)
+            for r, c in enumerate(first):
+                if c >= 0:
                     report.duplicates.append((train_hashes[r][0], tnames[c]))
     _apply_removals(report, dry_run)
     return report
