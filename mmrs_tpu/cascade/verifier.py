@@ -63,3 +63,71 @@ class CallableVerifier:
     def verify(self, image_path: str, category: str) -> bool:
         prompt = self.prompt_template.format(category=category)
         return parse_yes_no(self.generate(image_path, prompt))
+
+
+# LLaVA-v1.5 conversation framing used by the reference's eval_model call
+# (code/union_clip_llava2.py:104-126 builds the same single-turn template).
+LLAVA_V15_PRE = "USER: "
+LLAVA_V15_POST = " ASSISTANT:"
+
+
+class TPULLaVAVerifier:
+    """The VLM verifier hosted on TPU via models/llava.py.
+
+    Needs: converted llava params, an LLaMA text tokenizer exposing
+    `encode(text) -> List[int]` and `decode(ids) -> str` (e.g. a
+    SentencePiece wrapper), and the CLIP-normalized image preprocessor.
+    Greedy decode at temperature 0; answer parsed with the reference's
+    "yes"-substring test.
+    """
+
+    def __init__(self, params, cfg, tokenizer,
+                 prompt_template: str = DEFAULT_PROMPT,
+                 max_new_tokens: int = 32,
+                 eos_token: int = 2,
+                 image_size: int = 336,
+                 compute_dtype=None):
+        import jax.numpy as jnp
+
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.prompt_template = prompt_template
+        self.max_new_tokens = max_new_tokens
+        self.eos_token = eos_token
+        self.image_size = image_size
+        self.compute_dtype = compute_dtype or jnp.bfloat16
+
+    def _load_image(self, image_path: str):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mmrs_tpu.io.images import load_image
+        from mmrs_tpu.ops.preprocess import normalize_images
+
+        r = load_image(image_path, size=self.image_size, stack="hf")
+        u8 = jnp.asarray(np.asarray(r.pixels)[None])
+        return normalize_images(u8, dtype=self.compute_dtype, impl="xla")
+
+    def generate_text(self, image_path: str, prompt: str) -> str:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mmrs_tpu.models import llava
+
+        pre_ids = self.tokenizer.encode(LLAVA_V15_PRE)
+        post_ids = self.tokenizer.encode(prompt + LLAVA_V15_POST)
+        images = self._load_image(image_path)
+        out = llava.generate(
+            self.params, images,
+            jnp.asarray([pre_ids], jnp.int32),
+            jnp.asarray([post_ids], jnp.int32),
+            self.cfg, self.max_new_tokens, self.eos_token,
+            self.compute_dtype,
+        )
+        ids = [int(t) for t in np.asarray(out)[0] if int(t) != self.eos_token]
+        return self.tokenizer.decode(ids)
+
+    def verify(self, image_path: str, category: str) -> bool:
+        prompt = self.prompt_template.format(category=category)
+        return parse_yes_no(self.generate_text(image_path, prompt))

@@ -1,0 +1,236 @@
+"""LLaMA-family decoder with KV cache — the TPU-hosted VLM language model.
+
+The reference runs LLaVA-v1.5-7b (LLaMA-2 decoder) through the `llava`
+package on a CUDA GPU in 8-bit (code/test_llava.py:8-13). Here the decoder
+is implemented TPU-first so the verifier stage can be hosted on the mesh:
+
+  - stacked-layer params + lax.scan body (single compiled layer);
+  - static-shape KV cache [L, B, MAX, KVH, HD] updated with
+    dynamic_update_slice — prefill writes the whole prompt, decode steps
+    write one position; no dynamic shapes anywhere under jit;
+  - greedy (temperature 0) decode via lax.scan over max_new_tokens with a
+    finished-mask (matches the reference's decode config,
+    code/test_llava.py:27-29);
+  - bf16 matmuls, f32 RMSNorm/softmax/rotary;
+  - GQA (n_kv_heads <= n_heads) with broadcast instead of repeat.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 4096
+    layers: int = 32
+    heads: int = 32
+    kv_heads: int = 32
+    mlp_dim: int = 11008
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    max_seq: int = 2048
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+# 7B config of llava-v1.5 (LLaMA-2-7B)
+LLAMA2_7B = LlamaConfig()
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (x32 * scale * w.astype(jnp.float32)).astype(dtype)
+
+
+def _rope(q: jnp.ndarray, k: jnp.ndarray, pos: jnp.ndarray, theta: float):
+    """HF-style rotary: rotate_half over contiguous halves. q,k [B,T,H,D]."""
+    hd = q.shape[-1]
+    inv = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    freqs = pos.astype(jnp.float32)[:, :, None] * inv[None, None, :]  # [B,T,D/2]
+    cos = jnp.cos(freqs)[:, :, None, :]  # [B,T,1,D/2]
+    sin = jnp.sin(freqs)[:, :, None, :]
+    cos = jnp.concatenate([cos, cos], axis=-1)
+    sin = jnp.concatenate([sin, sin], axis=-1)
+
+    def rot(x):
+        x32 = x.astype(jnp.float32)
+        x1, x2 = x32[..., : hd // 2], x32[..., hd // 2:]
+        rotated = jnp.concatenate([-x2, x1], axis=-1)
+        return (x32 * cos + rotated * sin).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+def _attn_block(
+    h: jnp.ndarray,                 # [B, T, D]
+    p: Params,
+    cache_k: jnp.ndarray,           # [B, MAX, KVH, HD]
+    cache_v: jnp.ndarray,
+    pos_offset: jnp.ndarray,        # [] int32 — where this chunk starts
+    cfg: LlamaConfig,
+    compute_dtype,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    b, t, d = h.shape
+    nh, kvh, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
+
+    x = rms_norm(h, p["attn_norm"], cfg.norm_eps)
+    cd = compute_dtype
+
+    q = jnp.dot(x.astype(cd), p["wq"].astype(cd),
+                preferred_element_type=jnp.float32).astype(cd)
+    k = jnp.dot(x.astype(cd), p["wk"].astype(cd),
+                preferred_element_type=jnp.float32).astype(cd)
+    v = jnp.dot(x.astype(cd), p["wv"].astype(cd),
+                preferred_element_type=jnp.float32).astype(cd)
+    q = q.reshape(b, t, nh, hd)
+    k = k.reshape(b, t, kvh, hd)
+    v = v.reshape(b, t, kvh, hd)
+
+    pos = pos_offset + jnp.arange(t)[None, :]  # [1, T] broadcast over B
+    pos = jnp.broadcast_to(pos, (b, t))
+    q, k = _rope(q, k, pos, cfg.rope_theta)
+
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, pos_offset, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, pos_offset, 0, 0))
+
+    # GQA: group query heads over kv heads. [B,MAX,KVH,HD] vs q [B,T,NH,HD]
+    group = nh // kvh
+    qg = q.reshape(b, t, kvh, group, hd)
+    logits = jnp.einsum("btkgh,bskh->bkgts", qg, cache_k,
+                        preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(jnp.float32(hd))
+
+    # causal + validity mask over the cache timeline
+    key_pos = jnp.arange(cfg.max_seq)[None, :]            # [1, MAX]
+    query_pos = (pos_offset + jnp.arange(t))[:, None]     # [T, 1]
+    mask = key_pos <= query_pos                           # [T, MAX]
+    logits = jnp.where(mask[None, None, None, :, :], logits, -jnp.inf)
+
+    probs = jax.nn.softmax(logits, axis=-1).astype(cd)
+    out = jnp.einsum("bkgts,bskh->btkgh", probs, cache_v,
+                     preferred_element_type=jnp.float32).astype(cd)
+    out = out.reshape(b, t, d)
+    attn = jnp.dot(out, p["wo"].astype(cd),
+                   preferred_element_type=jnp.float32).astype(cd)
+    h = h + attn
+
+    x = rms_norm(h, p["mlp_norm"], cfg.norm_eps)
+    gate = jnp.dot(x.astype(cd), p["w_gate"].astype(cd),
+                   preferred_element_type=jnp.float32)
+    up = jnp.dot(x.astype(cd), p["w_up"].astype(cd),
+                 preferred_element_type=jnp.float32)
+    inner = (jax.nn.silu(gate) * up).astype(cd)
+    down = jnp.dot(inner, p["w_down"].astype(cd),
+                   preferred_element_type=jnp.float32).astype(cd)
+    return h + down, cache_k, cache_v
+
+
+def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
+    shape = (cfg.layers, batch, cfg.max_seq, cfg.kv_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def forward(
+    params: Params,
+    embeds: jnp.ndarray,            # [B, T, D] already-embedded inputs
+    cache: Tuple[jnp.ndarray, jnp.ndarray],
+    pos_offset,                     # scalar int32
+    cfg: LlamaConfig,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Returns (logits [B, T, V], updated cache). Embedding-level input so
+    LLaVA can splice image tokens into the sequence."""
+    cache_k, cache_v = cache
+    pos_offset = jnp.asarray(pos_offset, jnp.int32)
+
+    def body(h, xs):
+        layer_p, ck, cv = xs
+        h, ck, cv = _attn_block(h, layer_p, ck, cv, pos_offset, cfg,
+                                compute_dtype)
+        return h, (ck, cv)
+
+    h, (new_k, new_v) = jax.lax.scan(
+        body, embeds.astype(compute_dtype), (params["blocks"], cache_k, cache_v)
+    )
+    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+    logits = jnp.dot(
+        h.astype(compute_dtype), params["lm_head"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, (new_k, new_v)
+
+
+def embed_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
+    return params["embed"][tokens]
+
+
+def greedy_generate(
+    params: Params,
+    prompt_embeds: jnp.ndarray,     # [B, T, D]
+    cfg: LlamaConfig,
+    max_new_tokens: int = 32,
+    eos_token: int = 2,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Greedy decode (temperature 0, the reference verifier's config).
+    Returns [B, max_new_tokens] int32, EOS-padded after finish."""
+    b, t, _ = prompt_embeds.shape
+    cache = init_cache(cfg, b, compute_dtype)
+    logits, cache = forward(params, prompt_embeds, cache, 0, cfg, compute_dtype)
+    next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    finished = next_tok == eos_token
+
+    def step(carry, _):
+        tok, cache, pos, finished = carry
+        emb = embed_tokens(params, tok[:, None])
+        logits, cache = forward(params, emb, cache, pos, cfg, compute_dtype)
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, eos_token, nxt)
+        finished = finished | (nxt == eos_token)
+        return (nxt, cache, pos + 1, finished), tok
+
+    (_, _, _, _), toks = jax.lax.scan(
+        step, (next_tok, cache, jnp.asarray(t, jnp.int32), finished),
+        None, length=max_new_tokens,
+    )
+    return jnp.transpose(toks, (1, 0))  # [B, max_new_tokens]
+
+
+def init(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 10)
+    s = 0.02
+    L, D, M = cfg.layers, cfg.dim, cfg.mlp_dim
+    kvd = cfg.kv_heads * cfg.head_dim
+
+    def nrm(k, shape):
+        return (jax.random.normal(k, shape) * s).astype(dtype)
+
+    blocks = {
+        "attn_norm": jnp.ones((L, D), dtype),
+        "wq": nrm(ks[0], (L, D, D)),
+        "wk": nrm(ks[1], (L, D, kvd)),
+        "wv": nrm(ks[2], (L, D, kvd)),
+        "wo": nrm(ks[3], (L, D, D)),
+        "mlp_norm": jnp.ones((L, D), dtype),
+        "w_gate": nrm(ks[4], (L, D, M)),
+        "w_up": nrm(ks[5], (L, D, M)),
+        "w_down": nrm(ks[6], (L, M, D)),
+    }
+    return {
+        "embed": nrm(ks[7], (cfg.vocab_size, D)),
+        "blocks": blocks,
+        "final_norm": jnp.ones((D,), dtype),
+        "lm_head": nrm(ks[8], (D, cfg.vocab_size)),
+    }

@@ -1,0 +1,184 @@
+"""LLaVA-style VLM: CLIP ViT features -> MLP projector -> LLaMA decoder.
+
+The TPU-hosted implementation of the reference's verifier model
+(liuhaotian/llava-v1.5-7b, code/test_llava.py:6-13): the image is encoded by
+the CLIP ViT penultimate layer (patch tokens, CLS dropped — LLaVA's
+`vision_feature_layer=-2`, `vision_feature_select_strategy="default"`),
+projected into the decoder's embedding space by a 2-layer GELU MLP, spliced
+into the prompt at the <image> position, and decoded greedily.
+
+Weight converter maps the HF `LlavaForConditionalGeneration` layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmrs_tpu.models import llama, vit
+from mmrs_tpu.models.configs import VITConfig
+from mmrs_tpu.models.layers import dense, gelu, layer_norm, quick_gelu, scan_blocks
+from mmrs_tpu.models.llama import LlamaConfig
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class LLaVAConfig:
+    vision: VITConfig
+    lm: LlamaConfig
+    vision_feature_layer: int = -2   # penultimate encoder layer
+    drop_cls: bool = True
+
+
+def vision_tokens(
+    visual_params: Params,
+    images: jnp.ndarray,             # [B, H, W, 3] normalized
+    cfg: LLaVAConfig,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:                    # [B, N(, +1), W]
+    """Hidden states after layer (layers + vision_feature_layer + 1) —
+    i.e. -2 selects the output of the second-to-last block, matching HF's
+    hidden_states indexing."""
+    vcfg = cfg.vision
+    x = vit.patchify(images, vcfg.patch_size)
+    x = dense(x, visual_params["patch_kernel"], None, compute_dtype)
+    cls = visual_params["class_embedding"].astype(compute_dtype)
+    cls = jnp.broadcast_to(cls[None, None, :], (x.shape[0], 1, vcfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + visual_params["positional_embedding"].astype(compute_dtype)[None]
+    x = layer_norm(x, visual_params["ln_pre_scale"], visual_params["ln_pre_bias"])
+
+    n_run = vcfg.layers + cfg.vision_feature_layer + 1
+    sliced = jax.tree.map(lambda a: a[:n_run], visual_params["blocks"])
+    act = quick_gelu if vcfg.quick_gelu else gelu
+    x = scan_blocks(x, sliced, vcfg.heads, None, act, compute_dtype)
+    if cfg.drop_cls:
+        x = x[:, 1:, :]
+    return x
+
+
+def project(params: Params, feats: jnp.ndarray, compute_dtype=jnp.bfloat16):
+    h = dense(feats, params["proj_w1"], params["proj_b1"], compute_dtype)
+    h = gelu(h)
+    return dense(h, params["proj_w2"], params["proj_b2"], compute_dtype)
+
+
+def encode_images(params: Params, images: jnp.ndarray, cfg: LLaVAConfig,
+                  compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    feats = vision_tokens(params["visual"], images, cfg, compute_dtype)
+    return project(params, feats, compute_dtype)      # [B, N, lm_dim]
+
+
+def build_multimodal_embeds(
+    params: Params,
+    pre_tokens: jnp.ndarray,        # [B, T1] tokens before <image>
+    image_embeds: jnp.ndarray,      # [B, N, D] projected image tokens
+    post_tokens: jnp.ndarray,       # [B, T2] tokens after <image>
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    emb = params["lm"]["embed"]
+    pre = emb[pre_tokens].astype(compute_dtype)
+    post = emb[post_tokens].astype(compute_dtype)
+    return jnp.concatenate(
+        [pre, image_embeds.astype(compute_dtype), post], axis=1
+    )
+
+
+def generate(
+    params: Params,
+    images: jnp.ndarray,
+    pre_tokens: jnp.ndarray,
+    post_tokens: jnp.ndarray,
+    cfg: LLaVAConfig,
+    max_new_tokens: int = 32,
+    eos_token: int = 2,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Greedy VQA decode (temp 0), the cascade verifier's contract."""
+    img = encode_images(params, images, cfg, compute_dtype)
+    embeds = build_multimodal_embeds(params, pre_tokens, img, post_tokens,
+                                     compute_dtype)
+    return llama.greedy_generate(params["lm"], embeds, cfg.lm,
+                                 max_new_tokens, eos_token, compute_dtype)
+
+
+def init(key: jax.Array, cfg: LLaVAConfig, dtype=jnp.float32) -> Params:
+    kv, kp1, kp2, kl = jax.random.split(key, 4)
+    return {
+        "visual": vit.init(kv, cfg.vision, dtype),
+        "proj_w1": (jax.random.normal(kp1, (cfg.vision.width, cfg.lm.dim))
+                    * 0.02).astype(dtype),
+        "proj_b1": jnp.zeros((cfg.lm.dim,), dtype),
+        "proj_w2": (jax.random.normal(kp2, (cfg.lm.dim, cfg.lm.dim))
+                    * 0.02).astype(dtype),
+        "proj_b2": jnp.zeros((cfg.lm.dim,), dtype),
+        "lm": llama.init(kl, cfg.lm, dtype),
+    }
+
+
+# --------------------------------------------------------------------------
+# HF converters
+# --------------------------------------------------------------------------
+
+def hf_llama(sd, cfg: LlamaConfig, prefix: str = "model") -> Params:
+    """HF LlamaForCausalLM state dict -> llama params."""
+    def g(i, name):
+        return sd[f"{prefix}.layers.{i}.{name}"]
+
+    L = cfg.layers
+
+    def stack_t(name):
+        return jnp.asarray(np.stack([g(i, name).T for i in range(L)]))
+
+    def stack(name):
+        return jnp.asarray(np.stack([g(i, name) for i in range(L)]))
+
+    embed = jnp.asarray(sd[f"{prefix}.embed_tokens.weight"])
+    lm_head = (jnp.asarray(sd["lm_head.weight"].T)
+               if "lm_head.weight" in sd else embed.T)
+    return {
+        "embed": embed,
+        "blocks": {
+            "attn_norm": stack("input_layernorm.weight"),
+            "wq": stack_t("self_attn.q_proj.weight"),
+            "wk": stack_t("self_attn.k_proj.weight"),
+            "wv": stack_t("self_attn.v_proj.weight"),
+            "wo": stack_t("self_attn.o_proj.weight"),
+            "mlp_norm": stack("post_attention_layernorm.weight"),
+            "w_gate": stack_t("mlp.gate_proj.weight"),
+            "w_up": stack_t("mlp.up_proj.weight"),
+            "w_down": stack_t("mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(sd[f"{prefix}.norm.weight"]),
+        "lm_head": lm_head,
+    }
+
+
+def hf_llava(sd, cfg: LLaVAConfig) -> Params:
+    """HF LlavaForConditionalGeneration state dict -> llava params."""
+    from mmrs_tpu.models.convert import hf_clip_vision
+
+    # vision tower keys are nested under vision_tower.
+    vt = {k[len("vision_tower."):]: v for k, v in sd.items()
+          if k.startswith("vision_tower.")}
+    # hf_clip_vision expects a visual_projection; LLaVA has none — fake it
+    # (proj unused because we take layer -2 features).
+    vt["visual_projection.weight"] = np.zeros(
+        (cfg.vision.embed_dim, cfg.vision.width), np.float32)
+    visual = hf_clip_vision(vt, cfg.vision)
+
+    lm_sd = {k[len("language_model."):]: v for k, v in sd.items()
+             if k.startswith("language_model.")}
+    return {
+        "visual": visual,
+        "proj_w1": jnp.asarray(sd["multi_modal_projector.linear_1.weight"].T),
+        "proj_b1": jnp.asarray(sd["multi_modal_projector.linear_1.bias"]),
+        "proj_w2": jnp.asarray(sd["multi_modal_projector.linear_2.weight"].T),
+        "proj_b2": jnp.asarray(sd["multi_modal_projector.linear_2.bias"]),
+        "lm": hf_llama(lm_sd, cfg.lm),
+    }

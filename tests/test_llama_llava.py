@@ -1,0 +1,201 @@
+"""LLaMA decoder + LLaVA VLM: HF parity (random tiny weights) and decode."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from mmrs_tpu.models import llama, llava
+from mmrs_tpu.models.configs import VITConfig
+from mmrs_tpu.models.llama import LlamaConfig
+
+LCFG = LlamaConfig(vocab_size=128, dim=64, layers=2, heads=4, kv_heads=2,
+                   mlp_dim=128, max_seq=64)
+
+
+@pytest.fixture(scope="module")
+def hf_llama_pair():
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM
+
+    hf_cfg = HFLlamaConfig(
+        vocab_size=LCFG.vocab_size,
+        hidden_size=LCFG.dim,
+        num_hidden_layers=LCFG.layers,
+        num_attention_heads=LCFG.heads,
+        num_key_value_heads=LCFG.kv_heads,
+        intermediate_size=LCFG.mlp_dim,
+        max_position_embeddings=LCFG.max_seq,
+        rms_norm_eps=LCFG.norm_eps,
+        rope_theta=LCFG.rope_theta,
+        attention_dropout=0.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    from mmrs_tpu.models.convert import state_dict_to_numpy
+
+    sd = state_dict_to_numpy(model.state_dict())
+    params = llava.hf_llama(sd, LCFG)
+    return model, params
+
+
+def test_llama_forward_parity(hf_llama_pair):
+    model, params = hf_llama_pair
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, LCFG.vocab_size, (2, 10)).astype(np.int64)
+
+    with torch.no_grad():
+        t_logits = model(input_ids=torch.from_numpy(tokens)).logits.numpy()
+
+    cache = llama.init_cache(LCFG, 2, jnp.float32)
+    embeds = llama.embed_tokens(params, jnp.asarray(tokens, jnp.int32))
+    j_logits, _ = llama.forward(params, embeds, cache, 0, LCFG,
+                                compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits,
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_llama_kv_cache_consistency(hf_llama_pair):
+    """Prefill then 1-token decode must equal full-sequence forward."""
+    _, params = hf_llama_pair
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, LCFG.vocab_size, (1, 9)), jnp.int32)
+
+    cache = llama.init_cache(LCFG, 1, jnp.float32)
+    full_logits, _ = llama.forward(
+        params, llama.embed_tokens(params, tokens), cache, 0, LCFG,
+        compute_dtype=jnp.float32)
+
+    cache = llama.init_cache(LCFG, 1, jnp.float32)
+    pre_logits, cache = llama.forward(
+        params, llama.embed_tokens(params, tokens[:, :8]), cache, 0, LCFG,
+        compute_dtype=jnp.float32)
+    step_logits, _ = llama.forward(
+        params, llama.embed_tokens(params, tokens[:, 8:9]), cache, 8, LCFG,
+        compute_dtype=jnp.float32)
+
+    np.testing.assert_allclose(np.asarray(step_logits[:, 0]),
+                               np.asarray(full_logits[:, 8]),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_greedy_generate_matches_hf(hf_llama_pair):
+    model, params = hf_llama_pair
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(3, LCFG.vocab_size, (1, 6)).astype(np.int64)
+
+    with torch.no_grad():
+        t_out = model.generate(
+            torch.from_numpy(prompt), max_new_tokens=8, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        ).numpy()[0, 6:]
+
+    embeds = llama.embed_tokens(params, jnp.asarray(prompt, jnp.int32))
+    j_out = np.asarray(llama.greedy_generate(
+        params, embeds, LCFG, max_new_tokens=8, eos_token=-1,
+        compute_dtype=jnp.float32))[0]
+    np.testing.assert_array_equal(j_out, t_out)
+
+
+def test_greedy_generate_eos_padding(hf_llama_pair):
+    _, params = hf_llama_pair
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.integers(3, LCFG.vocab_size, (1, 4)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+    # pick the model's own first greedy token as "EOS" -> everything padded
+    first = int(np.asarray(llama.greedy_generate(
+        params, embeds, LCFG, 1, eos_token=-1, compute_dtype=jnp.float32))[0, 0])
+    out = np.asarray(llama.greedy_generate(
+        params, embeds, LCFG, 6, eos_token=first, compute_dtype=jnp.float32))[0]
+    assert (out == first).all()
+
+
+def test_llava_generate_splices_image():
+    vcfg = VITConfig(image_size=32, patch_size=8, width=48, layers=3, heads=4,
+                     embed_dim=32)
+    cfg = llava.LLaVAConfig(vision=vcfg, lm=LCFG)
+    params = llava.init(jax.random.key(0), cfg)
+
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    pre = jnp.asarray([[1, 5, 9]], jnp.int32)
+    post = jnp.asarray([[7, 8]], jnp.int32)
+
+    img_emb = llava.encode_images(params, images, cfg, jnp.float32)
+    assert img_emb.shape == (1, 16, LCFG.dim)  # 16 patches, CLS dropped
+
+    out = llava.generate(params, images, pre, post, cfg, max_new_tokens=4,
+                         eos_token=-1, compute_dtype=jnp.float32)
+    assert out.shape == (1, 4)
+    # a different image must change the decode path inputs
+    img2 = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    emb2 = llava.encode_images(params, img2, cfg, jnp.float32)
+    assert not np.allclose(np.asarray(img_emb), np.asarray(emb2))
+
+
+def test_llava_hf_converter_roundtrip():
+    """Converter layout check against a tiny HF LlavaForConditionalGeneration."""
+    try:
+        from transformers import (
+            CLIPVisionConfig, LlavaConfig as HFLlavaConfig,
+            LlavaForConditionalGeneration, LlamaConfig as HFLlamaConfig,
+        )
+    except ImportError:
+        pytest.skip("no Llava in this transformers")
+
+    vcfg = VITConfig(image_size=32, patch_size=8, width=48, layers=2, heads=4,
+                     embed_dim=32)
+    hf_cfg = HFLlavaConfig(
+        vision_config=CLIPVisionConfig(
+            hidden_size=48, intermediate_size=192, num_hidden_layers=2,
+            num_attention_heads=4, image_size=32, patch_size=8,
+            hidden_act="quick_gelu",
+        ),
+        text_config=HFLlamaConfig(
+            vocab_size=LCFG.vocab_size, hidden_size=LCFG.dim,
+            num_hidden_layers=LCFG.layers, num_attention_heads=LCFG.heads,
+            num_key_value_heads=LCFG.kv_heads, intermediate_size=LCFG.mlp_dim,
+            tie_word_embeddings=False,
+        ),
+        vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+    )
+    torch.manual_seed(1)
+    model = LlavaForConditionalGeneration(hf_cfg).eval()
+    from mmrs_tpu.models.convert import state_dict_to_numpy
+
+    sd = state_dict_to_numpy(model.state_dict())
+    # normalize the two historical HF key layouts
+    sd = {k.replace("model.vision_tower.vision_tower.", "vision_tower.")
+           .replace("model.vision_tower.", "vision_tower.")
+           .replace("model.multi_modal_projector.", "multi_modal_projector.")
+           .replace("model.language_model.", "language_model.model.")
+          : v for k, v in sd.items()}
+    if "language_model.lm_head.weight" in sd:
+        sd["lm_head.weight"] = sd.pop("language_model.lm_head.weight")
+
+    cfg = llava.LLaVAConfig(vision=vcfg, lm=LCFG)
+    params = llava.hf_llava(sd, cfg)
+
+    rng = np.random.default_rng(5)
+    images = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        pv = torch.from_numpy(images.transpose(0, 3, 1, 2))
+        t_feats = model.get_image_features(
+            pixel_values=pv, vision_feature_layer=-2,
+            vision_feature_select_strategy="default",
+        )
+        if isinstance(t_feats, (list, tuple)):
+            t_feats = t_feats[0]
+        t_feats = t_feats.numpy()
+        if t_feats.ndim == 2:   # some versions return [N_patches, D] flat
+            t_feats = t_feats[None]
+
+    j_feats = np.asarray(
+        llava.encode_images(params, jnp.asarray(images), cfg, jnp.float32)
+    )
+    np.testing.assert_allclose(j_feats, t_feats, atol=5e-4, rtol=5e-4)
