@@ -1,0 +1,71 @@
+"""Tensor-parallel hosting of the VLM verifier decoder.
+
+SURVEY.md §2.6 item 3: ViT towers fit on one chip, but the mesh keeps a
+`model` axis reserved so the 7B LLaVA decoder can be TP-sharded over ICI.
+Megatron-style layout, applied as jit in_shardings (GSPMD inserts the
+all-reduces after the row-parallel matmuls):
+
+  wq/wk/wv   [L, D, H*hd]  -> P(None, None, "model")   column-parallel
+  wo         [L, D, D]     -> P(None, "model", None)   row-parallel
+  w_gate/up  [L, D, M]     -> P(None, None, "model")   column-parallel
+  w_down     [L, M, D]     -> P(None, "model", None)   row-parallel
+  lm_head    [D, V]        -> P(None, "model")         vocab-parallel
+  embeddings / norms       -> replicated
+
+The KV cache shards with the kv-head axis implicitly via GSPMD propagation
+from the column-parallel wk/wv outputs. Requires heads % model_size == 0 and
+kv_heads % model_size == 0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmrs_tpu.models import llama
+from mmrs_tpu.models.llama import LlamaConfig
+from mmrs_tpu.parallel.mesh import MODEL_AXIS
+
+
+def llama_param_specs() -> Dict[str, Any]:
+    return {
+        "embed": P(),
+        "blocks": {
+            "attn_norm": P(),
+            "wq": P(None, None, MODEL_AXIS),
+            "wk": P(None, None, MODEL_AXIS),
+            "wv": P(None, None, MODEL_AXIS),
+            "wo": P(None, MODEL_AXIS, None),
+            "mlp_norm": P(),
+            "w_gate": P(None, None, MODEL_AXIS),
+            "w_up": P(None, None, MODEL_AXIS),
+            "w_down": P(None, MODEL_AXIS, None),
+        },
+        "final_norm": P(),
+        "lm_head": P(None, MODEL_AXIS),
+    }
+
+
+def shard_llama_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    specs = llama_param_specs()
+    sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                      is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(params, sh)
+
+
+def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
+                     eos_token: int = 2, compute_dtype=jnp.bfloat16):
+    """Returns a jitted greedy_generate with TP shardings over `mesh`."""
+    specs = llama_param_specs()
+    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                            is_leaf=lambda x: isinstance(x, P))
+    repl = NamedSharding(mesh, P())
+
+    def gen(params, prompt_embeds):
+        return llama.greedy_generate(params, prompt_embeds, cfg,
+                                     max_new_tokens, eos_token, compute_dtype)
+
+    return jax.jit(gen, in_shardings=(param_sh, repl), out_shardings=repl)

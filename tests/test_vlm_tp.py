@@ -1,0 +1,34 @@
+"""TP-sharded LLaMA decode matches single-device decode on the CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from mmrs_tpu.models import llama
+from mmrs_tpu.models.llama import LlamaConfig
+from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from mmrs_tpu.parallel.vlm import make_tp_generate, shard_llama_params
+
+LCFG = LlamaConfig(vocab_size=96, dim=64, layers=2, heads=4, kv_heads=2,
+                   mlp_dim=128, max_seq=64)
+
+
+def test_tp_generate_matches_single_device():
+    params = llama.init(jax.random.key(0), LCFG)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(3, 90, (1, 5)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+
+    ref = np.asarray(llama.greedy_generate(
+        params, embeds, LCFG, max_new_tokens=6, eos_token=-1,
+        compute_dtype=jnp.float32))
+
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    sharded = shard_llama_params(params, mesh)
+    gen = make_tp_generate(LCFG, mesh, max_new_tokens=6, eos_token=-1,
+                           compute_dtype=jnp.float32)
+    out = np.asarray(gen(sharded, embeds))
+    np.testing.assert_array_equal(out, ref)
