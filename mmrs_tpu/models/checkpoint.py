@@ -39,20 +39,39 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return tree
 
 
+_BF16_SUFFIX = "@bf16"
+
+
 def save_npz(params: Dict[str, Any], path: str) -> None:
+    import ml_dtypes
+
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     flat = _flatten(jax.tree.map(np.asarray, params))
+    out = {}
+    for k, v in flat.items():
+        if v.dtype == ml_dtypes.bfloat16:
+            # npz has no bfloat16: store the raw bits as uint16 + marker.
+            out[k + _BF16_SUFFIX] = v.view(np.uint16)
+        else:
+            out[k] = v
     tmp = path + ".tmp"
-    np.savez(tmp, **flat)
+    np.savez(tmp, **out)
     # np.savez appends .npz to the name it's given
     os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
 
 
 def load_npz(path: str, to_device: bool = True) -> Dict[str, Any]:
     import jax.numpy as jnp
+    import ml_dtypes
 
     with np.load(path) as z:
-        flat = {k: z[k] for k in z.files}
+        flat = {}
+        for k in z.files:
+            v = z[k]
+            if k.endswith(_BF16_SUFFIX):
+                flat[k[: -len(_BF16_SUFFIX)]] = v.view(ml_dtypes.bfloat16)
+            else:
+                flat[k] = v
     tree = _unflatten(flat)
     if to_device:
         tree = jax.tree.map(jnp.asarray, tree)

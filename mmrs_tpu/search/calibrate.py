@@ -149,6 +149,54 @@ def find_thresholds(
     return sweep(sims, positives, thresholds)
 
 
+def find_thresholds_overlap(
+    pos_sims: np.ndarray,
+    neg_sims: np.ndarray,
+    points_per_unit: float = 10.0,
+) -> SweepResult:
+    """The main_custom.py variant (code/main_custom.py:47-50): thresholds
+    span only the OVERLAP region [max(min_pos, min_neg), min(max_pos,
+    max_neg)] with a density-scaled point count of int(range * 10) —
+    meant for logit-scaled (0..100) similarities."""
+    pos_sims = np.asarray(pos_sims, dtype=np.float32)
+    neg_sims = np.asarray(neg_sims, dtype=np.float32)
+    lo = max(float(pos_sims.min()), float(neg_sims.min()))
+    hi = min(float(pos_sims.max()), float(neg_sims.max()))
+    num = max(int((hi - lo) * points_per_unit), 2)
+    sims = np.concatenate([pos_sims, neg_sims])
+    positives = np.concatenate(
+        [np.ones(len(pos_sims), bool), np.zeros(len(neg_sims), bool)]
+    )
+    thresholds = np.linspace(lo, hi, num, dtype=np.float32)
+    return sweep(sims, positives, thresholds)
+
+
+def plot_f1_curve(result: SweepResult, target_class: str, out_path: str) -> str:
+    """The reference's F1-vs-threshold curve artifact
+    (code/search_image.py:87-100, result_{class}_all.jpg)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(9, 9))
+    plt.plot(result.thresholds, result.f1)
+    plt.scatter(x=result.best_threshold, y=result.best_f1)
+    plt.annotate(
+        f"threshold:{result.best_threshold:.5f}/f1:{result.best_f1:.5f}",
+        xy=(result.best_threshold, result.best_f1),
+    )
+    plt.xlabel("threshold")
+    plt.ylabel("f1_score")
+    plt.title(
+        f"{target_class}_precision:{result.best_precision:.4f}"
+        f"_recall:{result.best_recall:.4f}"
+    )
+    plt.savefig(out_path)
+    plt.close()
+    return out_path
+
+
 def evaluate_thresholds(
     pos_sims: np.ndarray,
     neg_sims: np.ndarray,
