@@ -93,16 +93,21 @@ def make_train_step(
     weight_decay: float = 0.01,
     compute_dtype=jnp.bfloat16,
     donate: bool | None = None,
+    remat: bool = False,
 ):
     """Returns (train_step, init_state). train_step is jitted with full
     DP x TP shardings over `mesh`.
 
     `donate` defaults to True on TPU (halves param+opt memory) and False on
     CPU: the forced-host-device-count CPU runtime deadlocks its collective
-    rendezvous when donated buffers alias across an 8-thread mesh."""
+    rendezvous when donated buffers alias across an 8-thread mesh.
+    `remat=True` rematerializes the loss (activation checkpointing) —
+    trades FLOPs for HBM when batch x resolution outgrows memory."""
     if donate is None:
         donate = jax.default_backend() == "tpu"
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    loss_fn_base = (jax.checkpoint(contrastive_loss, static_argnums=(3, 4))
+                    if remat else contrastive_loss)
 
     param_specs = clip_param_specs()
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), param_specs,
@@ -117,7 +122,7 @@ def make_train_step(
         return params, opt_state
 
     def step(params, opt_state, images, tokens):
-        loss, grads = jax.value_and_grad(contrastive_loss)(
+        loss, grads = jax.value_and_grad(loss_fn_base)(
             params, images, tokens, cfg, compute_dtype
         )
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -54,6 +54,19 @@ def cmd_index_build(args) -> int:
     return 0
 
 
+def _make_tokenizer(args, cfg):
+    """Optional tokenizer from CLI file flags (--merges / --vocab)."""
+    if getattr(args, "merges", None):
+        from mmrs_tpu.models.tokenizer import CLIPTokenizer
+
+        return CLIPTokenizer.from_file(args.merges)
+    if getattr(args, "vocab", None):
+        from mmrs_tpu.models.tokenizer import BertWordPieceTokenizer
+
+        return BertWordPieceTokenizer.from_vocab_file(args.vocab)
+    return None
+
+
 def cmd_search(args) -> int:
     from mmrs_tpu.index.gallery import GalleryIndex
     from mmrs_tpu.io.images import load_image
@@ -63,7 +76,7 @@ def cmd_search(args) -> int:
     cfg = _load_config(args.config)
     idx = GalleryIndex.load(args.index)
     engine = SearchEngine(idx, cfg.search)
-    towers = build_towers(cfg)
+    towers = build_towers(cfg, tokenizer=_make_tokenizer(args, cfg))
 
     if args.image:
         pixels = np.stack([load_image(p).pixels for p in args.image])
@@ -317,6 +330,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--prototype")
     s.add_argument("--config")
+    s.add_argument("--merges", help="CLIP BPE merges file for --text")
+    s.add_argument("--vocab", help="BERT vocab.txt for --text (Taiyi tower)")
     s.set_defaults(fn=cmd_search)
 
     c = sub.add_parser("calibrate")

@@ -80,6 +80,31 @@ def robust_mean_prototype(
     return l2_normalize(robust)
 
 
+def cluster_scan_prototype(
+    feats: jnp.ndarray,
+    k_range=(2, 3, 4),
+    balance_ratio: float = 0.2,
+) -> jnp.ndarray:
+    """Silhouette-scanned cluster prototype (`get_text_cluster_features`,
+    code/search_image.py:234-293): try k in k_range, keep the clustering
+    with the best mean silhouette, then take the majority-cluster centroid
+    with the same 20% balance rule."""
+    from mmrs_tpu.ops.kmeans import silhouette_score
+
+    feats32 = feats.astype(jnp.float32)
+    best_k, best_score = None, -jnp.inf
+    for k in k_range:
+        if feats32.shape[0] <= k:
+            continue
+        _, assign = kmeans(feats32, k=k)
+        score = float(silhouette_score(feats32, assign, k))
+        if score > best_score:
+            best_k, best_score = k, score
+    if best_k is None:
+        return mean_prototype(feats32)
+    return cluster_prototype(feats32, k=best_k, balance_ratio=balance_ratio)
+
+
 def build_prototype(
     feats: jnp.ndarray,
     strategy: str = "mean",
@@ -97,6 +122,8 @@ def build_prototype(
         return image_text_prototype(feats, text_embed)
     if strategy == "cluster":
         return cluster_prototype(feats, k=cluster_k, balance_ratio=balance_ratio)
+    if strategy == "cluster_scan":
+        return cluster_scan_prototype(feats, balance_ratio=balance_ratio)
     if strategy == "robust_mean":
         return robust_mean_prototype(feats, percentile=outlier_percentile)
     raise ValueError(f"unknown prototype strategy {strategy!r}")

@@ -84,6 +84,30 @@ def test_kmeans_separates_two_blobs():
     assert assign[0] != assign[50]
 
 
+def test_cluster_scan_prototype():
+    rng = np.random.default_rng(6)
+    d = 16
+    a, b, c = np.eye(d)[0], np.eye(d)[1], np.eye(d)[2]
+    # 3 clear blobs -> silhouette should pick k=3; majority = blob a (6 pts)
+    feats = np.concatenate([
+        a[None] + 0.01 * rng.normal(size=(6, d)),
+        b[None] + 0.01 * rng.normal(size=(3, d)),
+        c[None] + 0.01 * rng.normal(size=(3, d)),
+    ]).astype(np.float32)
+    p = np.asarray(prototypes.cluster_scan_prototype(jnp.asarray(feats)))
+    # minority fraction 50% >= 20% -> plain-mean fallback per balance rule;
+    # either way output is unit-norm and real
+    assert np.isfinite(p).all()
+    assert np.linalg.norm(p) == pytest.approx(1.0, abs=1e-4)
+    # single dominant blob (k_range can't beat k=2 with 9/1 split)
+    feats2 = np.concatenate([
+        a[None] + 0.01 * rng.normal(size=(9, d)),
+        b[None] + 0.01 * rng.normal(size=(1, d)),
+    ]).astype(np.float32)
+    p2 = np.asarray(prototypes.cluster_scan_prototype(jnp.asarray(feats2)))
+    assert p2 @ a > 0.9
+
+
 def test_build_prototype_dispatch():
     feats = jnp.asarray(_rand_feats())
     with pytest.raises(ValueError):
