@@ -100,10 +100,18 @@ class CascadePipeline:
         if self.verifier is not None:
             survivors = np.nonzero(gate)[0]
             with stats.timed("verifier", count=len(survivors)):
-                for i in survivors:
-                    calls += 1
-                    if not self.verifier.verify(paths[i], category):
-                        verified[i] = False
+                batch_fn = getattr(self.verifier, "verify_batch", None)
+                if batch_fn is not None and len(survivors):
+                    answers = batch_fn([paths[i] for i in survivors], category)
+                    calls = len(survivors)
+                    for i, ok in zip(survivors, answers):
+                        if not ok:
+                            verified[i] = False
+                else:
+                    for i in survivors:
+                        calls += 1
+                        if not self.verifier.verify(paths[i], category):
+                            verified[i] = False
 
         metrics = None
         if labels is not None:

@@ -131,3 +131,34 @@ class TPULLaVAVerifier:
     def verify(self, image_path: str, category: str) -> bool:
         prompt = self.prompt_template.format(category=category)
         return parse_yes_no(self.generate_text(image_path, prompt))
+
+    def verify_batch(self, image_paths, category: str):
+        """Batched VQA decode: one TPU dispatch for all gate survivors
+        (vs the reference's one-image-at-a-time LLaVA loop,
+        code/union_clip_llava2.py:172-260). Same prompt for every image, so
+        the prompt tokens are shared and only images vary."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mmrs_tpu.models import llava
+
+        if not image_paths:
+            return []
+        prompt = self.prompt_template.format(category=category)
+        pre_ids = self.tokenizer.encode(LLAVA_V15_PRE)
+        post_ids = self.tokenizer.encode(prompt + LLAVA_V15_POST)
+        images = jnp.concatenate(
+            [self._load_image(p) for p in image_paths], axis=0)
+        b = images.shape[0]
+        out = llava.generate(
+            self.params, images,
+            jnp.tile(jnp.asarray([pre_ids], jnp.int32), (b, 1)),
+            jnp.tile(jnp.asarray([post_ids], jnp.int32), (b, 1)),
+            self.cfg, self.max_new_tokens, self.eos_token,
+            self.compute_dtype,
+        )
+        results = []
+        for row in np.asarray(out):
+            ids = [int(t) for t in row if int(t) != self.eos_token]
+            results.append(parse_yes_no(self.tokenizer.decode(ids)))
+        return results

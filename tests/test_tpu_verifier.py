@@ -73,3 +73,38 @@ def test_prompt_framing(verifier):
     v, tok, img = verifier
     assert LLAVA_V15_PRE.startswith("USER")
     assert "ASSISTANT" in LLAVA_V15_POST
+
+
+def test_verify_batch_matches_sequential(verifier, tmp_path):
+    v, tok, img = verifier
+    img2 = tmp_path / "q2.jpg"
+    Image.fromarray(np.full((40, 40, 3), 30, np.uint8)).save(img2)
+    paths = [img, str(img2)]
+
+    seq = [v.verify(p, "cat") for p in paths]
+    batch = v.verify_batch(paths, "cat")
+    assert batch == seq
+    assert v.verify_batch([], "cat") == []
+
+
+def test_cascade_uses_verify_batch():
+    from mmrs_tpu.cascade import CascadePipeline
+
+    class BatchSpy:
+        def __init__(self):
+            self.batch_calls = []
+
+        def verify(self, path, cat):
+            raise AssertionError("sequential path should not be used")
+
+        def verify_batch(self, paths, cat):
+            self.batch_calls.append(list(paths))
+            return [p != "bad.jpg" for p in paths]
+
+    spy = BatchSpy()
+    pipe = CascadePipeline(en_scorer=lambda ps: [1.0] * len(ps),
+                           en_threshold=0.5, verifier=spy)
+    res = pipe.run(["a.jpg", "bad.jpg", "c.jpg"], "cat")
+    assert spy.batch_calls == [["a.jpg", "bad.jpg", "c.jpg"]]
+    assert list(res.verified) == [True, False, True]
+    assert res.verifier_calls == 3
