@@ -74,6 +74,29 @@ def test_sharded_dedup_matches_single_device(mesh):
     assert out[70] == 3 and out[130] == 3 and out[511] == 200 and out[65] == 64
 
 
+def test_sharded_encoder_matches_single_device(mesh):
+    import jax.numpy as jnp
+
+    from mmrs_tpu.parallel.embed import make_sharded_encoder
+
+    d_in, d_out = 12, 16
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(3 * 4 * 4, d_out))
+                    .astype(np.float32))
+
+    def encode_fn(params, images_u8):
+        x = images_u8.astype(jnp.float32).reshape(images_u8.shape[0], -1)
+        return x @ params
+
+    enc = make_sharded_encoder(encode_fn, w, mesh, batch_size=16)
+    rng = np.random.default_rng(1)
+    # ragged batch (10 not divisible by 8) exercises pad+trim
+    pixels = rng.integers(0, 255, (10, 4, 4, 3), dtype=np.uint8)
+    out = enc(pixels)
+    ref = (pixels.astype(np.float32).reshape(10, -1)) @ np.asarray(w)
+    np.testing.assert_allclose(out, ref, rtol=1e-4)
+    assert out.shape == (10, d_out)
+
+
 def test_sharded_dedup_intra_vs_cross_semantics(mesh):
     """intra=False: every row matching ANY row (incl. itself) reports a hit."""
     rng = np.random.default_rng(3)
