@@ -246,6 +246,78 @@ def cmd_dataset_make(args) -> int:
     return 0
 
 
+def cmd_union(args) -> int:
+    """Bilingual union governance report (CLIP/union_dataset.py flow)."""
+    from mmrs_tpu import config as config_mod
+    from mmrs_tpu.govern.bilingual import bilingual_union
+    from mmrs_tpu.pipeline import build_towers
+
+    import dataclasses
+
+    cfg = _load_config(args.config)
+    en_towers = build_towers(cfg)
+    cn_cfg = dataclasses.replace(cfg, model=config_mod.ModelConfig(
+        image_tower="vit_l14", text_tower="taiyi_roberta",
+        dtype=cfg.model.dtype,
+        checkpoint_path=args.cn_checkpoint,
+    ))
+    cn_towers = build_towers(cn_cfg)
+
+    # Text embeddings for the class: from --en-embed/--cn-embed npy files
+    # (tokenizers + text towers produce them; files keep the CLI decoupled)
+    en_embed = np.load(args.en_embed)
+    cn_embed = np.load(args.cn_embed)
+
+    res = bilingual_union(
+        args.root, args.positive_class,
+        en_encode=en_towers.image_encode, en_text_embed=en_embed,
+        cn_encode=cn_towers.image_encode, cn_text_embed=cn_embed,
+        out_root=args.out,
+        en_threshold=args.en_threshold, cn_threshold=args.cn_threshold,
+    )
+    print(json.dumps({
+        "class": res.cls,
+        "en_threshold": res.en_threshold, "cn_threshold": res.cn_threshold,
+        "union_pass": res.report.union_pass if res.report else None,
+        "f1": res.report.metrics.f1 if res.report else None,
+    }))
+    return 0
+
+
+def cmd_cascade(args) -> int:
+    """OR-gate cascade over a folder (code/union_clip_llava2.py flow).
+    Scores come from similarity of each tower's embedding to a provided
+    class embedding; verifier defaults to none (gate only)."""
+    from mmrs_tpu.cascade import CascadePipeline, StubVerifier
+    from mmrs_tpu.io.dataset import FolderDataset
+    from mmrs_tpu.pipeline import build_towers
+
+    cfg = _load_config(args.config)
+    towers = build_towers(cfg)
+    ds = FolderDataset.from_root(args.root)
+    paths = [p for p, _ in ds.samples]
+    labels = [c == args.positive_class for _, c in ds.samples]
+
+    embed = np.load(args.class_embed)
+    embed = embed / np.linalg.norm(embed)
+
+    def scorer(ps):
+        sub = FolderDataset([(p, "") for p in ps])
+        sims = []
+        for batch in sub.batches(128):
+            e = towers.image_encode(batch.pixels)
+            e = e / np.linalg.norm(e, axis=1, keepdims=True)
+            sims.extend((e @ embed) * cfg.search.logit_scale)
+        return sims
+
+    verifier = StubVerifier() if args.verifier == "stub" else None
+    pipe = CascadePipeline(en_scorer=scorer, en_threshold=args.threshold,
+                           verifier=verifier)
+    res = pipe.run(paths, args.positive_class, labels=labels)
+    print(res.summary())
+    return 0
+
+
 def cmd_weights_convert(args) -> int:
     import torch
 
@@ -391,6 +463,27 @@ def build_parser() -> argparse.ArgumentParser:
     mk.add_argument("--out", required=True)
     mk.add_argument("--seed", type=int, default=0)
     mk.set_defaults(fn=cmd_dataset_make)
+
+    un = sub.add_parser("union")
+    un.add_argument("--root", required=True)
+    un.add_argument("--positive-class", required=True)
+    un.add_argument("--out", required=True)
+    un.add_argument("--en-embed", required=True, help="npy EN class embedding")
+    un.add_argument("--cn-embed", required=True, help="npy CN class embedding")
+    un.add_argument("--en-threshold", type=float)
+    un.add_argument("--cn-threshold", type=float)
+    un.add_argument("--cn-checkpoint")
+    un.add_argument("--config")
+    un.set_defaults(fn=cmd_union)
+
+    ca = sub.add_parser("cascade")
+    ca.add_argument("--root", required=True)
+    ca.add_argument("--positive-class", required=True)
+    ca.add_argument("--class-embed", required=True, help="npy class embedding")
+    ca.add_argument("--threshold", type=float, required=True)
+    ca.add_argument("--verifier", default="none", choices=["none", "stub"])
+    ca.add_argument("--config")
+    ca.set_defaults(fn=cmd_cascade)
 
     wt = sub.add_parser("weights").add_subparsers(dest="subcmd", required=True)
     wc = wt.add_parser("convert")

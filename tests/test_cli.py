@@ -88,6 +88,21 @@ def test_cli_dataset_make(tree, tmp_path):
     assert recs and all("conversations" in x for x in recs)
 
 
+def test_cli_cascade_gate(tree, tmp_path):
+    # class embedding favoring red pixels through the random tower isn't
+    # meaningful; use threshold -inf so everything passes the gate and the
+    # stub verifier path is exercised
+    emb = np.random.default_rng(0).normal(size=(512,)).astype(np.float32)
+    embp = str(tmp_path / "emb.npy")
+    np.save(embp, emb)
+    r = _run(["cascade", "--root", tree, "--positive-class", "red",
+              "--class-embed", embp, "--threshold=-1e30",
+              "--verifier", "stub"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "gate passed: 7" in r.stdout
+    assert "verifier calls: 7" in r.stdout
+
+
 def test_cli_adapter_train(tmp_path):
     rng = np.random.default_rng(0)
     d, nc = 16, 3
