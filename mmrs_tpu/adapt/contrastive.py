@@ -17,8 +17,7 @@ are no MoE layers (SURVEY.md §2.6) — gallery sharding is the scale axis.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

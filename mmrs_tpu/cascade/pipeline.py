@@ -16,8 +16,8 @@ Design differences (TPU-first, documented per SURVEY.md §7):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ backend — a TPU-hosted VLM, an HTTP endpoint, or a test stub — slots in.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Protocol, Sequence
+from typing import Callable, Dict, Protocol
 
 DEFAULT_PROMPT = "Does this image contain a {category}?"
 STRICT_PROMPT = (

@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import hashlib
 from dataclasses import dataclass
-from typing import Optional
-
 import numpy as np
 
 

@@ -17,8 +17,6 @@ import shutil
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
-import numpy as np
-
 from mmrs_tpu.search.metrics import PRF1, prf1_from_counts
 from mmrs_tpu.utils.logging import get_logger
 

@@ -18,7 +18,7 @@ is implemented TPU-first so the verifier stage can be hosted on the mesh:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Weight converter maps the HF `LlavaForConditionalGeneration` layout.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ CLIP normalization constants from code/custom.py:28.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

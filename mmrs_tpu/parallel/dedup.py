@@ -13,8 +13,6 @@ tool/delete repeated.py:127-135) at gallery scale.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

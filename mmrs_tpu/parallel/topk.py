@@ -10,7 +10,6 @@ One jitted shard_map; no host involvement.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -24,7 +24,6 @@ from mmrs_tpu.models.configs import (
     CLIP_TEXT_L14,
     IMAGE_TOWERS,
     TAIYI_ROBERTA_LARGE,
-    VIT_B32,
 )
 from mmrs_tpu.ops.preprocess import normalize_images
 

@@ -10,9 +10,8 @@ configurable logit scale.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
