@@ -187,6 +187,12 @@ def greedy_generate(
     """Greedy decode (temperature 0, the reference verifier's config).
     Returns [B, max_new_tokens] int32, EOS-padded after finish."""
     b, t, _ = prompt_embeds.shape
+    if t + max_new_tokens > cfg.max_seq:
+        # dynamic_update_slice would clamp silently and corrupt the cache
+        raise ValueError(
+            f"prompt ({t}) + max_new_tokens ({max_new_tokens}) exceeds "
+            f"max_seq ({cfg.max_seq})"
+        )
     cache = init_cache(cfg, b, compute_dtype)
     logits, cache = forward(params, prompt_embeds, cache, 0, cfg, compute_dtype)
     next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
