@@ -45,8 +45,22 @@ def cmd_index_build(args) -> int:
 
     cfg = _load_config(args.config)
     towers = build_towers(cfg)
+    encode = towers.image_encode
+    if args.sharded:
+        import jax
+
+        from mmrs_tpu.parallel import make_mesh
+        from mmrs_tpu.parallel.embed import make_sharded_encoder
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh(cfg.mesh)
+            encode = make_sharded_encoder(towers.encode_fn, towers.params,
+                                          mesh, cfg.gallery.batch_size)
+        else:
+            print("--sharded requested but only one device; using it",
+                  file=sys.stderr)
     ds = FolderDataset.from_root(args.root, num_workers=args.workers)
-    idx = build_index(ds, towers.image_encode, args.out,
+    idx = build_index(ds, encode, args.out,
                       batch_size=cfg.gallery.batch_size,
                       shard_rows=cfg.gallery.shard_rows,
                       resume=not args.no_resume)
@@ -393,6 +407,8 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--config")
     b.add_argument("--workers", type=int, default=8)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--sharded", action="store_true",
+                   help="data-parallel embed over all devices")
     b.set_defaults(fn=cmd_index_build)
 
     s = sub.add_parser("search")

@@ -37,6 +37,8 @@ class Towers:
     params: Optional[dict] = None
     clip_config: Optional[object] = None
     tokenizer: Optional[object] = None
+    # pure jittable (params, images_u8) -> [B, D]; feed parallel.embed
+    encode_fn: Optional[Callable] = None
 
 
 def _host_cpu():
@@ -96,4 +98,5 @@ def build_towers(cfg: Config, tokenizer=None) -> Towers:
                 return np.asarray(out, dtype=np.float32)
 
     return Towers(image_encode=image_encode, text_encode=text_encode,
-                  params=params, clip_config=ccfg, tokenizer=tokenizer)
+                  params=params, clip_config=ccfg, tokenizer=tokenizer,
+                  encode_fn=_embed_images)
