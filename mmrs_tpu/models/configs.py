@@ -64,9 +64,17 @@ CLIP_TEXT_B32 = TextConfig(width=512, layers=12, heads=8, embed_dim=512)
 CLIP_TEXT_L14 = TextConfig(width=768, layers=12, heads=12, embed_dim=768)
 TAIYI_ROBERTA_LARGE = BertConfig()
 
-IMAGE_TOWERS = {"vit_b32": VIT_B32, "vit_l14": VIT_L14}
+# Tiny pair for tests/CI and smoke runs (full towers are slow to compile on
+# the 1-core CPU the test mesh runs on).
+VIT_TINY = VITConfig(image_size=224, patch_size=32, width=128, layers=2,
+                     heads=4, embed_dim=64)
+CLIP_TEXT_TINY = TextConfig(vocab_size=49408, context_length=77, width=128,
+                            layers=2, heads=4, embed_dim=64)
+
+IMAGE_TOWERS = {"vit_b32": VIT_B32, "vit_l14": VIT_L14, "vit_tiny": VIT_TINY}
 TEXT_TOWERS = {
     "clip_text_b32": CLIP_TEXT_B32,
     "clip_text_l14": CLIP_TEXT_L14,
+    "clip_text_tiny": CLIP_TEXT_TINY,
     "taiyi_roberta": TAIYI_ROBERTA_LARGE,
 }

@@ -22,6 +22,7 @@ from mmrs_tpu.models.clip import CLIPConfig, TaiyiCLIPConfig
 from mmrs_tpu.models.configs import (
     CLIP_TEXT_B32,
     CLIP_TEXT_L14,
+    CLIP_TEXT_TINY,
     IMAGE_TOWERS,
     TAIYI_ROBERTA_LARGE,
 )
@@ -58,7 +59,8 @@ def build_towers(cfg: Config, tokenizer=None) -> Towers:
     if cfg.model.text_tower == "taiyi_roberta":
         ccfg = TaiyiCLIPConfig(vision=vision, text=TAIYI_ROBERTA_LARGE)
     else:
-        text = CLIP_TEXT_B32 if cfg.model.image_tower == "vit_b32" else CLIP_TEXT_L14
+        text = {"vit_b32": CLIP_TEXT_B32, "vit_l14": CLIP_TEXT_L14,
+                "vit_tiny": CLIP_TEXT_TINY}[cfg.model.image_tower]
         ccfg = CLIPConfig(vision=vision, text=text)
 
     if cfg.model.checkpoint_path:

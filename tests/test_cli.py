@@ -30,6 +30,9 @@ def tree(tmp_path_factory):
     return str(root)
 
 
+TINY_CFG = "model:\n  image_tower: vit_tiny\n  dtype: float32\n"
+
+
 def _run(args, **kw):
     env = dict(os.environ)
     env.update({
@@ -50,14 +53,18 @@ def test_cli_help():
 
 
 def test_cli_index_search_calibrate(tree, tmp_path):
+    cfgp = str(tmp_path / "tiny.yaml")
+    open(cfgp, "w").write(TINY_CFG)
     out = str(tmp_path / "idx")
-    r = _run(["index", "build", "--root", tree, "--out", out])
+    r = _run(["index", "build", "--root", tree, "--out", out,
+              "--config", cfgp])
     assert r.returncode == 0, r.stderr[-2000:]
     info = json.loads(r.stdout.strip().splitlines()[-1])
     assert info["entries"] == 7
 
     query = os.path.join(tree, "red", "red1.jpg")
-    r = _run(["search", "--index", out, "--image", query, "-k", "3"])
+    r = _run(["search", "--index", out, "--image", query, "-k", "3",
+              "--config", cfgp])
     assert r.returncode == 0, r.stderr[-2000:]
     rows = [l.split("\t") for l in r.stdout.strip().splitlines()]
     assert len(rows) == 3
@@ -89,15 +96,17 @@ def test_cli_dataset_make(tree, tmp_path):
 
 
 def test_cli_cascade_gate(tree, tmp_path):
+    cfgp = str(tmp_path / "tiny.yaml")
+    open(cfgp, "w").write(TINY_CFG)
     # class embedding favoring red pixels through the random tower isn't
     # meaningful; use threshold -inf so everything passes the gate and the
     # stub verifier path is exercised
-    emb = np.random.default_rng(0).normal(size=(512,)).astype(np.float32)
+    emb = np.random.default_rng(0).normal(size=(64,)).astype(np.float32)
     embp = str(tmp_path / "emb.npy")
     np.save(embp, emb)
     r = _run(["cascade", "--root", tree, "--positive-class", "red",
               "--class-embed", embp, "--threshold=-1e30",
-              "--verifier", "stub"])
+              "--verifier", "stub", "--config", cfgp])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "gate passed: 7" in r.stdout
     assert "verifier calls: 7" in r.stdout

@@ -37,7 +37,8 @@ def _run(args, extra_env=None):
 
 def test_sharded_index_build_matches(tree, tmp_path):
     cfg = tmp_path / "cfg.yaml"
-    cfg.write_text("model:\n  dtype: float32\ngallery:\n  batch_size: 8\n")
+    cfg.write_text("model:\n  image_tower: vit_tiny\n  dtype: float32\n"
+                   "gallery:\n  batch_size: 8\n")
 
     out_a = str(tmp_path / "idx_plain")
     out_b = str(tmp_path / "idx_sharded")

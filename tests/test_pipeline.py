@@ -15,12 +15,12 @@ from mmrs_tpu.pipeline import build_towers
 
 def test_checkpoint_roundtrip_through_pipeline(tmp_path):
     """Random towers saved to npz then reloaded must encode identically."""
-    cfg = Config(model=ModelConfig(dtype="float32"))
+    cfg = Config(model=ModelConfig(image_tower="vit_tiny", dtype="float32"))
     towers = build_towers(cfg)
     ckpt = str(tmp_path / "clip.npz")
     checkpoint.save_npz(towers.params, ckpt)
 
-    cfg2 = Config(model=ModelConfig(dtype="float32", checkpoint_path=ckpt))
+    cfg2 = Config(model=ModelConfig(image_tower="vit_tiny", dtype="float32", checkpoint_path=ckpt))
     towers2 = build_towers(cfg2)
 
     img = np.random.default_rng(0).integers(0, 255, (2, 224, 224, 3),
@@ -33,10 +33,10 @@ def test_text_encode_clip_tokenizer():
     from mmrs_tpu.models.tokenizer import CLIPTokenizer
 
     tok = CLIPTokenizer.synthetic(["photo", "cat"], context_length=77)
-    cfg = Config(model=ModelConfig(dtype="float32"))
+    cfg = Config(model=ModelConfig(image_tower="vit_tiny", dtype="float32"))
     towers = build_towers(cfg, tokenizer=tok)
     out = towers.text_encode(["a photo of a cat", "a cat"])
-    assert out.shape == (2, 512)
+    assert out.shape == (2, 64)
     assert np.isfinite(out).all()
 
 
@@ -65,14 +65,18 @@ def test_cli_text_search(tmp_path):
     env.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
 
+    cfgp = str(tmp_path / "tiny.yaml")
+    open(cfgp, "w").write("model:\n  image_tower: vit_tiny\n  dtype: float32\n")
     out = str(tmp_path / "idx")
     r = subprocess.run([sys.executable, "-m", "mmrs_tpu.cli.main", "index",
-                        "build", "--root", str(root), "--out", out],
+                        "build", "--root", str(root), "--out", out,
+                        "--config", cfgp],
                        capture_output=True, text=True, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     r = subprocess.run([sys.executable, "-m", "mmrs_tpu.cli.main", "search",
                         "--index", out, "--text", "a photo of a cat",
-                        "--merges", str(merges), "-k", "2"],
+                        "--merges", str(merges), "-k", "2",
+                        "--config", cfgp],
                        capture_output=True, text=True, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     rows = [l.split("\t") for l in r.stdout.strip().splitlines()]

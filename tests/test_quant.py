@@ -33,7 +33,14 @@ def test_quantized_topk_close_to_exact():
     v_ref, i_ref = cosine_topk(jnp.asarray(queries), jnp.asarray(gallery),
                                10, impl="xla")
     gq, s = quantize_rows(jnp.asarray(gallery))
-    v_q, i_q = cosine_topk_quantized(jnp.asarray(queries), gq, s, 10)
+    v_q, i_q = cosine_topk_quantized(jnp.asarray(queries), gq, s, 10,
+                                     impl="xla")
+
+    # the fused pallas kernel must agree exactly with the xla int8 path
+    v_p, i_p = cosine_topk_quantized(jnp.asarray(queries), gq, s, 10,
+                                     impl="pallas_interpret", tile_n=512)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_q))
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_q), atol=1e-5)
 
     # top-1 exact hits survive quantization
     np.testing.assert_array_equal(np.asarray(i_q)[:, 0],
