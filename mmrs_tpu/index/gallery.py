@@ -48,21 +48,55 @@ class GalleryIndex:
     # -- persistence --------------------------------------------------------
 
     @staticmethod
-    def load(directory: str, mmap: bool = True) -> "GalleryIndex":
+    def load(directory: str, mmap: bool = True,
+             consolidate: Optional[bool] = None) -> "GalleryIndex":
+        """Load an index. Multi-shard indexes are consolidated into a single
+        `combined.npy` memmap ON FIRST LOAD (written atomically, invalidated
+        by entry-count change) so big galleries never need full RAM
+        residency; pass consolidate=False to force in-RAM concatenation."""
         with open(os.path.join(directory, "manifest.json"), encoding="utf-8") as f:
             man = json.load(f)
-        embs, paths, classes = [], [], []
+        paths, classes = [], []
         for shard in man["shards"]:
-            arr = np.load(os.path.join(directory, shard["data"]),
-                          mmap_mode="r" if mmap else None)
-            embs.append(arr)
             with open(os.path.join(directory, shard["meta"]), encoding="utf-8") as f:
                 meta = json.load(f)
             paths.extend(m[0] for m in meta)
             classes.extend(m[1] for m in meta)
-        embeddings = embs[0] if len(embs) == 1 else np.concatenate(
-            [np.asarray(e) for e in embs], axis=0
-        )
+
+        shards = man["shards"]
+        mode = "r" if mmap else None
+        if len(shards) == 1:
+            embeddings = np.load(os.path.join(directory, shards[0]["data"]),
+                                 mmap_mode=mode)
+            return GalleryIndex(embeddings, paths, classes)
+
+        if consolidate is None:
+            consolidate = mmap
+        combined = os.path.join(directory, "combined.npy")
+        if consolidate:
+            if (not os.path.exists(combined)
+                    or np.load(combined, mmap_mode="r").shape[0] != len(paths)):
+                first = np.load(os.path.join(directory, shards[0]["data"]),
+                                mmap_mode="r")
+                total = sum(s["rows"] for s in shards)
+                tmp = combined + ".tmp.npy"
+                out = np.lib.format.open_memmap(
+                    tmp, mode="w+", dtype=first.dtype,
+                    shape=(total, first.shape[1]))
+                row = 0
+                for s in shards:
+                    arr = np.load(os.path.join(directory, s["data"]),
+                                  mmap_mode="r")
+                    out[row:row + arr.shape[0]] = arr
+                    row += arr.shape[0]
+                out.flush()
+                del out
+                os.replace(tmp, combined)
+            embeddings = np.load(combined, mmap_mode=mode)
+        else:
+            embeddings = np.concatenate(
+                [np.asarray(np.load(os.path.join(directory, s["data"])))
+                 for s in shards], axis=0)
         return GalleryIndex(embeddings, paths, classes)
 
 

@@ -127,6 +127,28 @@ def test_build_index_and_search(image_tree, tmp_path):
     assert hits[0].score >= hits[-1].score
 
 
+def test_multi_shard_consolidated_memmap(image_tree, tmp_path):
+    ds = FolderDataset.from_root(image_tree, image_size=32)
+    out_dir = str(tmp_path / "idx3")
+    build_index(ds, _toy_encoder, out_dir, batch_size=5, shard_rows=4)
+
+    idx = GalleryIndex.load(out_dir)                 # writes combined.npy
+    assert os.path.exists(os.path.join(out_dir, "combined.npy"))
+    assert isinstance(idx.embeddings, np.memmap)
+
+    ref = GalleryIndex.load(out_dir, consolidate=False)
+    np.testing.assert_array_equal(np.asarray(idx.embeddings),
+                                  np.asarray(ref.embeddings))
+    assert idx.paths == ref.paths
+
+    # growing the index invalidates the consolidated file
+    ds_bigger = FolderDataset(ds.samples + ds.samples[:2], image_size=32)
+    build_index(ds_bigger, _toy_encoder, out_dir, batch_size=5, shard_rows=4)
+    idx2 = GalleryIndex.load(out_dir)
+    assert len(idx2) == 14
+    assert idx2.embeddings.shape[0] == 14
+
+
 def test_index_resume(image_tree, tmp_path):
     ds = FolderDataset.from_root(image_tree, image_size=32)
     out_dir = str(tmp_path / "idx2")
