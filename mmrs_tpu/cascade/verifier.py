@@ -66,9 +66,31 @@ class CallableVerifier:
 
 
 # LLaVA-v1.5 conversation framing used by the reference's eval_model call
-# (code/union_clip_llava2.py:104-126 builds the same single-turn template).
-LLAVA_V15_PRE = "USER: "
+# (code/union_clip_llava2.py:104-126): conv_mode=None with model name
+# "llava-v1.5-7b" resolves to the llava_v1 template — system prompt +
+# SeparatorStyle.TWO (sep " ", sep2 "</s>") — and the query is prefixed with
+# "<image>\n". The rendered single-turn prompt is therefore
+#   "{system} USER: <image>\n{query} ASSISTANT:"
+# split at the <image> position into a pre-image and post-image text chunk
+# (llava's tokenizer_image_token does the same split).
+LLAVA_V1_SYSTEM = (
+    "A chat between a curious human and an artificial intelligence "
+    "assistant. The assistant gives helpful, detailed, and polite answers "
+    "to the human's questions."
+)
+LLAVA_V15_PRE = LLAVA_V1_SYSTEM + " USER: "
 LLAVA_V15_POST = " ASSISTANT:"
+
+
+def llava_v1_prompt_parts(query: str,
+                          system: str = LLAVA_V1_SYSTEM
+                          ) -> "tuple[str, str]":
+    """(pre_image_text, post_image_text) for the llava_v1 template.
+
+    The newline between <image> and the query comes from llava's
+    DEFAULT_IMAGE_TOKEN + "\\n" + qs framing, so it belongs to the
+    post-image chunk."""
+    return system + " USER: ", "\n" + query + LLAVA_V15_POST
 
 
 class TPULLaVAVerifier:
@@ -109,14 +131,27 @@ class TPULLaVAVerifier:
         u8 = jnp.asarray(np.asarray(r.pixels)[None])
         return normalize_images(u8, dtype=self.compute_dtype, impl="xla")
 
+    def _prompt_ids(self, prompt: str):
+        """Tokenize the llava_v1 template around the <image> slot: BOS only
+        on the pre-image chunk; the post-image chunk keeps the SP dummy
+        prefix (matching HF legacy slow-tokenizer chunk encoding inside
+        llava's tokenizer_image_token)."""
+        pre_text, post_text = llava_v1_prompt_parts(prompt)
+        try:
+            pre_ids = self.tokenizer.encode(pre_text, add_bos=True)
+            post_ids = self.tokenizer.encode(post_text, add_bos=False)
+        except TypeError:  # tokenizer without the add_bos kwarg
+            pre_ids = self.tokenizer.encode(pre_text)
+            post_ids = self.tokenizer.encode(post_text)
+        return pre_ids, post_ids
+
     def generate_text(self, image_path: str, prompt: str) -> str:
         import jax.numpy as jnp
         import numpy as np
 
         from mmrs_tpu.models import llava
 
-        pre_ids = self.tokenizer.encode(LLAVA_V15_PRE)
-        post_ids = self.tokenizer.encode(prompt + LLAVA_V15_POST)
+        pre_ids, post_ids = self._prompt_ids(prompt)
         images = self._load_image(image_path)
         out = llava.generate(
             self.params, images,
@@ -145,8 +180,7 @@ class TPULLaVAVerifier:
         if not image_paths:
             return []
         prompt = self.prompt_template.format(category=category)
-        pre_ids = self.tokenizer.encode(LLAVA_V15_PRE)
-        post_ids = self.tokenizer.encode(prompt + LLAVA_V15_POST)
+        pre_ids, post_ids = self._prompt_ids(prompt)
         images = jnp.concatenate(
             [self._load_image(p) for p in image_paths], axis=0)
         b = images.shape[0]

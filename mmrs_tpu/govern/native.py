@@ -50,9 +50,21 @@ def load_library() -> Optional[ctypes.CDLL]:
     except OSError as e:
         log.warning("native load failed: %r", e)
         return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
     lib.md5_buffer.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                ctypes.c_char_p]
+    lib.md5_files.argtypes = [ctypes.c_char_p, i64p, ctypes.c_int64,
+                              u8p, u8p, ctypes.c_int]
     lib.md5_files.restype = ctypes.c_int64
+    lib.hamming_first_match.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int, i64p, ctypes.c_int]
+    lib.hamming_first_match.restype = None
+    lib.hamming_cross_any.argtypes = [u64p, u64p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int, i64p, ctypes.c_int]
+    lib.hamming_cross_any.restype = None
     _LIB = lib
     return lib
 

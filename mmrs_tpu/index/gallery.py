@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -52,8 +52,11 @@ class GalleryIndex:
              consolidate: Optional[bool] = None) -> "GalleryIndex":
         """Load an index. Multi-shard indexes are consolidated into a single
         `combined.npy` memmap ON FIRST LOAD (written atomically, invalidated
-        by entry-count change) so big galleries never need full RAM
-        residency; pass consolidate=False to force in-RAM concatenation."""
+        whenever the shard list CONTENT changes — names, row counts, file
+        mtimes/sizes — not just the total row count, so an in-place rebuild
+        with a new checkpoint never serves stale embeddings) so big galleries
+        never need full RAM residency; pass consolidate=False to force in-RAM
+        concatenation."""
         with open(os.path.join(directory, "manifest.json"), encoding="utf-8") as f:
             man = json.load(f)
         paths, classes = [], []
@@ -73,9 +76,14 @@ class GalleryIndex:
         if consolidate is None:
             consolidate = mmap
         combined = os.path.join(directory, "combined.npy")
+        sidecar = combined + ".json"
+        fingerprint = _shard_fingerprint(directory, shards)
         if consolidate:
-            if (not os.path.exists(combined)
-                    or np.load(combined, mmap_mode="r").shape[0] != len(paths)):
+            stale = True
+            if os.path.exists(combined) and os.path.exists(sidecar):
+                with open(sidecar, encoding="utf-8") as f:
+                    stale = json.load(f) != fingerprint
+            if stale:
                 first = np.load(os.path.join(directory, shards[0]["data"]),
                                 mmap_mode="r")
                 total = sum(s["rows"] for s in shards)
@@ -92,12 +100,27 @@ class GalleryIndex:
                 out.flush()
                 del out
                 os.replace(tmp, combined)
+                tmp_s = sidecar + ".tmp"
+                with open(tmp_s, "w", encoding="utf-8") as f:
+                    json.dump(fingerprint, f)
+                os.replace(tmp_s, sidecar)
             embeddings = np.load(combined, mmap_mode=mode)
         else:
             embeddings = np.concatenate(
                 [np.asarray(np.load(os.path.join(directory, s["data"])))
                  for s in shards], axis=0)
         return GalleryIndex(embeddings, paths, classes)
+
+
+def _shard_fingerprint(directory: str, shards: List[dict]) -> List[list]:
+    """Content identity of the shard list: name, rows, and the data file's
+    (size, mtime_ns) — so rebuilding shards in place invalidates combined.npy
+    even when the total row count is unchanged."""
+    fp = []
+    for s in shards:
+        st = os.stat(os.path.join(directory, s["data"]))
+        fp.append([s["data"], int(s["rows"]), st.st_size, st.st_mtime_ns])
+    return fp
 
 
 def _write_shard(directory: str, shard_id: int, rows: np.ndarray,

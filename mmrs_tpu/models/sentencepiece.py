@@ -71,11 +71,36 @@ class Piece:
     type: int  # 1 NORMAL, 2 UNKNOWN, 3 CONTROL, 6 BYTE
 
 
+@dataclass
+class ModelSpec:
+    """The normalizer/trainer options that affect encode semantics.
+
+    Defaults match LLaMA's tokenizer.model (add_dummy_prefix=True,
+    remove_extra_whitespaces=False, byte_fallback=True)."""
+
+    add_dummy_prefix: bool = True
+    remove_extra_whitespaces: bool = False
+    unk_id: int = 0
+    bos_id: int = 1
+    eos_id: int = 2
+
+
 def parse_model(data: bytes) -> List[Piece]:
     """Extract the pieces list from a serialized sentencepiece ModelProto."""
+    return parse_model_full(data)[0]
+
+
+def parse_model_full(data: bytes) -> Tuple[List[Piece], ModelSpec]:
+    """Pieces + the encode-relevant subset of TrainerSpec/NormalizerSpec.
+
+    Field numbers per sentencepiece_model.proto: ModelProto{pieces=1,
+    trainer_spec=2, normalizer_spec=3}; SentencePiece{piece=1, score=2,
+    type=3}; NormalizerSpec{add_dummy_prefix=3, remove_extra_whitespaces=4};
+    TrainerSpec{unk_id=40, bos_id=41, eos_id=42}."""
     import struct
 
     pieces: List[Piece] = []
+    spec = ModelSpec()
     for field, wire, val in _walk_fields(data):
         if field == 1 and wire == 2:  # repeated SentencePiece
             text, score, ptype = "", 0.0, 1
@@ -87,7 +112,25 @@ def parse_model(data: bytes) -> List[Piece]:
                 elif f2 == 3 and w2 == 0:
                     ptype = v2
             pieces.append(Piece(text, score, ptype))
-    return pieces
+        elif field == 2 and wire == 2:  # TrainerSpec
+            for f2, w2, v2 in _walk_fields(val):
+                if w2 != 0:
+                    continue
+                if f2 == 40:
+                    spec.unk_id = v2
+                elif f2 == 41:
+                    spec.bos_id = v2
+                elif f2 == 42:
+                    spec.eos_id = v2
+        elif field == 3 and wire == 2:  # NormalizerSpec
+            for f2, w2, v2 in _walk_fields(val):
+                if w2 != 0:
+                    continue
+                if f2 == 3:
+                    spec.add_dummy_prefix = bool(v2)
+                elif f2 == 4:
+                    spec.remove_extra_whitespaces = bool(v2)
+    return pieces, spec
 
 
 def serialize_model(pieces: List[Piece]) -> bytes:
@@ -120,12 +163,18 @@ def serialize_model(pieces: List[Piece]) -> bytes:
 
 class SentencePieceBPE:
     def __init__(self, pieces: List[Piece], add_bos: bool = True,
-                 add_dummy_prefix: bool = True):
+                 add_dummy_prefix: bool = True,
+                 remove_extra_whitespaces: bool = False):
         self.pieces = pieces
         self.vocab: Dict[str, int] = {p.text: i for i, p in enumerate(pieces)}
-        self.scores = {p.text: p.score for p in pieces}
+        # Control/unknown pieces are never produced by merging raw text
+        # (sentencepiece matches them only as user-defined/control symbols),
+        # so they are excluded from the merge-score table.
+        self.scores = {p.text: p.score for p in pieces
+                       if p.type not in (2, 3)}
         self.add_bos = add_bos
         self.add_dummy_prefix = add_dummy_prefix
+        self.remove_extra_whitespaces = remove_extra_whitespaces
         self.unk_id = next(
             (i for i, p in enumerate(pieces) if p.type == 2), 0)
         self.bos_id = self.vocab.get("<s>", 1)
@@ -138,8 +187,21 @@ class SentencePieceBPE:
 
     @classmethod
     def from_file(cls, path: str, **kw) -> "SentencePieceBPE":
+        """Load a real tokenizer.model; normalizer options (dummy prefix,
+        whitespace handling) come from the file's NormalizerSpec unless
+        overridden by kwargs."""
         with open(path, "rb") as f:
-            return cls(parse_model(f.read()), **kw)
+            pieces, spec = parse_model_full(f.read())
+        kw.setdefault("add_dummy_prefix", spec.add_dummy_prefix)
+        kw.setdefault("remove_extra_whitespaces", spec.remove_extra_whitespaces)
+        tok = cls(pieces, **kw)
+        if 0 <= spec.unk_id < len(pieces):
+            tok.unk_id = spec.unk_id
+        if 0 <= spec.bos_id < len(pieces):
+            tok.bos_id = spec.bos_id
+        if 0 <= spec.eos_id < len(pieces):
+            tok.eos_id = spec.eos_id
+        return tok
 
     def _encode_symbols(self, symbols: List[str]) -> List[int]:
         """Greedy highest-score adjacent-pair merging (SP BPE)."""
@@ -167,9 +229,17 @@ class SentencePieceBPE:
         return ids
 
     def encode(self, text: str, add_bos: bool | None = None) -> List[int]:
+        if self.remove_extra_whitespaces:
+            # SP's remove_extra_whitespaces: trim ends, collapse runs.
+            import re
+
+            text = re.sub(" +", " ", text).strip(" ")
+        if self.add_dummy_prefix and text:
+            # sentencepiece prepends the dummy prefix UNCONDITIONALLY
+            # (normalizer.cc), even when the text already starts with a
+            # space — " hi" tokenizes as "▁▁hi".
+            text = " " + text
         text = text.replace(" ", SPACE)
-        if self.add_dummy_prefix and not text.startswith(SPACE):
-            text = SPACE + text
         ids = self._encode_symbols(list(text))
         bos = self.add_bos if add_bos is None else add_bos
         return ([self.bos_id] + ids) if bos else ids

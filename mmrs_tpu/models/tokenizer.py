@@ -176,8 +176,12 @@ class CLIPTokenizer:
         return bpe_tokens
 
     def decode(self, tokens: Sequence[int]) -> str:
-        text = "".join(self.decoder[int(t)] for t in tokens
-                       if int(t) not in (self.sot, self.eot, 0))
+        # Padding is trailing zeros AFTER the first EOT (id 0 is the real BPE
+        # token '!'), so stop at EOT positionally instead of filtering id 0.
+        toks = [int(t) for t in tokens]
+        if self.eot in toks:
+            toks = toks[: toks.index(self.eot)]
+        text = "".join(self.decoder[t] for t in toks if t != self.sot)
         raw = bytearray(self.byte_decoder[c] for c in text
                         if c in self.byte_decoder)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()

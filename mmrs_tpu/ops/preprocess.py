@@ -36,10 +36,12 @@ def resize_center_crop(img, size: int = 224):
     from PIL import Image
 
     w, h = img.size
+    # torchvision Resize floors the long side (int(), not round()):
+    # _compute_resized_output_size -> int(size * long / short).
     if w < h:
-        nw, nh = size, max(size, int(round(h * size / w)))
+        nw, nh = size, int(size * h / w)
     else:
-        nw, nh = max(size, int(round(w * size / h))), size
+        nw, nh = int(size * w / h), size
     img = img.resize((nw, nh), Image.BICUBIC)
     left = (nw - size) // 2
     top = (nh - size) // 2

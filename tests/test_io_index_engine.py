@@ -149,6 +149,26 @@ def test_multi_shard_consolidated_memmap(image_tree, tmp_path):
     assert idx2.embeddings.shape[0] == 14
 
 
+def test_inplace_rebuild_invalidates_combined(image_tree, tmp_path):
+    """Same row COUNT, different embeddings: an in-place rebuild (new
+    checkpoint, --no-resume) must not serve the stale combined.npy
+    (ADVICE r1 medium finding)."""
+    ds = FolderDataset.from_root(image_tree, image_size=32)
+    out_dir = str(tmp_path / "idx4")
+    build_index(ds, _toy_encoder, out_dir, batch_size=5, shard_rows=4)
+    GalleryIndex.load(out_dir)  # materializes combined.npy
+    old = np.array(GalleryIndex.load(out_dir).embeddings)
+
+    def scaled_encoder(pixels):
+        return _toy_encoder(pixels) * np.float32(-1.0)
+
+    build_index(ds, scaled_encoder, out_dir, batch_size=5, shard_rows=4,
+                resume=False)
+    new = np.array(GalleryIndex.load(out_dir).embeddings)
+    assert new.shape == old.shape
+    np.testing.assert_allclose(new, -old, atol=1e-6)
+
+
 def test_index_resume(image_tree, tmp_path):
     ds = FolderDataset.from_root(image_tree, image_size=32)
     out_dir = str(tmp_path / "idx2")

@@ -5,7 +5,13 @@ import pytest
 import jax
 from PIL import Image
 
-from mmrs_tpu.cascade.verifier import LLAVA_V15_POST, LLAVA_V15_PRE, TPULLaVAVerifier
+from mmrs_tpu.cascade.verifier import (
+    LLAVA_V1_SYSTEM,
+    LLAVA_V15_POST,
+    LLAVA_V15_PRE,
+    TPULLaVAVerifier,
+    llava_v1_prompt_parts,
+)
 from mmrs_tpu.models import llava
 from mmrs_tpu.models.configs import VITConfig
 from mmrs_tpu.models.llama import LlamaConfig
@@ -70,9 +76,38 @@ def test_verifier_runs_and_parses(verifier):
 
 
 def test_prompt_framing(verifier):
-    v, tok, img = verifier
-    assert LLAVA_V15_PRE.startswith("USER")
+    # llava_v1 template: "{system} USER: <image>\n{query} ASSISTANT:"
+    # (reference: code/union_clip_llava2.py:104-126 via llava conv templates)
+    pre, post = llava_v1_prompt_parts("Is it a cat?")
+    rendered = pre + "<image>" + post
+    assert rendered == (
+        "A chat between a curious human and an artificial intelligence "
+        "assistant. The assistant gives helpful, detailed, and polite "
+        "answers to the human's questions. "
+        "USER: <image>\nIs it a cat? ASSISTANT:"
+    )
+    assert LLAVA_V15_PRE == LLAVA_V1_SYSTEM + " USER: "
     assert "ASSISTANT" in LLAVA_V15_POST
+
+
+def test_prompt_ids_bos_handling(verifier):
+    """Pre-image chunk carries BOS; post-image chunk must not (mirrors
+    llava's tokenizer_image_token BOS stripping on non-first chunks)."""
+    v, tok, img = verifier
+
+    class BosTok(ToyTokenizer):
+        def encode(self, text, add_bos=True):
+            ids = [3 + (ord(c) % 60) for c in text][:12]
+            return ([1] + ids) if add_bos else ids
+
+    old = v.tokenizer
+    try:
+        v.tokenizer = BosTok()
+        pre_ids, post_ids = v._prompt_ids("q?")
+        assert pre_ids[0] == 1
+        assert 1 not in post_ids[:1]
+    finally:
+        v.tokenizer = old
 
 
 def test_verify_batch_matches_sequential(verifier, tmp_path):
