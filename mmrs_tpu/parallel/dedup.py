@@ -34,12 +34,17 @@ def sharded_first_match(
 ) -> jnp.ndarray:
     """For each row, the first (lowest-index) other row with cosine >= tau,
     or -1; with intra=True only earlier rows count (keep-first dedup).
-    Output is row-sharded like the input."""
+    Output is row-sharded like the input.
+
+    Ragged N is zero-padded to the next shard multiple; padding columns sit
+    after every real column, are excluded by the `< n` mask, and padding
+    rows are sliced off the output."""
     n = x.shape[0]
     s = mesh.shape[axis]
-    if n % s != 0:
-        raise ValueError(f"rows {n} not divisible by {s} shards")
-    rows_per = n // s
+    n_pad = ((n + s - 1) // s) * s
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    rows_per = n_pad // s
 
     def local(x_shard):
         my = jax.lax.axis_index(axis)
@@ -59,7 +64,11 @@ def sharded_first_match(
                 x_shard, block, tau, intra=intra,
                 row_offset=row_base, col_offset=col_base, impl=impl,
             )
-            global_col = jnp.where(fm >= 0, fm + col_base, BIG)
+            # Padding columns (global id >= n) live at the very end of the
+            # last block, so masking the match away cannot hide an earlier
+            # real match in the same block.
+            global_col = jnp.where((fm >= 0) & (fm + col_base < n),
+                                   fm + col_base, BIG)
             run = jnp.minimum(run, global_col)
 
             # Pass the block to the left neighbor (ring over ICI).
@@ -79,4 +88,4 @@ def sharded_first_match(
         out_specs=P(axis),
         check_vma=False,
     )
-    return fn(x)
+    return fn(x)[:n]

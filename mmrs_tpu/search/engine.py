@@ -45,7 +45,9 @@ class SearchEngine:
         """`quantize=True` stores the gallery as int8 + per-row scales
         (ops/quant.py): half the HBM residency (2x rows per chip) at the
         cost of ~0.3% score error — opt-in; bf16 is the rank-parity
-        default. Not yet supported together with `mesh`."""
+        default. Composes with `mesh` (int8 rows + scales row-sharded).
+        Ragged row counts are padded to the shard multiple and masked at
+        query time, so any index size runs on any mesh."""
         self.index = index
         self.config = config or SearchConfig()
         self.mesh = mesh
@@ -55,10 +57,14 @@ class SearchEngine:
         emb = l2_normalize(emb)  # idempotent if rows already normalized
         if quantize:
             if mesh is not None:
-                raise NotImplementedError("quantize with mesh: round 2")
-            from mmrs_tpu.ops.quant import quantize_rows
+                from mmrs_tpu.parallel.topk import place_gallery_quantized
 
-            self.gallery, self.gallery_scales = quantize_rows(emb)
+                self.gallery, self.gallery_scales = place_gallery_quantized(
+                    emb, mesh)
+            else:
+                from mmrs_tpu.ops.quant import quantize_rows
+
+                self.gallery, self.gallery_scales = quantize_rows(emb)
             return
         if mesh is not None:
             from mmrs_tpu.parallel.topk import place_gallery
@@ -77,7 +83,15 @@ class SearchEngine:
         if not self.quantized:
             q = q.astype(self.gallery.dtype)
         with self.stats.timed("topk", count=q.shape[0]):
-            if self.quantized:
+            if self.quantized and self.mesh is not None:
+                from mmrs_tpu.parallel.topk import (
+                    sharded_cosine_topk_quantized,
+                )
+
+                vals, idxs = sharded_cosine_topk_quantized(
+                    q, self.gallery, self.gallery_scales, k, self.mesh,
+                    n_valid=len(self.index))
+            elif self.quantized:
                 from mmrs_tpu.ops.quant import cosine_topk_quantized
 
                 vals, idxs = cosine_topk_quantized(
@@ -85,7 +99,8 @@ class SearchEngine:
             elif self.mesh is not None:
                 from mmrs_tpu.parallel.topk import sharded_cosine_topk
 
-                vals, idxs = sharded_cosine_topk(q, self.gallery, k, self.mesh)
+                vals, idxs = sharded_cosine_topk(q, self.gallery, k, self.mesh,
+                                                 n_valid=len(self.index))
             else:
                 vals, idxs = cosine_topk(q, self.gallery, k)
             vals = np.asarray(vals)

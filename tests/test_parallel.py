@@ -97,6 +97,90 @@ def test_sharded_encoder_matches_single_device(mesh):
     assert out.shape == (10, d_out)
 
 
+def test_sharded_topk_ragged_rows(mesh):
+    """N=1000 on 8 shards (not divisible): pad-and-mask must match the
+    single-device oracle, including hits in the ragged tail."""
+    rng = np.random.default_rng(4)
+    n, d, k = 1000, 32, 10
+    gallery = _norm_rows(rng.normal(size=(n, d))).astype(np.float32)
+    queries = _norm_rows(rng.normal(size=(3, d))).astype(np.float32)
+    gallery[997] = queries[0]  # exact hit in the padded last shard
+
+    v_ref, i_ref = cosine_topk(jnp.asarray(queries), jnp.asarray(gallery),
+                               k, impl="xla")
+
+    g_sharded = place_gallery(jnp.asarray(gallery), mesh)
+    assert g_sharded.shape[0] == 1000 + (-1000) % 8
+    v, i = sharded_cosine_topk(jnp.asarray(queries), g_sharded, k, mesh,
+                               impl="xla", n_valid=n)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    assert int(np.asarray(i)[0, 0]) == 997
+
+    # unplaced ragged input pads internally too
+    v2, i2 = sharded_cosine_topk(jnp.asarray(queries), jnp.asarray(gallery),
+                                 k, mesh, impl="xla")
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
+
+
+def test_sharded_topk_k_exceeds_shard_rows(mesh):
+    """k larger than rows-per-shard: shards top up with sentinels and the
+    merge still returns the exact global top-k."""
+    rng = np.random.default_rng(5)
+    n, d, k = 41, 16, 10  # 6 rows/shard after padding, k=10 > 6
+    gallery = _norm_rows(rng.normal(size=(n, d))).astype(np.float32)
+    queries = _norm_rows(rng.normal(size=(2, d))).astype(np.float32)
+    v_ref, i_ref = cosine_topk(jnp.asarray(queries), jnp.asarray(gallery),
+                               k, impl="xla")
+    v, i = sharded_cosine_topk(jnp.asarray(queries), jnp.asarray(gallery),
+                               k, mesh, impl="xla")
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_sharded_quantized_topk_matches_single_device(mesh):
+    """int8 + mesh compose: sharded quantized top-k == single-device
+    quantized top-k (same quantization, same ranks), ragged N."""
+    from mmrs_tpu.ops.quant import cosine_topk_quantized, quantize_rows
+    from mmrs_tpu.parallel.topk import (
+        place_gallery_quantized,
+        sharded_cosine_topk_quantized,
+    )
+
+    rng = np.random.default_rng(6)
+    n, d, k = 1000, 32, 10
+    gallery = jnp.asarray(_norm_rows(rng.normal(size=(n, d))).astype(np.float32))
+    queries = jnp.asarray(_norm_rows(rng.normal(size=(4, d))).astype(np.float32))
+
+    g_q, scales = quantize_rows(gallery)
+    v_ref, i_ref = cosine_topk_quantized(queries, g_q, scales, k, impl="xla")
+
+    g_qs, s_s = place_gallery_quantized(gallery, mesh)
+    assert g_qs.shape[0] % 8 == 0 and s_s.shape[0] == g_qs.shape[0]
+    v, i = sharded_cosine_topk_quantized(queries, g_qs, s_s, k, mesh,
+                                         impl="xla", n_valid=n)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_sharded_dedup_ragged_rows(mesh):
+    """N=1000 dedup on 8 shards: internal pad, masked padding columns,
+    output sliced back to N."""
+    rng = np.random.default_rng(7)
+    n = 1000
+    x = _norm_rows(rng.normal(size=(n, 16))).astype(np.float32)
+    x[999] = x[500]   # dup in the ragged tail
+    x[998] = x[0]
+
+    ref = np.asarray(first_match(jnp.asarray(x), jnp.asarray(x), tau=0.999,
+                                 intra=True, impl="xla"))
+    out = np.asarray(sharded_first_match(jnp.asarray(x), tau=0.999, mesh=mesh,
+                                         intra=True, impl="xla"))
+    assert out.shape == (n,)
+    np.testing.assert_array_equal(out, ref)
+    assert out[999] == 500 and out[998] == 0
+
+
 def test_sharded_dedup_intra_vs_cross_semantics(mesh):
     """intra=False: every row matching ANY row (incl. itself) reports a hit."""
     rng = np.random.default_rng(3)
