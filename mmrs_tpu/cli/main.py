@@ -118,7 +118,6 @@ def cmd_search(args) -> int:
 
 def cmd_calibrate(args) -> int:
     from mmrs_tpu.index.gallery import GalleryIndex
-    from mmrs_tpu.search.calibrate import find_thresholds
     from mmrs_tpu.search.engine import SearchEngine
     from mmrs_tpu.search.prototypes import build_prototype
 
@@ -130,12 +129,12 @@ def cmd_calibrate(args) -> int:
     if not labels.any():
         print(f"no rows of class {args.positive_class!r}", file=sys.stderr)
         return 2
-    emb = np.asarray(idx.embeddings, np.float32)
     import jax.numpy as jnp
-    proto = build_prototype(jnp.asarray(emb[labels][: args.shots]),
-                            strategy=args.prototype)
-    sims = engine.similarities(np.asarray(proto)[None, :])[0]
-    res = find_thresholds(sims[labels], sims[~labels])
+    # only the k shot rows leave the memmap; sims + sweep stay on device
+    shot_rows = np.flatnonzero(labels)[: args.shots]
+    shots = np.asarray(idx.embeddings[shot_rows], np.float32)
+    proto = build_prototype(jnp.asarray(shots), strategy=args.prototype)
+    res = engine.sweep_class(proto, labels, calib_config=cfg.calibration)
     print(json.dumps({
         "class": args.positive_class,
         "best_threshold": res.best_threshold,

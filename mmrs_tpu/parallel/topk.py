@@ -144,6 +144,46 @@ def sharded_cosine_topk_quantized(
     return fn(queries, gallery_q, scales)
 
 
+def sharded_similarities(
+    queries: jnp.ndarray,      # [Q, D] replicated
+    gallery: jnp.ndarray,      # [N_pad, D] row-sharded
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+) -> jnp.ndarray:
+    """Full similarity rows [Q, N_pad], column-sharded over the mesh —
+    the calibration input; each shard computes only its own column strip
+    (f32 accumulation), nothing is gathered."""
+
+    def local(q, g_shard):
+        return jax.lax.dot_general(
+            q, g_shard, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return shard_map(local, mesh=mesh, in_specs=(P(), P(axis, None)),
+                     out_specs=P(None, axis), check_vma=False)(
+                         queries, gallery)
+
+
+def sharded_similarities_quantized(
+    q_q: jnp.ndarray,          # [Q, D] int8 queries
+    q_scale: jnp.ndarray,      # [Q] f32
+    gallery_q: jnp.ndarray,    # [N_pad, D] int8, row-sharded
+    scales: jnp.ndarray,       # [N_pad] f32, row-sharded
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+) -> jnp.ndarray:
+    def local(qq, qs, g_shard, s_shard):
+        acc = jax.lax.dot_general(
+            qq, g_shard, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * qs[:, None] * s_shard[None, :]
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(), P(), P(axis, None), P(axis)),
+                     out_specs=P(None, axis), check_vma=False)(
+                         q_q, q_scale, gallery_q, scales)
+
+
 def place_gallery(gallery: jnp.ndarray, mesh: Mesh, axis: str = DATA_AXIS):
     """Device-put a gallery row-sharded over the mesh, zero-padding ragged
     row counts to the next shard multiple (mask with n_valid at query

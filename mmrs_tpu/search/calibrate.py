@@ -104,6 +104,11 @@ def sweep(
     tp, fp, fn = _sweep_counts(
         jnp.asarray(sims), jnp.asarray(positives), jnp.asarray(thresholds)
     )
+    return result_from_counts(thresholds, tp, fp, fn)
+
+
+def result_from_counts(thresholds, tp, fp, fn) -> SweepResult:
+    """Per-threshold (tp, fp, fn) counts -> guarded P/R/F1 + F1-argmax."""
     tp = np.asarray(tp, dtype=np.float64)
     fp = np.asarray(fp, dtype=np.float64)
     fn = np.asarray(fn, dtype=np.float64)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,6 +22,24 @@ from mmrs_tpu.ops.normalize import l2_normalize
 from mmrs_tpu.ops.topk import cosine_topk
 from mmrs_tpu.search.prototypes import build_prototype
 from mmrs_tpu.utils.stats import StageStats
+
+UPLOAD_CHUNK = 131072  # host->device staging rows (bounds host RSS)
+
+
+def _to_device_chunked(embeddings, dtype, chunk: int = UPLOAD_CHUNK):
+    """Upload a (possibly memmapped) [N, D] host array to device in chunks,
+    so a 1M-row f32 index never needs a full in-RAM copy (streaming is the
+    point: ~chunk*D*4 bytes of host staging instead of N*D*4)."""
+    n = embeddings.shape[0]
+    if n <= chunk:
+        return jnp.asarray(np.asarray(embeddings), dtype)
+    parts = [
+        jnp.asarray(np.asarray(embeddings[a:a + chunk]), dtype)
+        for a in range(0, n, chunk)
+    ]
+    out = jnp.concatenate(parts, axis=0)
+    out.block_until_ready()
+    return out
 
 
 @dataclass
@@ -53,7 +72,7 @@ class SearchEngine:
         self.mesh = mesh
         self.stats = StageStats()
         self.quantized = quantize
-        emb = jnp.asarray(np.asarray(index.embeddings), device_dtype)
+        emb = _to_device_chunked(index.embeddings, device_dtype)
         emb = l2_normalize(emb)  # idempotent if rows already normalized
         if quantize:
             if mesh is not None:
@@ -149,11 +168,81 @@ class SearchEngine:
         )
         return self.query_vectors(proto[None, :], top_k)
 
+    def device_similarities(self, vectors: jnp.ndarray) -> jnp.ndarray:
+        """UNscaled cosine rows [Q, N] computed against the DEVICE-resident
+        gallery (bf16/int8/sharded) — no host f32 gallery copy, no [Q, N]
+        host transfer. The calibration input at production scale: for a
+        1M-row index each query row is 4 MB on device."""
+        q = l2_normalize(jnp.asarray(vectors))
+        n = len(self.index)
+        if self.quantized:
+            from mmrs_tpu.ops.quant import quantize_rows
+
+            q_q, q_scale = quantize_rows(q.astype(jnp.float32))
+            if self.mesh is not None:
+                from mmrs_tpu.parallel.topk import (
+                    sharded_similarities_quantized,
+                )
+
+                sims = sharded_similarities_quantized(
+                    q_q, q_scale, self.gallery, self.gallery_scales,
+                    self.mesh)
+            else:
+                acc = jax.lax.dot_general(
+                    q_q, self.gallery, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                sims = (acc.astype(jnp.float32) * q_scale[:, None]
+                        * self.gallery_scales[None, :])
+        elif self.mesh is not None:
+            from mmrs_tpu.parallel.topk import sharded_similarities
+
+            sims = sharded_similarities(q.astype(self.gallery.dtype),
+                                        self.gallery, self.mesh)
+        else:
+            sims = jax.lax.dot_general(
+                q.astype(self.gallery.dtype), self.gallery,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return sims[:, :n]
+
     def similarities(self, vectors: jnp.ndarray) -> np.ndarray:
-        """Full (scaled) similarity row per query vs the whole gallery —
-        the calibration path's input (kept for threshold sweeps; O(N) per
-        query, so only for calibration-sized galleries)."""
-        q = l2_normalize(jnp.asarray(vectors)).astype(jnp.float32)
-        g = jnp.asarray(np.asarray(self.index.embeddings), jnp.float32)
-        sims = jnp.dot(q, g.T, preferred_element_type=jnp.float32)
-        return np.asarray(sims) * self.config.logit_scale
+        """Scaled similarity rows on host — convenience for small galleries
+        and artifacts; built on device_similarities."""
+        return (np.asarray(self.device_similarities(vectors), np.float32)
+                * self.config.logit_scale)
+
+    def sweep_class(
+        self,
+        vector: jnp.ndarray,          # [D] query/prototype
+        positives: np.ndarray,        # [N] bool ground truth per gallery row
+        thresholds: Optional[np.ndarray] = None,
+        calib_config=None,
+    ):
+        """Threshold calibration against the whole gallery, streaming on
+        device: sims stay device-resident ([N] floats), the sweep's
+        (tp, fp, fn) reductions run there, and only the [T] count vectors
+        come back to host. Replaces the old full-materialization
+        similarities()+find_thresholds flow at production scale
+        (code/search_image.py:58-103 semantics, VERDICT r1 Weak #4).
+        Thresholds apply to SCALED sims (config.logit_scale), matching the
+        reference's logit-scaled threshold tables."""
+        from mmrs_tpu.config import CalibrationConfig
+        from mmrs_tpu.search.calibrate import _sweep_counts, result_from_counts
+
+        cfg = calib_config or CalibrationConfig()
+        sims = self.device_similarities(jnp.asarray(vector)[None, :])[0]
+        sims = sims.astype(jnp.float32) * self.config.logit_scale
+        pos = jnp.asarray(np.asarray(positives, bool))
+        if thresholds is None:
+            if cfg.mode == "linspace":
+                lo = float(jnp.min(sims))
+                hi = float(jnp.max(sims))
+                thresholds = np.linspace(lo, hi, cfg.num_points,
+                                         dtype=np.float32)
+            elif cfg.mode == "arange":
+                thresholds = np.arange(0.0, cfg.arange_stop, cfg.arange_step,
+                                       dtype=np.float32)
+            else:
+                raise ValueError(f"unknown calibration mode {cfg.mode!r}")
+        tp, fp, fn = _sweep_counts(sims, pos, jnp.asarray(thresholds))
+        return result_from_counts(thresholds, tp, fp, fn)

@@ -59,6 +59,49 @@ def test_engine_mesh_ragged_rows():
     assert h2[0][0].path == "img999.jpg"  # tail row found through padding
 
 
+def test_sweep_class_streaming_matches_offline():
+    """Device-streaming calibration == the offline sims+find_thresholds
+    flow (same thresholds grid, same counts)."""
+    from mmrs_tpu.search import calibrate
+
+    idx = _make_index(n=1000, seed=3)
+    eng = SearchEngine(idx, SearchConfig(), device_dtype=jnp.float32)
+    labels = np.asarray([c == "c1" for c in idx.classes])
+    proto = np.asarray(idx.embeddings)[labels][:5].mean(0)
+    proto /= np.linalg.norm(proto)
+
+    sims = eng.similarities(jnp.asarray(proto)[None, :])[0]
+    ref = calibrate.find_thresholds(sims[labels], sims[~labels],
+                                    num_points=200)
+    res = eng.sweep_class(jnp.asarray(proto), labels)
+    assert res.best_threshold == pytest.approx(ref.best_threshold, abs=1e-4)
+    assert res.best_f1 == pytest.approx(ref.best_f1, abs=1e-6)
+    np.testing.assert_allclose(res.f1, ref.f1, atol=1e-9)
+
+
+def test_sweep_class_on_mesh_and_quantized():
+    """Calibration streams on all engine modes, ragged N included."""
+    idx = _make_index(n=1001, seed=4)
+    labels = np.asarray([c == "c2" for c in idx.classes])
+    proto = np.asarray(idx.embeddings)[labels][:5].mean(0)
+    proto /= np.linalg.norm(proto)
+    proto = jnp.asarray(proto)
+
+    plain = SearchEngine(idx, SearchConfig(), device_dtype=jnp.float32)
+    ref = plain.sweep_class(proto, labels)
+
+    mesh = make_mesh(MeshConfig())
+    for kw in ({"mesh": mesh}, {"quantize": True},
+               {"mesh": mesh, "quantize": True}):
+        eng = SearchEngine(idx, SearchConfig(), device_dtype=jnp.float32,
+                           **kw)
+        res = eng.sweep_class(proto, labels)
+        # int8 scores move thresholds slightly; ranks/F1 stay put
+        assert res.best_f1 == pytest.approx(ref.best_f1, abs=5e-3), kw
+        assert res.best_threshold == pytest.approx(ref.best_threshold,
+                                                   abs=0.5), kw
+
+
 def test_engine_quantized_mesh_composes():
     """quantize=True + mesh: sharded int8 gallery matches the single-device
     quantized oracle exactly (VERDICT r1 Weak #5)."""
