@@ -16,6 +16,7 @@ to apply.
   mmrs dataset make  --variant v1..v5 --root DIR --out PATH ...
   mmrs adapter train --features NPZ ... (Tip-Adapter-F over cached features)
   mmrs weights convert --source hf_clip|openai_clip|taiyi --in PT --out NPZ
+  mmrs parity        --rank-gate | --checkpoint NPZ --image CLIP.png ...
 """
 
 from __future__ import annotations
@@ -331,6 +332,81 @@ def cmd_cascade(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """Real-weight parity gate (VERDICT r1 Missing #1 / Next #2).
+
+    Three independent checks; run whichever the available inputs allow:
+      --rank-gate                 bf16-vs-f32 top-k rank parity on a
+                                  synthetic gallery (no weights needed)
+      --checkpoint + --image      reproduce code/test_clip.py:18 smoke probs
+      --checkpoint + --pos-dir/--neg-dir + --prompt [--golden en|cn]
+                                  reproduce the notebook lychee thresholds
+    """
+    from mmrs_tpu.eval import parity
+
+    report = {}
+    ok = True
+
+    if args.rank_gate:
+        r = parity.rank_parity_report(n=args.rows, queries=args.queries,
+                                      k=args.k)
+        report["rank_gate"] = {
+            "n": r.n, "k": r.k, "exact_queries": r.exact_queries,
+            "tie_flips": r.tie_flips, "violations": r.violations,
+            "planted_exact": r.planted_exact, "ok": r.ok,
+        }
+        ok &= r.ok
+
+    if args.checkpoint:
+        cfg = _load_config(args.config)
+        cfg.model.checkpoint_path = args.checkpoint
+        from mmrs_tpu.pipeline import build_towers
+
+        towers = build_towers(cfg, tokenizer=_make_tokenizer(args, cfg))
+        if towers.text_encode is None:
+            print("parity needs a tokenizer (--merges/--vocab)",
+                  file=sys.stderr)
+            return 2
+        if args.image:
+            probs = parity.smoke_probs(towers, args.image)
+            s = parity.check_smoke(probs)
+            report["smoke"] = {
+                "probs": [float(p) for p in s.probs],
+                "golden": list(s.golden),
+                "max_abs_diff": s.max_abs_diff, "ok": s.ok,
+            }
+            ok &= s.ok
+        if args.pos_dir and args.neg_dir and args.prompt:
+            from mmrs_tpu.io.dataset import FolderDataset
+            from mmrs_tpu.search.calibrate import find_thresholds
+
+            def _embed_dir(d):
+                ds = FolderDataset([(p, "x") for p in _collect(d)],
+                                   image_size=224)
+                chunks = [towers.image_encode(b.pixels)[b.ok]
+                          for b in ds.batches(64)]
+                return np.concatenate(chunks, axis=0)
+
+            txt = towers.text_encode([args.prompt])[0]
+            txt /= np.linalg.norm(txt)
+            pos, neg = _embed_dir(args.pos_dir), _embed_dir(args.neg_dir)
+            scale = _load_config(args.config).search.logit_scale
+            res = find_thresholds(pos @ txt * scale, neg @ txt * scale)
+            golden = (parity.GOLDEN_CN_LYCHEE if args.golden == "cn"
+                      else parity.GOLDEN_EN_LYCHEE)
+            t = parity.threshold_parity(res, golden)
+            report["threshold"] = t
+            ok &= t["threshold_ok"] and t["f1_ok"]
+
+    if not report:
+        print("nothing to check: pass --rank-gate and/or --checkpoint",
+              file=sys.stderr)
+        return 2
+    report["ok"] = ok
+    print(json.dumps(report))
+    return 0 if ok else 1
+
+
 def cmd_weights_convert(args) -> int:
     import torch
 
@@ -508,6 +584,23 @@ def build_parser() -> argparse.ArgumentParser:
     wc.add_argument("--input", required=True)
     wc.add_argument("--out", required=True)
     wc.set_defaults(fn=cmd_weights_convert)
+
+    pa = sub.add_parser("parity")
+    pa.add_argument("--rank-gate", action="store_true",
+                    help="bf16-vs-f32 top-k rank parity (no weights needed)")
+    pa.add_argument("--rows", type=int, default=100_000)
+    pa.add_argument("--queries", type=int, default=16)
+    pa.add_argument("--k", type=int, default=10)
+    pa.add_argument("--checkpoint", help="converted npz checkpoint")
+    pa.add_argument("--image", help="smoke image (the reference's CLIP.png)")
+    pa.add_argument("--merges", help="CLIP BPE merges file")
+    pa.add_argument("--vocab", help="WordPiece vocab (Taiyi)")
+    pa.add_argument("--pos-dir")
+    pa.add_argument("--neg-dir")
+    pa.add_argument("--prompt", help='e.g. "a photo of lychee"')
+    pa.add_argument("--golden", default="en", choices=["en", "cn"])
+    pa.add_argument("--config")
+    pa.set_defaults(fn=cmd_parity)
 
     ad = sub.add_parser("adapter").add_subparsers(dest="subcmd", required=True)
     at = ad.add_parser("train")
