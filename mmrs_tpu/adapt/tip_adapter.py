@@ -46,6 +46,39 @@ def build_cache(
     return keys, values
 
 
+def build_cache_from_folder(
+    image_encode_raw,             # pixels_u8 [B,S,S,3] -> RAW [B,D] feats
+    shot_paths,                   # NK image paths (k per class)
+    shot_labels,                  # NK int labels
+    num_classes: int,
+    augment_epoch: int = 10,
+    image_size: int = 224,
+    batch_size: int = 64,
+    seed: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The build_cache_model driver (code/utils.py:99-132): augment_epoch
+    tower passes over the k-shot images with RandomResizedCrop(0.5-1.0,
+    bicubic) + HFlip, RAW features meaned over passes then L2-normalized
+    into the cache keys. Returns (keys [NK,D], values [NK,C],
+    aug_normalized [E,NK,D] — per-pass L2-normalized features for
+    per-epoch adapter training)."""
+    from mmrs_tpu.io.augment import augmented_epochs
+
+    passes = []
+    for views in augmented_epochs(shot_paths, augment_epoch,
+                                  size=image_size, seed=seed):
+        rows = np.concatenate([
+            np.asarray(image_encode_raw(views[a:a + batch_size]),
+                       np.float32)
+            for a in range(0, len(views), batch_size)
+        ])
+        passes.append(rows)
+    aug = jnp.asarray(np.stack(passes))                     # [E, NK, D] raw
+    labels = jnp.asarray(np.asarray(shot_labels, np.int32))
+    keys, values = build_cache(aug, labels, num_classes)
+    return keys, values, l2_normalize(aug, axis=-1)
+
+
 def tip_logits(
     feats: jnp.ndarray,           # [N, D] L2-normalized test features
     keys: jnp.ndarray,            # [NK, D]
@@ -149,7 +182,17 @@ def train_tip_adapter_f(
 ) -> TipAdapterFResult:
     """Tip-Adapter-F: train the adapter (the keys matrix as a linear layer)
     with AdamW + cosine-annealed LR; track best test F1 (main_custom.py
-    saves/reloads the best adapter at :212-214)."""
+    saves/reloads the best adapter at :212-214).
+
+    `train_feats` may be [N, D] (fixed features) or [E, N, D] — one
+    augmented view set per pass, cycled across epochs, mirroring the
+    reference's per-epoch augmented re-encode of the train loader
+    (main_custom.py:166-189)."""
+    train_feats = jnp.asarray(train_feats)
+    per_epoch = None
+    if train_feats.ndim == 3:
+        per_epoch = train_feats
+        train_feats = per_epoch[0]
     n = train_feats.shape[0]
     steps_per_epoch = max(1, (n + batch_size - 1) // batch_size)
     schedule = optax.cosine_decay_schedule(lr, epochs * steps_per_epoch)
@@ -182,11 +225,13 @@ def train_tip_adapter_f(
     best_keys = np.asarray(params["keys"])
     history = []
     for epoch in range(epochs):
+        feats_e = (per_epoch[epoch % per_epoch.shape[0]]
+                   if per_epoch is not None else train_feats)
         order = rng.permutation(n)
         for s in range(steps_per_epoch):
             idx = order[s * batch_size:(s + 1) * batch_size]
             params, opt_state, _ = step(
-                params, opt_state, train_feats[idx], train_labels[idx]
+                params, opt_state, feats_e[idx], train_labels[idx]
             )
         f1 = macro_f1(eval_preds(params), test_labels, num_classes)
         history.append(f1)

@@ -440,6 +440,40 @@ def cmd_adapter_train(args) -> int:
 
     from mmrs_tpu.adapt import tip_adapter as tip
 
+    if args.root:
+        # end-to-end from an image folder: augment_epoch tower passes build
+        # the cache (code/utils.py:99-132), then Tip-Adapter-F training
+        from mmrs_tpu.adapt.driver import run_few_shot
+        from mmrs_tpu.pipeline import build_towers
+
+        cfg = _load_config(args.config)
+        if args.checkpoint:
+            cfg.model.checkpoint_path = args.checkpoint
+        towers = build_towers(cfg, tokenizer=_make_tokenizer(args, cfg))
+        run = run_few_shot(
+            towers, args.root, shots=args.shots,
+            augment_epoch=args.augment_epochs, lr=args.lr,
+            epochs=args.epochs, alpha=args.alpha, beta=args.beta,
+            run_search_hp=args.search_hp, seed=args.seed)
+        if args.out:
+            np.savez(args.out, adapter_keys=run.result.adapter_keys,
+                     values=run.values,
+                     classes=np.asarray(run.classes))
+        print(json.dumps({
+            "classes": run.classes,
+            "zero_shot_f1": run.zero_shot_f1,
+            "tip_f1": run.tip_f1,
+            "best_f1": run.result.best_f1,
+            "best_epoch": run.result.best_epoch,
+            "hp": None if run.result.hp is None else
+            {"beta": run.result.hp.beta, "alpha": run.result.hp.alpha,
+             "f1": run.result.hp.f1},
+        }))
+        return 0
+
+    if not args.features:
+        print("need --features or --root", file=sys.stderr)
+        return 2
     data = np.load(args.features)
     keys, values = tip.build_cache(
         jnp.asarray(data["aug_features"]), jnp.asarray(data["train_labels"]),
@@ -604,8 +638,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     ad = sub.add_parser("adapter").add_subparsers(dest="subcmd", required=True)
     at = ad.add_parser("train")
-    at.add_argument("--features", required=True,
+    at.add_argument("--features",
                     help="npz with aug_features/train_*/test_*/clip_weights")
+    at.add_argument("--root",
+                    help="image folder: run the full augment-epoch cache "
+                         "build + training end-to-end")
+    at.add_argument("--shots", type=int, default=4)
+    at.add_argument("--augment-epochs", type=int, default=5)
+    at.add_argument("--seed", type=int, default=0)
+    at.add_argument("--checkpoint", help="converted npz towers checkpoint")
+    at.add_argument("--merges", help="CLIP BPE merges file")
+    at.add_argument("--vocab", help="WordPiece vocab (Taiyi)")
+    at.add_argument("--config")
     at.add_argument("--out")
     at.add_argument("--lr", type=float, default=1e-3)
     at.add_argument("--epochs", type=int, default=20)

@@ -40,6 +40,9 @@ class Towers:
     tokenizer: Optional[object] = None
     # pure jittable (params, images_u8) -> [B, D]; feed parallel.embed
     encode_fn: Optional[Callable] = None
+    # UNnormalized features — the Tip-Adapter cache contract
+    # (code/utils.py:113-121 means raw encodes before the final L2-norm)
+    image_encode_raw: Optional[Callable] = None
 
 
 def _host_cpu():
@@ -83,6 +86,16 @@ def build_towers(cfg: Config, tokenizer=None) -> Towers:
         out = _embed_images(params, jnp.asarray(pixels_u8))
         return np.asarray(out, dtype=np.float32)
 
+    @functools.partial(jax.jit, static_argnums=())
+    def _embed_images_raw(p, images_u8):
+        x = normalize_images(images_u8, dtype=compute_dtype, impl="xla")
+        return clip.encode_image(p, x, ccfg, compute_dtype=compute_dtype,
+                                 normalize=False)
+
+    def image_encode_raw(pixels_u8: np.ndarray) -> np.ndarray:
+        out = _embed_images_raw(params, jnp.asarray(pixels_u8))
+        return np.asarray(out, dtype=np.float32)
+
     text_encode = None
     if tokenizer is not None:
         if isinstance(ccfg, TaiyiCLIPConfig):
@@ -101,4 +114,4 @@ def build_towers(cfg: Config, tokenizer=None) -> Towers:
 
     return Towers(image_encode=image_encode, text_encode=text_encode,
                   params=params, clip_config=ccfg, tokenizer=tokenizer,
-                  encode_fn=_embed_images)
+                  encode_fn=_embed_images, image_encode_raw=image_encode_raw)

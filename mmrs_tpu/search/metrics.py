@@ -111,18 +111,29 @@ def macro_f1(
     num_classes: int,
     exclude_class: Optional[int] = None,
 ) -> float:
-    """Macro-averaged F1 over classes (reference `cls_f1`, code/utils.py:41-76)."""
-    cm = confusion_matrix(preds, labels, num_classes)
-    tp = jnp.diag(cm).astype(jnp.float32)
-    fp = jnp.sum(cm, axis=0).astype(jnp.float32) - tp
-    fn = jnp.sum(cm, axis=1).astype(jnp.float32) - tp
-    precision = _safe_div(tp, tp + fp)
-    recall = _safe_div(tp, tp + fn)
-    f1 = _safe_div(2 * precision * recall, precision + recall)
+    """Macro-averaged F1 over classes (reference `cls_f1`, code/utils.py:41-76).
+
+    Computed host-side in numpy: the inputs are tiny and this gets called
+    eagerly in training loops, where per-op device dispatch (remote-compile
+    on tunneled backends) would dominate."""
+    preds_a = np.asarray(preds).astype(np.int64)
+    labels_a = np.asarray(labels).astype(np.int64)
+    cm = np.bincount(labels_a * num_classes + preds_a,
+                     minlength=num_classes * num_classes
+                     ).reshape(num_classes, num_classes).astype(np.float64)
+    tp = np.diag(cm)
+    fp = cm.sum(axis=0) - tp
+    fn = cm.sum(axis=1) - tp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        precision = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 0.0)
+        recall = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1), 0.0)
+        f1 = np.where(precision + recall > 0,
+                      2 * precision * recall
+                      / np.maximum(precision + recall, 1e-12), 0.0)
     if exclude_class is not None:
-        mask = jnp.arange(num_classes) != exclude_class
-        return float(jnp.sum(f1 * mask) / jnp.maximum(jnp.sum(mask), 1))
-    return float(jnp.mean(f1))
+        mask = np.arange(num_classes) != exclude_class
+        return float(np.sum(f1 * mask) / max(int(np.sum(mask)), 1))
+    return float(np.mean(f1))
 
 
 def per_class_report(
