@@ -158,10 +158,11 @@ def cmd_dedup(args) -> int:
     dry = not args.no_dry_run
     if args.mode == "exact":
         rep = dd.exact_dedup(_collect(args.reference), _collect(args.target),
-                             dry_run=dry)
+                             dry_run=dry, workers=args.workers)
     elif args.mode == "perceptual":
         rep = dd.perceptual_dedup(_collect(args.target),
-                                  threshold=args.hamming, dry_run=dry)
+                                  threshold=args.hamming, dry_run=dry,
+                                  workers=args.workers)
     elif args.mode == "embedding":
         from mmrs_tpu.index.gallery import GalleryIndex
 
@@ -269,18 +270,45 @@ def cmd_union(args) -> int:
     import dataclasses
 
     cfg = _load_config(args.config)
-    en_towers = build_towers(cfg)
+
+    en_tok = cn_tok = None
+    if args.merges:
+        from mmrs_tpu.models.tokenizer import CLIPTokenizer
+
+        en_tok = CLIPTokenizer.from_file(args.merges)
+    if args.vocab:
+        from mmrs_tpu.models.tokenizer import BertWordPieceTokenizer
+
+        cn_tok = BertWordPieceTokenizer.from_vocab_file(args.vocab)
+
+    en_towers = build_towers(cfg, tokenizer=en_tok)
     cn_cfg = dataclasses.replace(cfg, model=config_mod.ModelConfig(
-        image_tower="vit_l14", text_tower="taiyi_roberta",
+        image_tower=args.cn_image_tower, text_tower="taiyi_roberta",
         dtype=cfg.model.dtype,
         checkpoint_path=args.cn_checkpoint,
     ))
-    cn_towers = build_towers(cn_cfg)
+    cn_towers = build_towers(cn_cfg, tokenizer=cn_tok)
 
-    # Text embeddings for the class: from --en-embed/--cn-embed npy files
-    # (tokenizers + text towers produce them; files keep the CLI decoupled)
-    en_embed = np.load(args.en_embed)
-    cn_embed = np.load(args.cn_embed)
+    def _template(template: str) -> str:
+        return (template.format(args.positive_class)
+                if "{}" in template else template)
+
+    def _class_embed(npy_path, prompt, towers, which):
+        """Class text embedding: --*-embed npy, or computed on the spot
+        from --prompt/--cn-prompt (or config.prompts) through the text
+        tower — the CLIP/union_dataset.py:263-425 ergonomics."""
+        if npy_path:
+            return np.load(npy_path)
+        tpl = prompt or cfg.prompts.get(args.positive_class)
+        if tpl is None or towers.text_encode is None:
+            print(f"{which}: need --{which}-embed, or a prompt "
+                  f"(--prompt/--cn-prompt or config.prompts) plus a "
+                  f"tokenizer (--merges/--vocab)", file=sys.stderr)
+            raise SystemExit(2)
+        return towers.text_encode([_template(tpl)])[0]
+
+    en_embed = _class_embed(args.en_embed, args.prompt, en_towers, "en")
+    cn_embed = _class_embed(args.cn_embed, args.cn_prompt, cn_towers, "cn")
 
     res = bilingual_union(
         args.root, args.positive_class,
@@ -307,12 +335,22 @@ def cmd_cascade(args) -> int:
     from mmrs_tpu.pipeline import build_towers
 
     cfg = _load_config(args.config)
-    towers = build_towers(cfg)
+    towers = build_towers(cfg, tokenizer=_make_tokenizer(args, cfg))
     ds = FolderDataset.from_root(args.root)
     paths = [p for p, _ in ds.samples]
     labels = [c == args.positive_class for _, c in ds.samples]
 
-    embed = np.load(args.class_embed)
+    if args.class_embed:
+        embed = np.load(args.class_embed)
+    else:
+        tpl = args.prompt or cfg.prompts.get(args.positive_class)
+        if tpl is None or towers.text_encode is None:
+            print("need --class-embed, or --prompt/config.prompts plus a "
+                  "tokenizer (--merges/--vocab)", file=sys.stderr)
+            return 2
+        if "{}" in tpl:
+            tpl = tpl.format(args.positive_class)
+        embed = towers.text_encode([tpl])[0]
     embed = embed / np.linalg.norm(embed)
 
     def scorer(ps):
@@ -547,6 +585,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--index")
     d.add_argument("--hamming", type=int, default=5)
     d.add_argument("--tau", type=float, default=0.96)
+    d.add_argument("--workers", type=int, default=0,
+                   help="hash thread pool size (0 = one per core)")
     add_dry(d)
     d.set_defaults(fn=cmd_dedup)
 
@@ -593,18 +633,29 @@ def build_parser() -> argparse.ArgumentParser:
     un.add_argument("--root", required=True)
     un.add_argument("--positive-class", required=True)
     un.add_argument("--out", required=True)
-    un.add_argument("--en-embed", required=True, help="npy EN class embedding")
-    un.add_argument("--cn-embed", required=True, help="npy CN class embedding")
+    un.add_argument("--en-embed", help="npy EN class embedding (or --prompt)")
+    un.add_argument("--cn-embed", help="npy CN class embedding (or --cn-prompt)")
+    un.add_argument("--prompt",
+                    help='EN prompt, e.g. "a photo of lychee" or "a photo '
+                         'of {}" ({} = positive class)')
+    un.add_argument("--cn-prompt", help='CN prompt, e.g. "一张荔枝的图片"')
+    un.add_argument("--merges", help="CLIP BPE merges file (EN text tower)")
+    un.add_argument("--vocab", help="WordPiece vocab (CN text tower)")
     un.add_argument("--en-threshold", type=float)
     un.add_argument("--cn-threshold", type=float)
     un.add_argument("--cn-checkpoint")
+    un.add_argument("--cn-image-tower", default="vit_l14",
+                    choices=["vit_b32", "vit_l14", "vit_tiny"])
     un.add_argument("--config")
     un.set_defaults(fn=cmd_union)
 
     ca = sub.add_parser("cascade")
     ca.add_argument("--root", required=True)
     ca.add_argument("--positive-class", required=True)
-    ca.add_argument("--class-embed", required=True, help="npy class embedding")
+    ca.add_argument("--class-embed", help="npy class embedding (or --prompt)")
+    ca.add_argument("--prompt", help='prompt, e.g. "a photo of {}"')
+    ca.add_argument("--merges", help="CLIP BPE merges file")
+    ca.add_argument("--vocab", help="WordPiece vocab (Taiyi)")
     ca.add_argument("--threshold", type=float, required=True)
     ca.add_argument("--verifier", default="none", choices=["none", "stub"])
     ca.add_argument("--config")

@@ -70,6 +70,8 @@ VIT_TINY = VITConfig(image_size=224, patch_size=32, width=128, layers=2,
                      heads=4, embed_dim=64)
 CLIP_TEXT_TINY = TextConfig(vocab_size=49408, context_length=77, width=128,
                             layers=2, heads=4, embed_dim=64)
+TAIYI_TINY = BertConfig(hidden_size=64, layers=2, heads=2,
+                        intermediate_size=128, num_labels=VIT_TINY.embed_dim)
 
 IMAGE_TOWERS = {"vit_b32": VIT_B32, "vit_l14": VIT_L14, "vit_tiny": VIT_TINY}
 TEXT_TOWERS = {
@@ -77,4 +79,5 @@ TEXT_TOWERS = {
     "clip_text_l14": CLIP_TEXT_L14,
     "clip_text_tiny": CLIP_TEXT_TINY,
     "taiyi_roberta": TAIYI_ROBERTA_LARGE,
+    "taiyi_tiny": TAIYI_TINY,
 }

@@ -60,7 +60,13 @@ def build_towers(cfg: Config, tokenizer=None) -> Towers:
 
     vision = IMAGE_TOWERS[cfg.model.image_tower]
     if cfg.model.text_tower == "taiyi_roberta":
-        ccfg = TaiyiCLIPConfig(vision=vision, text=TAIYI_ROBERTA_LARGE)
+        from mmrs_tpu.models.configs import TAIYI_TINY
+
+        # the text head's projection must match the image embed dim; the
+        # tiny pair exists for CI/smoke runs
+        taiyi = (TAIYI_TINY if cfg.model.image_tower == "vit_tiny"
+                 else TAIYI_ROBERTA_LARGE)
+        ccfg = TaiyiCLIPConfig(vision=vision, text=taiyi)
     else:
         text = {"vit_b32": CLIP_TEXT_B32, "vit_l14": CLIP_TEXT_L14,
                 "vit_tiny": CLIP_TEXT_TINY}[cfg.model.image_tower]
