@@ -55,8 +55,9 @@ def bench_embed():
     # Init on host CPU (tiny-op round-trips through the device tunnel are
     # slow), then ship once; params must be jit ARGUMENTS, not closure
     # constants, or they get serialized into the compile request.
-    # Serving config: bf16 weights (halves weight HBM traffic; batch 256
-    # measured faster than 512 on v5e for this tower).
+    # Serving config: bf16 weights + bf16 softmax (models/layers.attention);
+    # batch sweep on v5e: 128->11.9k, 192->12.4k, 224->12.7k, 256->11.7k,
+    # 512->8.6k img/s, so 224 is the serving batch.
     with jax.default_device(jax.devices("cpu")[0]):
         params = clip.init(jax.random.key(0), cfg)
         params = jax.tree.map(
@@ -65,7 +66,7 @@ def bench_embed():
             params,
         )
     params = jax.device_put(params, jax.devices()[0])
-    batch = 256
+    batch = 224
 
     @jax.jit
     def embed(params, images_u8):
@@ -125,12 +126,14 @@ def bench_dedup():
 
 def main():
     log(f"devices: {jax.devices()}")
-    ips = bench_embed()
+    # secondary benches FIRST: the embed bench's live buffers perturb the
+    # 1M-gallery scan (measured 23 ms vs 1.2 ms isolated), not vice versa
     try:
         bench_query()
         bench_dedup()
     except Exception as e:  # secondary benches must not break the headline
         log("secondary bench failed:", repr(e))
+    ips = bench_embed()
     print(json.dumps({
         "metric": "vit_b32_embed_throughput",
         "value": round(ips, 1),

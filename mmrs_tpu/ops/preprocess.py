@@ -1,12 +1,22 @@
-"""Image preprocessing: host decode/resize (PIL-parity) + fused device normalize.
+"""Image preprocessing: host decode/resize (PIL-parity) + device normalize.
 
 Split follows SURVEY.md §7 "hard parts": PIL's bicubic resample cannot be
 bit-matched cheaply on device, and rank parity with the reference depends on
 it — so decode + resize + center-crop stay on host with PIL-identical math
 (CLIP/lab1.py:26 `preprocess(img)`), while the per-pixel affine
-(uint8 -> scale -> CLIP mean/std normalize -> bf16) is fused into one Pallas
-kernel on device, saving an f32 round-trip through HBM: the batch travels
-host->HBM as uint8 (4x smaller) and is normalized en route to the tower.
+(uint8 -> scale -> CLIP mean/std normalize -> bf16) runs on device; the
+batch travels host->HBM as uint8 (4x smaller).
+
+WHY THE XLA PATH IS THE PRODUCTION DEFAULT (measured on v5e, 2026-08-16):
+XLA fuses this affine into the consumer (the patchify transpose + patch
+matmul), so the normalized image is never materialized in HBM — the
+standalone op pipelines at ~0 ms inside the tower. The Pallas kernel below
+is a separate pallas_call, which forces a [B,224,224,3] bf16 intermediate
+through HBM (write + re-read): ViT-B/32 embed measured 28.4 ms vs 24.8 ms
+per 256-image batch with it in the path. `impl="auto"` therefore resolves
+to "xla" everywhere; the kernel is kept as the reference implementation for
+standalone normalization and tests. (It also needs a uint8->int32->f32 cast
+hop — Mosaic on this TPU has no direct uint8->float cast.)
 
 CLIP normalization constants from code/custom.py:28.
 """
@@ -73,7 +83,9 @@ def hf_resize_center_crop(img, size: int = 224):
 # --------------------------------------------------------------------------
 
 def _norm_kernel(x_ref, mean_ref, inv_std_ref, out_ref):
-    x = x_ref[:].astype(jnp.float32) * (1.0 / 255.0)
+    # Mosaic has no direct uint8->float cast on this TPU generation; the
+    # int32 hop lowers cleanly (measured: u8->i32->f32 OK, u8->f32 FAILs).
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     out_ref[:] = ((x - mean_ref[:]) * inv_std_ref[:]).astype(out_ref.dtype)
 
 
@@ -83,9 +95,9 @@ def normalize_images(
     dtype=jnp.bfloat16,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """(x/255 - mean) / std, fused on device, output in compute dtype."""
+    """(x/255 - mean) / std on device, output in compute dtype."""
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"  # measured faster: fuses into the patch matmul (above)
 
     mean = jnp.asarray(CLIP_MEAN, jnp.float32)
     inv_std = 1.0 / jnp.asarray(CLIP_STD, jnp.float32)
