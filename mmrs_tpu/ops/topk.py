@@ -103,13 +103,20 @@ def _cosine_topk_pallas(
     qp = _round_up(max(q, 8), 8)
     dp = _round_up(d, 128)
     tile_n = min(tile_n, _round_up(n, 128))
-    np_ = _round_up(n, tile_n)
 
-    queries_p = jnp.zeros((qp, dp), queries.dtype).at[:q, :d].set(queries)
-    gallery_p = jnp.zeros((np_, dp), gallery.dtype).at[:n, :d].set(gallery)
+    if (qp, dp) != (q, d):
+        queries = jnp.zeros((qp, dp), queries.dtype).at[:q, :d].set(queries)
+    if dp != d:
+        # rare (D not lane-aligned): column-pad the gallery — a full copy,
+        # acceptable only off the serving configs (D=512/768 are aligned)
+        gallery = jnp.zeros((n, dp), gallery.dtype).at[:, :d].set(gallery)
+    # NO row padding: the grid's last block may overrun the gallery — Pallas
+    # clamps the block read and the kernel masks rows >= n_valid to -inf, so
+    # no padded HBM copy of the gallery is ever materialized (a 10 GB
+    # resident gallery would not fit twice; scatter-copy OOM seen at 10M rows)
     n_arr = jnp.asarray([n], jnp.int32)
 
-    grid = (np_ // tile_n,)
+    grid = (_round_up(n, tile_n) // tile_n,)
     out_v, out_i = pl.pallas_call(
         functools.partial(_kernel, k=k, tile_n=tile_n),
         grid=grid,
@@ -133,7 +140,7 @@ def _cosine_topk_pallas(
             pltpu.VMEM((qp, k), jnp.int32),
         ],
         interpret=interpret,
-    )(n_arr, queries_p, gallery_p)
+    )(n_arr, queries, gallery)
     return out_v[:q], out_i[:q]
 
 

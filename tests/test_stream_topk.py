@@ -1,0 +1,57 @@
+"""Streaming top-k over an on-disk index (bounded-memory capacity mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mmrs_tpu.index.stream import streaming_topk
+from mmrs_tpu.ops.topk import cosine_topk
+
+
+def _mk(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def test_streaming_matches_oracle(tmp_path):
+    n, d, q, k = 30_000, 64, 4, 10
+    emb = _mk(n, d)
+    queries = _mk(q, d, seed=1)
+    emb[29_990] = queries[0]          # hit in the last (ragged) chunk
+
+    mm_path = tmp_path / "idx.npy"
+    np.save(mm_path, emb.astype(np.float16))
+    mm = np.load(mm_path, mmap_mode="r")
+
+    # oracle on the same f16-rounded data in the same device dtype
+    v_ref, i_ref = cosine_topk(
+        jnp.asarray(emb.astype(np.float16), jnp.float32),
+        jnp.asarray(np.asarray(mm), jnp.float32), k, impl="xla")
+    # chunk 8192: 3 full chunks + ragged tail of 5424 rows
+    v, i = streaming_topk(mm, emb[[29_990, 5, 9_000, 20_000]],
+                          k=k, chunk_rows=8192,
+                          device_dtype=jnp.float32, impl="xla")
+    assert v.shape == (4, k) and i.shape == (4, k)
+    assert i[0, 0] == 29_990
+    # global agreement for a query vector present in the gallery
+    for qi, row in enumerate([29_990, 5, 9_000, 20_000]):
+        assert i[qi, 0] == row
+
+    # full oracle comparison
+    vq, iq = streaming_topk(mm, np.asarray(mm[: q]), k=k, chunk_rows=8192,
+                            device_dtype=jnp.float32, impl="xla")
+    v2, i2 = cosine_topk(jnp.asarray(np.asarray(mm[:q]), jnp.float32),
+                         jnp.asarray(np.asarray(mm), jnp.float32),
+                         k, impl="xla")
+    np.testing.assert_array_equal(iq, np.asarray(i2))
+    np.testing.assert_allclose(vq, np.asarray(v2), atol=1e-5)
+
+
+def test_streaming_tail_smaller_than_k():
+    emb = _mk(100, 16)
+    v, i = streaming_topk(emb, emb[:2], k=8, chunk_rows=97,
+                          device_dtype=jnp.float32, impl="xla")
+    # tail chunk has 3 rows < k: sentinels must not leak into the top-8
+    assert (i >= 0).all() and (i < 100).all()
+    assert i[0, 0] == 0 and i[1, 0] == 1
