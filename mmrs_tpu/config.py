@@ -23,7 +23,7 @@ class ModelConfig:
     # Named tower presets; see mmrs_tpu.models.configs.
     image_tower: str = "vit_b32"          # vit_b32 | vit_l14
     text_tower: str = "clip_text"         # clip_text | taiyi_roberta
-    dtype: str = "bfloat16"               # compute dtype on MXU
+    dtype: str = "bfloat16"               # float32 | bfloat16 | int8 (serving)
     param_dtype: str = "float32"          # master param dtype
     checkpoint_path: Optional[str] = None  # converted-weights checkpoint
 

@@ -11,13 +11,54 @@ Design rules (TPU-first, see /opt/skills/guides/pallas_guide.md):
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 Params = Dict[str, Any]
+
+
+class QTensor(NamedTuple):
+    """int8 weight + per-output-channel f32 scale (w ~= q * s).
+
+    v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 TOPS vs
+    197 TFLOPS), so the serving towers can trade one elementwise
+    dynamic-quantization pass per matmul for half the MXU time. A NamedTuple
+    is already a pytree, so stacked per-layer QTensors scan like plain
+    arrays and ship through jit argument trees unchanged.
+    """
+
+    q: jnp.ndarray                 # int8 [..., K, N]
+    s: jnp.ndarray                 # f32  [..., N]
+
+
+def quantize_weight(w: jnp.ndarray) -> QTensor:
+    """Per-output-channel symmetric int8 quantization of a [..., K, N] kernel."""
+    w32 = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)      # [..., 1, N]
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.round(w32 / s).astype(jnp.int8)
+    return QTensor(q, jnp.squeeze(s, -2))
+
+
+def _dense_int8(x: jnp.ndarray, kernel: QTensor, bias,
+                compute_dtype: jnp.dtype) -> jnp.ndarray:
+    """Dynamic per-row activation quant -> int8 MXU matmul -> rescale."""
+    x32 = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
+                     1e-12) / 127.0
+    xq = jnp.round(x32 / sx).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, kernel.q,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * kernel.s.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(compute_dtype)
 
 
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
@@ -32,6 +73,8 @@ def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
 
 def dense(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None,
           compute_dtype: jnp.dtype) -> jnp.ndarray:
+    if isinstance(kernel, QTensor):
+        return _dense_int8(x, kernel, bias, compute_dtype)
     y = jnp.dot(
         x.astype(compute_dtype),
         kernel.astype(compute_dtype),

@@ -1,0 +1,59 @@
+"""int8 serving quantization for the towers (opt-in, serving only).
+
+v5e's MXU executes int8 x int8 -> int32 at twice the bf16 rate, and the
+tower matmuls carry ~98% of the embed FLOPs, so quantizing the six block
+kernels (+patch embedding) roughly halves MXU time per image. Weights get
+per-output-channel symmetric scales at load time; activations are
+dynamically quantized per row inside `layers.dense` (see
+`layers._dense_int8`). Everything else — LayerNorm, softmax, residuals,
+embeddings, the final projection — stays in the bf16/f32 serving mix, so
+the numerics that decide ranking (f32 accumulation, f32 logits) are
+unchanged.
+
+Accuracy contract: int8-vs-f32 embedding cosine and top-k rank parity are
+gated in tests/test_quantized_tower.py; the bf16-vs-f32 gate in
+eval/parity.py covers the gallery side. The reference has no quantized
+path (torch fp16 everywhere, e.g. code/search_image.py); this is
+TPU-native headroom, not a parity feature.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from mmrs_tpu.models.layers import QTensor, quantize_weight
+
+Params = Dict[str, Any]
+
+# kernel leaf names eligible for int8 (matmul right-hand sides [.., K, N])
+_QUANT_KEYS = frozenset(
+    {"wq", "wk", "wv", "wo", "w1", "w2", "patch_kernel"}
+)
+
+
+def quantize_tree(params: Params, keys=_QUANT_KEYS) -> Params:
+    """Return a copy of a param tree with eligible kernels as QTensors.
+
+    Works on any of our towers (ViT, text transformer, BERT): stacked
+    per-layer kernels ([L, K, N]) quantize per (layer, out-channel) and
+    still scan, since QTensor is a pytree.
+    """
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {
+                k: quantize_weight(v)
+                if k in keys and not isinstance(v, (dict, QTensor))
+                else walk(v)
+                for k, v in node.items()
+            }
+        return node
+
+    return walk(params)
+
+
+def quantize_clip_visual(params: Params) -> Params:
+    """CLIP param tree with the vision tower quantized, text left as-is."""
+    out = dict(params)
+    out["visual"] = quantize_tree(params["visual"])
+    return out

@@ -81,7 +81,13 @@ def build_towers(cfg: Config, tokenizer=None) -> Towers:
             else:
                 params = clip.init(jax.random.key(cfg.seed), ccfg)
 
-    compute_dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+    # dtype "int8": bf16 compute mix with the vision-tower matmuls running
+    # int8 x int8 on the MXU (2x the bf16 rate on v5e) — see models/quantize.py
+    compute_dtype = jnp.float32 if cfg.model.dtype == "float32" else jnp.bfloat16
+    if cfg.model.dtype == "int8":
+        from mmrs_tpu.models.quantize import quantize_clip_visual
+
+        params = quantize_clip_visual(params)
 
     @functools.partial(jax.jit, static_argnums=())
     def _embed_images(p, images_u8):
