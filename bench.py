@@ -71,11 +71,19 @@ def bench_embed(int8: bool = False, batch: int = 224):
 
             params = quantize_clip_visual(params)
     params = jax.device_put(params, jax.devices()[0])
+    # unroll=2 helps the int8 path (+2%: XLA overlaps the dynamic-quant
+    # passes across adjacent layers); no effect on bf16. Larger batches
+    # fall off a cliff (288 -> 10.7k img/s). The fused Pallas short-seq
+    # attention kernel (ops/attention.py) measured SLOWER here (21.6 vs
+    # 17.8 ms/batch): per-(image,head) [50,64] dots carry too much fixed
+    # MXU/Mosaic overhead, XLA's batched einsum wins for T=50 on v5e --
+    # so the serving config stays attn_impl="xla", like the preproc kernel.
+    unroll = 2 if int8 else 1
 
     @jax.jit
     def embed(params, images_u8):
         x = normalize_images(images_u8, dtype=jnp.bfloat16, impl="xla")
-        return clip.encode_image(params, x, cfg)
+        return clip.encode_image(params, x, cfg, unroll=unroll)
 
     # Generate batches ON DEVICE: the tunnel's host->device link is not
     # representative of production ingest, and uploading 8 x 77 MB would

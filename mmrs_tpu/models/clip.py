@@ -43,15 +43,20 @@ def init(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> Params:
     }
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "normalize"))
+@partial(jax.jit,
+         static_argnames=("cfg", "compute_dtype", "normalize", "unroll",
+                          "attn_impl"))
 def encode_image(
     params: Params,
     images: jnp.ndarray,
     cfg: CLIPConfig,
     compute_dtype=jnp.bfloat16,
     normalize: bool = True,
+    unroll: int = 1,
+    attn_impl: str = "xla",
 ) -> jnp.ndarray:
-    feats = vit.apply(params["visual"], images, cfg.vision, compute_dtype)
+    feats = vit.apply(params["visual"], images, cfg.vision, compute_dtype,
+                      unroll=unroll, attn_impl=attn_impl)
     return l2_normalize(feats) if normalize else feats
 
 

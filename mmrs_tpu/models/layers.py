@@ -43,22 +43,32 @@ def quantize_weight(w: jnp.ndarray) -> QTensor:
     return QTensor(q, jnp.squeeze(s, -2))
 
 
-def _dense_int8(x: jnp.ndarray, kernel: QTensor, bias,
-                compute_dtype: jnp.dtype) -> jnp.ndarray:
-    """Dynamic per-row activation quant -> int8 MXU matmul -> rescale."""
+def _quantize_act(x: jnp.ndarray):
+    """Dynamic per-row symmetric int8 quantization of activations."""
     x32 = x.astype(jnp.float32)
     sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
                      1e-12) / 127.0
-    xq = jnp.round(x32 / sx).astype(jnp.int8)
+    return jnp.round(x32 / sx).astype(jnp.int8), sx
+
+
+def _int8_matmul(xq: jnp.ndarray, sx: jnp.ndarray, kernel: QTensor, bias,
+                 compute_dtype: jnp.dtype) -> jnp.ndarray:
     acc = jax.lax.dot_general(
         xq, kernel.q,
-        (((x.ndim - 1,), (0,)), ((), ())),
+        (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     y = acc.astype(jnp.float32) * sx * kernel.s.astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(compute_dtype)
+
+
+def _dense_int8(x: jnp.ndarray, kernel: QTensor, bias,
+                compute_dtype: jnp.dtype) -> jnp.ndarray:
+    """Dynamic per-row activation quant -> int8 MXU matmul -> rescale."""
+    xq, sx = _quantize_act(x)
+    return _int8_matmul(xq, sx, kernel, bias, compute_dtype)
 
 
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
@@ -100,16 +110,35 @@ def attention(
     heads: int,
     mask: jnp.ndarray | None,   # additive f32 mask broadcastable to [B, H, Q, K]
     compute_dtype: jnp.dtype,
+    attn_impl: str = "xla",     # "xla" | "pallas" | "pallas_interpret"
 ) -> jnp.ndarray:
     b, t, w = x.shape
     hd = w // heads
     # 1/sqrt(d) folded into q BEFORE the score matmul (one [B,T,W] multiply
     # instead of a [B,H,T,T] f32 multiply).
     scale = jnp.asarray(1.0 / np.sqrt(hd), compute_dtype)
-    q = (dense(x, p["wq"], p["bq"], compute_dtype) * scale
-         ).reshape(b, t, heads, hd)
-    k = dense(x, p["wk"], p["bk"], compute_dtype).reshape(b, t, heads, hd)
-    v = dense(x, p["wv"], p["bv"], compute_dtype).reshape(b, t, heads, hd)
+    if isinstance(p["wq"], QTensor):
+        # quantize the (shared) layer input once for all three projections
+        xq, sx = _quantize_act(x)
+        q = _int8_matmul(xq, sx, p["wq"], p["bq"], compute_dtype)
+        k = _int8_matmul(xq, sx, p["wk"], p["bk"], compute_dtype)
+        v = _int8_matmul(xq, sx, p["wv"], p["bv"], compute_dtype)
+    else:
+        q = dense(x, p["wq"], p["bq"], compute_dtype)
+        k = dense(x, p["wk"], p["bk"], compute_dtype)
+        v = dense(x, p["wv"], p["bv"], compute_dtype)
+    q = q * scale
+
+    if attn_impl != "xla" and mask is None:
+        # fused short-seq kernel: no head transposes or [B,H,T,T] HBM logits
+        from mmrs_tpu.ops.attention import mha_short_seq
+
+        out = mha_short_seq(q, k, v, heads, impl=attn_impl)
+        return dense(out, p["wo"], p["bo"], compute_dtype)
+
+    q = q.reshape(b, t, heads, hd)
+    k = k.reshape(b, t, heads, hd)
+    v = v.reshape(b, t, heads, hd)
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )
@@ -141,10 +170,11 @@ def pre_ln_block(
     mask: jnp.ndarray | None,
     act,
     compute_dtype: jnp.dtype,
+    attn_impl: str = "xla",
 ) -> jnp.ndarray:
     """CLIP-style pre-LayerNorm residual block."""
     x = x + attention(layer_norm(x, p["ln1_scale"], p["ln1_bias"]), p["attn"],
-                      heads, mask, compute_dtype)
+                      heads, mask, compute_dtype, attn_impl)
     x = x + mlp(layer_norm(x, p["ln2_scale"], p["ln2_bias"]), p["mlp"],
                 act, compute_dtype)
     return x
@@ -157,13 +187,31 @@ def scan_blocks(
     mask: jnp.ndarray | None,
     act,
     compute_dtype: jnp.dtype,
+    unroll: int = 1,
+    attn_impl: str = "xla",
 ) -> jnp.ndarray:
-    """Run all transformer blocks via one lax.scan over stacked params."""
+    """Run all transformer blocks over stacked per-layer params.
+
+    Default: one lax.scan (single compiled layer, minimal compile time).
+    With a Pallas attention impl the layers run as a Python loop over
+    static slices of the stacked params instead — on this platform a
+    pallas_call inside lax.scan hangs Mosaic compilation, and the serving
+    towers are shallow enough (12-24 layers) that the unrolled graph
+    compiles fine.
+    """
+    if attn_impl.startswith("pallas"):
+        n_layers = jax.tree.leaves(stacked)[0].shape[0]
+        h = x
+        for i in range(n_layers):
+            layer = jax.tree.map(lambda a: a[i], stacked)
+            h = pre_ln_block(h, layer, heads, mask, act, compute_dtype,
+                             attn_impl)
+        return h
 
     def body(h, layer_params):
         return pre_ln_block(h, layer_params, heads, mask, act, compute_dtype), None
 
-    out, _ = jax.lax.scan(body, x, stacked)
+    out, _ = jax.lax.scan(body, x, stacked, unroll=unroll)
     return out
 
 

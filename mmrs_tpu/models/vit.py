@@ -57,6 +57,8 @@ def apply(
     images: jnp.ndarray,           # [B, H, W, 3] float, already CLIP-normalized
     cfg: VITConfig,
     compute_dtype=jnp.bfloat16,
+    unroll: int = 1,               # lax.scan unroll for the block stack
+    attn_impl: str = "xla",        # "pallas" = fused short-seq MHA kernel
 ) -> jnp.ndarray:                   # [B, embed_dim]
     x = patchify(images, cfg.patch_size)                       # [B, N, P*P*3]
     x = dense(x, params["patch_kernel"], None, compute_dtype)  # [B, N, W]
@@ -68,7 +70,8 @@ def apply(
 
     x = layer_norm(x, params["ln_pre_scale"], params["ln_pre_bias"])
     act = quick_gelu if cfg.quick_gelu else gelu
-    x = scan_blocks(x, params["blocks"], cfg.heads, None, act, compute_dtype)
+    x = scan_blocks(x, params["blocks"], cfg.heads, None, act, compute_dtype,
+                    unroll=unroll, attn_impl=attn_impl)
 
     cls_tok = x[:, 0, :]
     cls_tok = layer_norm(cls_tok, params["ln_post_scale"], params["ln_post_bias"])

@@ -1,0 +1,53 @@
+"""Fused short-seq MHA kernel vs the einsum oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmrs_tpu.ops.attention import _pick_block_b, mha_short_seq
+
+
+def _qkv(b, t, w, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    return [jax.random.normal(k, (b, t, w), dtype) * 0.3 for k in ks]
+
+
+def test_matches_xla_oracle_vit_b32_shape():
+    q, k, v = _qkv(4, 50, 768)
+    ref = mha_short_seq(q, k, v, heads=12, impl="xla")
+    out = mha_short_seq(q, k, v, heads=12, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_matches_oracle_odd_heads_and_t():
+    q, k, v = _qkv(3, 17, 64, seed=1)
+    ref = mha_short_seq(q, k, v, heads=4, impl="xla")
+    out = mha_short_seq(q, k, v, heads=4, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_block_b_divides_batch():
+    assert _pick_block_b(224, 50, 768) in (4, 8, 14, 16)
+    assert 224 % _pick_block_b(224, 50, 768) == 0
+    assert _pick_block_b(7, 50, 768) == 7
+    assert _pick_block_b(1, 257, 1024) == 1
+
+
+def test_tower_with_pallas_attention_matches_xla():
+    """Full ViT forward: pallas-attention unrolled loop vs lax.scan path."""
+    from mmrs_tpu.models import clip
+    from mmrs_tpu.models.clip import CLIPConfig
+    from mmrs_tpu.models.configs import CLIP_TEXT_TINY, VIT_TINY
+
+    cfg = CLIPConfig(vision=VIT_TINY, text=CLIP_TEXT_TINY)
+    params = clip.init(jax.random.key(0), cfg)
+    imgs = jax.random.normal(jax.random.key(1), (2, 224, 224, 3)) * 0.5
+    ref = clip.encode_image(params, imgs, cfg, compute_dtype=jnp.float32)
+    out = clip.encode_image(params, imgs, cfg, compute_dtype=jnp.float32,
+                            attn_impl="pallas_interpret")
+    # same math modulo f32 softmax (kernel) vs f32 softmax (xla f32 path):
+    # identical here since compute is f32 end to end
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
