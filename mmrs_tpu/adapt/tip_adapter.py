@@ -133,18 +133,39 @@ def search_hp(
     num_classes: int,
     search_scale: Tuple[float, float] = (7.0, 3.0),
     search_step: Tuple[int, int] = (200, 20),
+    mesh=None,
 ) -> HPResult:
-    """Grid semantics of utils.py:159-206: beta_i = (i+1)*scale0/steps0."""
+    """Grid semantics of utils.py:159-206: beta_i = (i+1)*scale0/steps0.
+
+    With `mesh`, the beta axis of the grid is sharded over the mesh's data
+    axis (features/cache replicated — they are tiny next to the [B, A]
+    sweep) and XLA partitions the vmap; each device evaluates its beta
+    slice, no communication until the final gather of the F1 surface.
+    """
+    n_beta = search_step[0]
     betas = jnp.asarray(
-        [(i + 1) * search_scale[0] / search_step[0] for i in range(search_step[0])]
+        [(i + 1) * search_scale[0] / search_step[0] for i in range(n_beta)]
     )
     alphas = jnp.asarray(
         [(i + 1) * search_scale[1] / search_step[1] for i in range(search_step[1])]
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mmrs_tpu.parallel.mesh import DATA_AXIS
+
+        shards = mesh.shape[DATA_AXIS]
+        pad = (-n_beta) % shards
+        if pad:
+            betas = jnp.concatenate([betas, jnp.full((pad,), betas[-1])])
+        betas = jax.device_put(betas, NamedSharding(mesh, P(DATA_AXIS)))
+        repl = NamedSharding(mesh, P())
+        feats, keys, values, clip_weights = jax.device_put(
+            (feats, keys, values, clip_weights), repl)
     grid = np.asarray(
         _grid_f1(feats, keys, values, clip_weights, jnp.asarray(labels),
                  betas, alphas, num_classes)
-    )
+    )[:n_beta]
     bi, ai = np.unravel_index(np.argmax(grid), grid.shape)
     return HPResult(
         beta=float(betas[bi]), alpha=float(alphas[ai]),
