@@ -37,7 +37,8 @@ from mmrs_tpu.ops.preprocess import normalize_images
 
 N_IMAGES = 448          # 2 embed batches of 224
 GATE_BATCH = 224
-VERIFY_BATCH = 2
+VERIFY_BATCH = 2        # bf16: 13.5 GB weights leave room for batch 2
+VERIFY_BATCH_INT8 = 8   # int8: 7 GB weights -> batch 8 KV cache fits
 SURVIVOR_FRACTION = 0.10
 MAX_NEW_TOKENS = 8      # "yes"/"no" + slack
 PROMPT_LEN = 48         # llava_v1 system + USER/ASSISTANT framing
@@ -95,19 +96,48 @@ def llava_7b_structs(cfg: llava.LLaVAConfig):
     }
 
 
+def quantized_structs(structs):
+    """bf16 struct tree -> QTensor struct tree for the int8 serving keys
+    (mirrors models/quantize.quantize_llava without touching values)."""
+    from mmrs_tpu.models.layers import QTensor
+    from mmrs_tpu.models.quantize import _LM_KEYS, _QUANT_KEYS
+
+    def walk(node, keys):
+        if isinstance(node, dict):
+            return {
+                k: QTensor(
+                    jax.ShapeDtypeStruct(v.shape, jnp.int8),
+                    jax.ShapeDtypeStruct(v.shape[:-2] + v.shape[-1:],
+                                         jnp.float32),
+                ) if k in keys and not isinstance(v, dict) else walk(v, keys)
+                for k, v in node.items()
+            }
+        return node
+
+    out = dict(structs)
+    out["visual"] = walk(structs["visual"], _QUANT_KEYS)
+    out["lm"] = walk(structs["lm"], _LM_KEYS)
+    return out
+
+
 def generate_params_into_formats(structs, formats):
-    """Random bf16 params generated ON DEVICE directly in the layout the
+    """Random params generated ON DEVICE directly in the layout the
     compiled verify step wants — 13.5 GB of 7B weights never exist in two
-    layouts at once (a post-hoc relayout copy OOMs the 16 GB chip)."""
+    layouts at once (a post-hoc relayout copy OOMs the 16 GB chip).
+    int8 leaves (quantized serving weights) generate as randint; their f32
+    scales as small constants — stage timings don't depend on values."""
     flat_s, tree = jax.tree.flatten(structs)
     flat_f, _ = jax.tree.flatten(formats)
     leaves = []
     for i, (st, fmt) in enumerate(zip(flat_s, flat_f)):
-        gen = jax.jit(
-            lambda k, shape=st.shape, dt=st.dtype:
-            (jax.random.normal(k, shape, dt) * 0.02
-             if len(shape) > 1 else jnp.ones(shape, dt)),
-            out_shardings=fmt)
+        def make(k, shape=st.shape, dt=st.dtype):
+            if dt == jnp.int8:
+                return jax.random.randint(k, shape, -127, 128, jnp.int8)
+            if len(shape) > 1:
+                return jax.random.normal(k, shape, dt) * 0.02
+            return jnp.full(shape, 0.0002 if dt == jnp.float32 else 1.0, dt)
+
+        gen = jax.jit(make, out_shardings=fmt)
         leaf = gen(jax.random.key(i))
         leaf.block_until_ready()
         leaves.append(leaf)
@@ -115,7 +145,10 @@ def generate_params_into_formats(structs, formats):
 
 
 def main():
-    log(f"devices: {jax.devices()}")
+    int8 = "--int8" in sys.argv
+    verify_batch = VERIFY_BATCH_INT8 if int8 else VERIFY_BATCH
+    log(f"devices: {jax.devices()}  verifier={'int8' if int8 else 'bf16'} "
+        f"batch={verify_batch}")
     dev = jax.devices()[0]
 
     # ---- stage 1: EN CLIP gate --------------------------------------------
@@ -163,10 +196,10 @@ def main():
     for leaf in jax.tree.leaves((cparams, batches, outs)):
         leaf.delete()
 
-    pre_ids = jnp.ones((VERIFY_BATCH, PROMPT_LEN - 12), jnp.int32)
-    post_ids = jnp.ones((VERIFY_BATCH, 12), jnp.int32)
+    pre_ids = jnp.ones((verify_batch, PROMPT_LEN - 12), jnp.int32)
+    post_ids = jnp.ones((verify_batch, 12), jnp.int32)
     imgs = jax.random.randint(jax.random.key(5),
-                              (VERIFY_BATCH, 336, 336, 3), 0, 256, jnp.uint8)
+                              (verify_batch, 336, 336, 3), 0, 256, jnp.uint8)
 
     def verify_fn(p, u8, pre, post):
         x = normalize_images(u8, dtype=jnp.bfloat16, impl="xla")
@@ -183,6 +216,8 @@ def main():
 
     verify_j = jax.jit(verify_fn, in_shardings=Format(Layout.AUTO))
     p_structs = llava_7b_structs(LLAVA_7B)
+    if int8:
+        p_structs = quantized_structs(p_structs)
     structs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
         (p_structs, imgs, pre_ids, post_ids))
@@ -206,16 +241,16 @@ def main():
 
     jax.block_until_ready(imgs)
     out = np.asarray(verify(vparams, imgs, pre_ids, post_ids))  # warmup
-    n_verify_batches = max(1, survivors // VERIFY_BATCH)
+    n_verify_batches = max(1, survivors // verify_batch)
     t0 = time.perf_counter()
     res = None
     for i in range(n_verify_batches):
         res = verify(vparams, imgs, pre_ids, post_ids)
     np.asarray(res)
     vlm_s = time.perf_counter() - t0
-    per_image = vlm_s / (n_verify_batches * VERIFY_BATCH)
-    log(f"verify: {n_verify_batches * VERIFY_BATCH} images in {vlm_s:.2f} s "
-        f"({per_image*1e3:.0f} ms/img at batch {VERIFY_BATCH}, "
+    per_image = vlm_s / (n_verify_batches * verify_batch)
+    log(f"verify: {n_verify_batches * verify_batch} images in {vlm_s:.2f} s "
+        f"({per_image*1e3:.0f} ms/img at batch {verify_batch}, "
         f"{MAX_NEW_TOKENS} new tokens, 576 vision tokens)")
 
     total_s = gate_s + vlm_s
@@ -228,7 +263,9 @@ def main():
         "vlm_ms_per_survivor": round(per_image * 1e3, 1),
         "total_ms": round(total_s * 1e3, 1),
         "total_ms_per_image": round(total_s * 1e3 / N_IMAGES, 2),
-        "verifier": "llava-7b-config bf16, single v5e chip",
+        "verifier": ("llava-7b-config "
+                     + ("int8" if int8 else "bf16")
+                     + f", batch {verify_batch}, single v5e chip"),
     }
     log("stage table:", table)
     print(json.dumps({"metric": "cascade_stage_breakdown", **table}))

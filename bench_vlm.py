@@ -1,12 +1,21 @@
-"""VLM verifier decode benchmark: greedy tokens/sec on a 1.1B decoder.
+"""VLM verifier decode benchmark: greedy tokens/sec, bf16 vs int8 weights.
 
-Secondary benchmark (the headline lives in bench.py). Sizes follow a
-TinyLlama-class config; the whole prefill+decode loop runs inside ONE jit
-(lax.scan), so the tunnel RTT is paid once per generate call.
+Measures the llava-v1.5-7b decoder config (LLAMA2_7B) that the cascade
+verifier actually serves, plus the 1.1B proxy for roofline context. The
+whole prefill+decode loop runs inside ONE jit (lax.scan), so the tunnel
+RTT is paid once per generate call.
+
+Weights are random and generated ON DEVICE (13.5 GB must not cross the
+tunnel, and the host is a single core); values don't affect step timing.
+Decode at small batch is weight-bandwidth-bound: int8 serving weights
+(models/quantize.py — same scheme the reference uses via load_8bit=True,
+code/test_llava.py:13) halve the bytes per step.
 """
 
 from __future__ import annotations
 
+import gc
+import json
 import sys
 import time
 
@@ -15,43 +24,62 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmrs_tpu.models import llama
-from mmrs_tpu.models.llama import LlamaConfig
+from mmrs_tpu.models.layers import QTensor
+from mmrs_tpu.models.llama import LLAMA2_7B, LlamaConfig
 
 
-def main() -> None:
-    cfg = LlamaConfig(vocab_size=32000, dim=2048, layers=22, heads=32,
-                      kv_heads=4, mlp_dim=5632, max_seq=512)
-    batch, prompt_len, new_tokens = 8, 64, 64
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
 
-    print("init params (host numpy)...", file=sys.stderr, flush=True)
-    import ml_dtypes
 
-    rng = np.random.default_rng(0)
+_Q_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head"}
 
-    def nrm(*shape):
-        return (rng.standard_normal(shape, dtype=np.float32) * 0.02).astype(
-            ml_dtypes.bfloat16)
 
+def device_params(cfg: LlamaConfig, int8: bool, seed=0):
+    """Random llama params generated on device, bf16 or int8-quantized."""
     L, D, M = cfg.layers, cfg.dim, cfg.mlp_dim
     kvd = cfg.kv_heads * cfg.head_dim
-    params = {
-        "embed": nrm(cfg.vocab_size, D),
+    shapes = {
+        "embed": (cfg.vocab_size, D),
         "blocks": {
-            "attn_norm": np.ones((L, D), ml_dtypes.bfloat16),
-            "wq": nrm(L, D, D), "wk": nrm(L, D, kvd), "wv": nrm(L, D, kvd),
-            "wo": nrm(L, D, D),
-            "mlp_norm": np.ones((L, D), ml_dtypes.bfloat16),
-            "w_gate": nrm(L, D, M), "w_up": nrm(L, D, M),
-            "w_down": nrm(L, M, D),
+            "attn_norm": (L, D),
+            "wq": (L, D, D), "wk": (L, D, kvd), "wv": (L, D, kvd),
+            "wo": (L, D, D),
+            "mlp_norm": (L, D),
+            "w_gate": (L, D, M), "w_up": (L, D, M), "w_down": (L, M, D),
         },
-        "final_norm": np.ones((D,), ml_dtypes.bfloat16),
-        "lm_head": nrm(D, cfg.vocab_size),
+        "final_norm": (D,),
+        "lm_head": (D, cfg.vocab_size),
     }
-    params = jax.device_put(params, jax.devices()[0])
+
+    i = [seed * 1000]
+
+    def gen(name, shape):
+        i[0] += 1
+        key = jax.random.key(i[0])
+        if int8 and name in _Q_KEYS:
+            q = jax.jit(lambda k: jax.random.randint(
+                k, shape, -127, 128, jnp.int8))(key)
+            s = jnp.full(shape[:-2] + shape[-1:], 0.0002, jnp.float32)
+            return QTensor(q, s)
+        if len(shape) > 1:
+            return jax.jit(lambda k: jax.random.normal(
+                k, shape, jnp.bfloat16) * 0.02)(key)
+        return jnp.ones(shape, jnp.bfloat16)
+
+    def walk(node, prefix=""):
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        return gen(prefix, node)
+
+    params = walk(shapes)
     jax.block_until_ready(params)
-    print("params on device", file=sys.stderr, flush=True)
-    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
-    print(f"{n_params/1e9:.2f}B params", file=sys.stderr, flush=True)
+    return params
+
+
+def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5):
+    n_bytes = sum(x.nbytes for x in jax.tree.leaves(params))
+    log(f"[{label}] params on device: {n_bytes/1e9:.2f} GB")
 
     @jax.jit
     def gen(params, tokens):
@@ -62,29 +90,53 @@ def main() -> None:
     tokens = jax.random.randint(jax.random.key(1), (batch, prompt_len),
                                 3, 31000, jnp.int32)
     t0 = time.perf_counter()
-    out = gen(params, tokens)
-    _ = np.asarray(out)
-    print(f"compile+first: {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr, flush=True)
+    np.asarray(gen(params, tokens))
+    log(f"[{label}] compile+first: {time.perf_counter()-t0:.1f}s")
 
     ts = []
-    for i in range(5):
+    for i in range(reps):
         tk = jax.random.randint(jax.random.key(2 + i), (batch, prompt_len),
                                 3, 31000, jnp.int32)
         t0 = time.perf_counter()
-        out = gen(params, tk)
-        _ = np.asarray(out)
+        np.asarray(gen(params, tk))
         ts.append(time.perf_counter() - t0)
     best = min(ts) - 0.027  # tunnel RTT
     tps = batch * new_tokens / best
     step_ms = best / new_tokens * 1e3
-    print(f"decode: {tps:.0f} tokens/s (batch {batch}), "
-          f"{step_ms:.2f} ms/step incl. prefill amortized",
-          file=sys.stderr, flush=True)
-    import json
+    log(f"[{label}] decode: {tps:.0f} tokens/s (batch {batch}), "
+        f"{step_ms:.2f} ms/step incl. prefill amortized")
+    return tps
 
-    print(json.dumps({"metric": "llama1b_greedy_decode", "value": round(tps, 1),
-                      "unit": "tokens/sec", "batch": batch}))
+
+def run(cfg, label, int8, batch):
+    params = device_params(cfg, int8)
+    try:
+        return round(bench_decode(cfg, params, label, batch, 64, 64), 1)
+    except Exception as e:
+        log(f"[{label}] failed:", repr(e))
+        return None
+    finally:
+        for leaf in jax.tree.leaves(params):
+            leaf.delete()
+        gc.collect()
+
+
+def main() -> None:
+    out = {"metric": "vlm_greedy_decode", "unit": "tokens/sec"}
+
+    cfg7 = LlamaConfig(max_seq=512)          # LLAMA2_7B dims, short cache
+    assert (cfg7.dim, cfg7.layers) == (LLAMA2_7B.dim, LLAMA2_7B.layers)
+    out["llama7b_int8_bs8"] = run(cfg7, "7B int8", True, 8)
+    # bf16 7B = 13.5 GB: batch 2 like the cascade's verify stage
+    out["llama7b_bf16_bs2"] = run(cfg7, "7B bf16", False, 2)
+
+    cfg1 = LlamaConfig(vocab_size=32000, dim=2048, layers=22, heads=32,
+                       kv_heads=4, mlp_dim=5632, max_seq=512)
+    out["llama1b_bf16_bs8"] = run(cfg1, "1.1B bf16", False, 8)
+    out["llama1b_int8_bs8"] = run(cfg1, "1.1B int8", True, 8)
+
+    out["value"] = out["llama7b_int8_bs8"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

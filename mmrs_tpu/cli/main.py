@@ -362,7 +362,34 @@ def cmd_cascade(args) -> int:
             sims.extend((e @ embed) * cfg.search.logit_scale)
         return sims
 
-    verifier = StubVerifier() if args.verifier == "stub" else None
+    verifier = None
+    if args.verifier == "stub":
+        verifier = StubVerifier()
+    elif args.verifier == "llava":
+        # TPU-hosted llava-v1.5 verifier (union_clip_llava2.py:104-130 flow):
+        # converted checkpoint + the model's own SentencePiece tokenizer
+        from mmrs_tpu.cascade.verifier import TPULLaVAVerifier
+        from mmrs_tpu.models import checkpoint
+        from mmrs_tpu.models.llama import LLAMA2_7B
+        from mmrs_tpu.models.llava import LLaVAConfig
+        from mmrs_tpu.models.sentencepiece import SentencePieceBPE
+        from mmrs_tpu.models.configs import VITConfig
+
+        if not (args.llava_checkpoint and args.tokenizer_model):
+            print("--verifier llava needs --llava-checkpoint and "
+                  "--tokenizer-model", file=sys.stderr)
+            return 2
+        vparams = checkpoint.load_npz(args.llava_checkpoint)
+        if args.verifier_int8:
+            from mmrs_tpu.models.quantize import quantize_llava
+
+            vparams = quantize_llava(vparams)
+        lcfg = LLaVAConfig(
+            vision=VITConfig(image_size=336, patch_size=14, width=1024,
+                             layers=24, heads=16, embed_dim=768),
+            lm=LLAMA2_7B)
+        tok = SentencePieceBPE.from_file(args.tokenizer_model)
+        verifier = TPULLaVAVerifier(vparams, lcfg, tok)
     pipe = CascadePipeline(en_scorer=scorer, en_threshold=args.threshold,
                            verifier=verifier)
     res = pipe.run(paths, args.positive_class, labels=labels)
@@ -657,7 +684,15 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--merges", help="CLIP BPE merges file")
     ca.add_argument("--vocab", help="WordPiece vocab (Taiyi)")
     ca.add_argument("--threshold", type=float, required=True)
-    ca.add_argument("--verifier", default="none", choices=["none", "stub"])
+    ca.add_argument("--verifier", default="none",
+                    choices=["none", "stub", "llava"])
+    ca.add_argument("--llava-checkpoint",
+                    help="converted llava npz (models/convert hf_llava)")
+    ca.add_argument("--tokenizer-model",
+                    help="SentencePiece tokenizer.model for the verifier")
+    ca.add_argument("--verifier-int8", action="store_true",
+                    help="int8 serving weights for the verifier (2x decode "
+                         "bandwidth; the reference's load_8bit equivalent)")
     ca.add_argument("--config")
     ca.set_defaults(fn=cmd_cascade)
 

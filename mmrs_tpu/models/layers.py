@@ -71,6 +71,31 @@ def _dense_int8(x: jnp.ndarray, kernel: QTensor, bias,
     return _int8_matmul(xq, sx, kernel, bias, compute_dtype)
 
 
+def matmul(x: jnp.ndarray, kernel, compute_dtype: jnp.dtype,
+           out_dtype=None) -> jnp.ndarray:
+    """Bias-free matmul dispatching on QTensor vs plain kernels.
+
+    Accumulates in f32 (int32 for int8 kernels) and returns `out_dtype`
+    (default: compute_dtype). The LLaMA/LLaVA stack routes its projections
+    through this so int8 serving weights (models/quantize.py) drop in —
+    decode is weight-bandwidth-bound, so halving the bytes ~doubles
+    tokens/s at small batch.
+    """
+    out_dtype = out_dtype or compute_dtype
+    if isinstance(kernel, QTensor):
+        xq, sx = _quantize_act(x)
+        acc = jax.lax.dot_general(
+            xq, kernel.q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * sx
+                * kernel.s.astype(jnp.float32)).astype(out_dtype)
+    return jnp.dot(
+        x.astype(compute_dtype), kernel.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                eps: float = 1e-5) -> jnp.ndarray:
     dtype = x.dtype

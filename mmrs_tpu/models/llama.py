@@ -23,6 +23,8 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from mmrs_tpu.models.layers import QTensor, _int8_matmul, _quantize_act, matmul
+
 Params = Dict[str, Any]
 
 
@@ -88,12 +90,16 @@ def _attn_block(
     x = rms_norm(h, p["attn_norm"], cfg.norm_eps)
     cd = compute_dtype
 
-    q = jnp.dot(x.astype(cd), p["wq"].astype(cd),
-                preferred_element_type=jnp.float32).astype(cd)
-    k = jnp.dot(x.astype(cd), p["wk"].astype(cd),
-                preferred_element_type=jnp.float32).astype(cd)
-    v = jnp.dot(x.astype(cd), p["wv"].astype(cd),
-                preferred_element_type=jnp.float32).astype(cd)
+    if isinstance(p["wq"], QTensor):
+        # int8 serving weights: quantize x once for all three projections
+        xq, sx = _quantize_act(x)
+        q = _int8_matmul(xq, sx, p["wq"], None, cd)
+        k = _int8_matmul(xq, sx, p["wk"], None, cd)
+        v = _int8_matmul(xq, sx, p["wv"], None, cd)
+    else:
+        q = matmul(x, p["wq"], cd)
+        k = matmul(x, p["wk"], cd)
+        v = matmul(x, p["wv"], cd)
     q = q.reshape(b, t, nh, hd)
     k = k.reshape(b, t, kvh, hd)
     v = v.reshape(b, t, kvh, hd)
@@ -122,18 +128,19 @@ def _attn_block(
     out = jnp.einsum("bkgts,bskh->btkgh", probs, cache_v,
                      preferred_element_type=jnp.float32).astype(cd)
     out = out.reshape(b, t, d)
-    attn = jnp.dot(out, p["wo"].astype(cd),
-                   preferred_element_type=jnp.float32).astype(cd)
+    attn = matmul(out, p["wo"], cd)
     h = h + attn
 
     x = rms_norm(h, p["mlp_norm"], cfg.norm_eps)
-    gate = jnp.dot(x.astype(cd), p["w_gate"].astype(cd),
-                   preferred_element_type=jnp.float32)
-    up = jnp.dot(x.astype(cd), p["w_up"].astype(cd),
-                 preferred_element_type=jnp.float32)
+    if isinstance(p["w_gate"], QTensor):
+        xq, sx = _quantize_act(x)
+        gate = _int8_matmul(xq, sx, p["w_gate"], None, jnp.float32)
+        up = _int8_matmul(xq, sx, p["w_up"], None, jnp.float32)
+    else:
+        gate = matmul(x, p["w_gate"], cd, out_dtype=jnp.float32)
+        up = matmul(x, p["w_up"], cd, out_dtype=jnp.float32)
     inner = (jax.nn.silu(gate) * up).astype(cd)
-    down = jnp.dot(inner, p["w_down"].astype(cd),
-                   preferred_element_type=jnp.float32).astype(cd)
+    down = matmul(inner, p["w_down"], cd)
     return h + down, cache_k, cache_v
 
 
@@ -165,10 +172,8 @@ def forward(
         body, embeds.astype(compute_dtype), (params["blocks"], cache_k, cache_v)
     )
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
-    logits = jnp.dot(
-        h.astype(compute_dtype), params["lm_head"].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
+    logits = matmul(h, params["lm_head"], compute_dtype,
+                    out_dtype=jnp.float32)
     return logits, (new_k, new_v)
 
 

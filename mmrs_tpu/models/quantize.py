@@ -57,3 +57,25 @@ def quantize_clip_visual(params: Params) -> Params:
     out = dict(params)
     out["visual"] = quantize_tree(params["visual"])
     return out
+
+
+# LLaMA adds the gated MLP + the (large: dim x vocab) lm_head; embeddings
+# stay full precision (lookup, not a matmul)
+_LM_KEYS = _QUANT_KEYS | frozenset({"w_gate", "w_up", "w_down", "lm_head"})
+
+
+def quantize_llama(params: Params) -> Params:
+    """LLaMA decoder with int8 serving weights. Decode is weight-bandwidth
+    bound at verifier batch sizes, so halving the bytes ~doubles tokens/s
+    (the reference serves its verifier in 8-bit too: load_8bit=True,
+    code/test_llava.py:13 / union_clip_llava2.py)."""
+    return quantize_tree(params, _LM_KEYS)
+
+
+def quantize_llava(params: Params) -> Params:
+    """LLaVA: int8 vision tower + int8 decoder; the 2-layer projector and
+    embeddings stay bf16/f32 (negligible traffic, run once per image)."""
+    out = dict(params)
+    out["visual"] = quantize_tree(params["visual"])
+    out["lm"] = quantize_llama(params["lm"])
+    return out

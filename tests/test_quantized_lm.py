@@ -1,0 +1,80 @@
+"""int8 serving weights for the LLaMA decoder / LLaVA verifier.
+
+The reference serves its verifier in 8-bit (load_8bit=True,
+code/test_llava.py:13); here int8 lives on the MXU with per-channel weight
+scales + dynamic activation quant (models/quantize.py). These tests pin
+the numerics contract at tiny scale: logits stay close to the f32 decoder
+and a decisively-peaked next-token distribution keeps its argmax.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmrs_tpu.models import llama, llava
+from mmrs_tpu.models.configs import VITConfig
+from mmrs_tpu.models.layers import QTensor
+from mmrs_tpu.models.llama import LlamaConfig
+from mmrs_tpu.models.quantize import quantize_llama, quantize_llava
+
+LCFG = LlamaConfig(vocab_size=128, dim=64, layers=2, heads=4, kv_heads=2,
+                   mlp_dim=128, max_seq=64)
+
+
+def test_llama_int8_logits_close():
+    params = llama.init(jax.random.key(0), LCFG)
+    qparams = quantize_llama(params)
+    assert isinstance(qparams["blocks"]["w_gate"], QTensor)
+    assert isinstance(qparams["lm_head"], QTensor)
+    assert not isinstance(qparams["embed"], QTensor)
+
+    emb = llama.embed_tokens(params, jnp.arange(10)[None, :] % 128)
+    cache = llama.init_cache(LCFG, 1, jnp.float32)
+    ref, _ = llama.forward(params, emb, cache, 0, LCFG, jnp.float32)
+    out, _ = llama.forward(qparams, emb, cache, 0, LCFG, jnp.float32)
+    ref = np.asarray(ref)
+    out = np.asarray(out)
+    denom = np.linalg.norm(ref, axis=-1, keepdims=True)
+    rel = np.linalg.norm(out - ref, axis=-1, keepdims=True) / denom
+    assert rel.max() < 0.05, rel.max()
+
+
+def test_llama_int8_greedy_keeps_decisive_argmax():
+    """Plant a strongly-peaked lm_head row direction: the int8 decoder must
+    pick the same next token as f32 when the margin is real (the verifier's
+    yes/no regime), even if near-tie tokens could flip."""
+    params = llama.init(jax.random.key(1), LCFG)
+    # shrink all output embeddings, then give tokens 7 and 9 opposite large
+    # ones: argmax(h @ lm_head) is decisively 7 or 9 (sign of h.g), with a
+    # margin far above int8 quantization noise — the verifier's yes/no regime
+    lm_head = np.asarray(params["lm_head"]).copy() * 0.01
+    g = np.asarray(jax.random.normal(jax.random.key(9), (LCFG.dim,))) * 0.5
+    lm_head[:, 7] = g
+    lm_head[:, 9] = -g
+    params = dict(params, lm_head=jnp.asarray(lm_head))
+    qparams = quantize_llama(params)
+
+    emb = llama.embed_tokens(params, jnp.arange(6)[None, :])
+    toks_f32 = np.asarray(llama.greedy_generate(
+        params, emb, LCFG, max_new_tokens=4, compute_dtype=jnp.float32))
+    toks_int8 = np.asarray(llama.greedy_generate(
+        qparams, emb, LCFG, max_new_tokens=4, compute_dtype=jnp.float32))
+    assert toks_f32.shape == toks_int8.shape == (1, 4)
+    np.testing.assert_array_equal(toks_f32, toks_int8)
+
+
+def test_llava_int8_generate_runs():
+    vcfg = VITConfig(image_size=32, patch_size=16, width=64, layers=3,
+                     heads=4, embed_dim=32)
+    cfg = llava.LLaVAConfig(vision=vcfg, lm=LCFG)
+    params = llava.init(jax.random.key(2), cfg)
+    qparams = quantize_llava(params)
+    assert isinstance(qparams["visual"]["blocks"]["attn"]["wq"], QTensor)
+    assert isinstance(qparams["lm"]["blocks"]["w_down"], QTensor)
+    assert not isinstance(qparams["proj_w1"], QTensor)
+
+    imgs = jax.random.normal(jax.random.key(3), (2, 32, 32, 3)) * 0.5
+    pre = jnp.ones((2, 3), jnp.int32)
+    post = jnp.ones((2, 2), jnp.int32)
+    toks = llava.generate(qparams, imgs, pre, post, cfg, max_new_tokens=3)
+    assert np.asarray(toks).shape == (2, 3)
