@@ -203,8 +203,11 @@ def main():
 
     def verify_fn(p, u8, pre, post):
         x = normalize_images(u8, dtype=jnp.bfloat16, impl="xla")
+        # fused Pallas MHA for the 336px tower (T=577: measured faster than
+        # the einsum path, unlike the 50-token B/32 gate)
         return llava.generate(p, x, pre, post, LLAVA_7B,
-                              max_new_tokens=MAX_NEW_TOKENS, eos_token=2)
+                              max_new_tokens=MAX_NEW_TOKENS, eos_token=2,
+                              attn_impl="pallas")
 
     # Compile with AUTO input layouts: the decode scan wants the stacked
     # [L, 4096, 4096] weights in a transposed layout, and default-layout

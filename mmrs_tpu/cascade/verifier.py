@@ -108,9 +108,17 @@ class TPULLaVAVerifier:
                  max_new_tokens: int = 32,
                  eos_token: int = 2,
                  image_size: int = 336,
-                 compute_dtype=None):
+                 compute_dtype=None,
+                 attn_impl: str = "auto"):
+        import jax
         import jax.numpy as jnp
 
+        if attn_impl == "auto":
+            # fused Pallas MHA wins at the 336px tower's T=577 (see
+            # COVERAGE.md perf notes); CPU/tests fall back to the einsum
+            attn_impl = ("pallas" if jax.default_backend() == "tpu"
+                         else "xla")
+        self.attn_impl = attn_impl
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -158,7 +166,7 @@ class TPULLaVAVerifier:
             jnp.asarray([pre_ids], jnp.int32),
             jnp.asarray([post_ids], jnp.int32),
             self.cfg, self.max_new_tokens, self.eos_token,
-            self.compute_dtype,
+            self.compute_dtype, attn_impl=self.attn_impl,
         )
         ids = [int(t) for t in np.asarray(out)[0] if int(t) != self.eos_token]
         return self.tokenizer.decode(ids)
@@ -189,7 +197,7 @@ class TPULLaVAVerifier:
             jnp.tile(jnp.asarray([pre_ids], jnp.int32), (b, 1)),
             jnp.tile(jnp.asarray([post_ids], jnp.int32), (b, 1)),
             self.cfg, self.max_new_tokens, self.eos_token,
-            self.compute_dtype,
+            self.compute_dtype, attn_impl=self.attn_impl,
         )
         results = []
         for row in np.asarray(out):

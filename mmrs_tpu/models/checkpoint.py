@@ -17,20 +17,48 @@ import jax
 import numpy as np
 
 
+# int8-quantized kernels (layers.QTensor) store as a pair of arrays so a
+# 7 GB int8 verifier loads directly instead of re-quantizing 13.5 GB of
+# bf16 at startup
+_Q8_Q = "@int8q"
+_Q8_S = "@int8s"
+
+
 def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    from mmrs_tpu.models.layers import QTensor
+
     out: Dict[str, np.ndarray] = {}
     for k, v in tree.items():
         key = f"{prefix}/{k}" if prefix else k
         if isinstance(v, dict):
             out.update(_flatten(v, key))
+        elif isinstance(v, QTensor):
+            out[key + _Q8_Q] = np.asarray(v.q)
+            out[key + _Q8_S] = np.asarray(v.s)
         else:
             out[key] = np.asarray(v)
     return out
 
 
 def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
-    tree: Dict[str, Any] = {}
+    from mmrs_tpu.models.layers import QTensor
+
+    qpairs: Dict[str, list] = {}
+    plain: Dict[str, Any] = {}
     for key, v in flat.items():
+        if key.endswith(_Q8_Q):
+            qpairs.setdefault(key[: -len(_Q8_Q)], [None, None])[0] = v
+        elif key.endswith(_Q8_S):
+            qpairs.setdefault(key[: -len(_Q8_S)], [None, None])[1] = v
+        else:
+            plain[key] = v
+    for base, (q, s) in qpairs.items():
+        if q is None or s is None:
+            raise ValueError(f"checkpoint is missing half of QTensor {base!r}")
+        plain[base] = QTensor(q, s)
+
+    tree: Dict[str, Any] = {}
+    for key, v in plain.items():
         parts = key.split("/")
         node = tree
         for p in parts[:-1]:

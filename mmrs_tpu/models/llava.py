@@ -40,6 +40,7 @@ def vision_tokens(
     images: jnp.ndarray,             # [B, H, W, 3] normalized
     cfg: LLaVAConfig,
     compute_dtype=jnp.bfloat16,
+    attn_impl: str = "xla",          # "pallas" wins at T=577 (336px/14)
 ) -> jnp.ndarray:                    # [B, N(, +1), W]
     """Hidden states after layer (layers + vision_feature_layer + 1) —
     i.e. -2 selects the output of the second-to-last block, matching HF's
@@ -56,7 +57,8 @@ def vision_tokens(
     n_run = vcfg.layers + cfg.vision_feature_layer + 1
     sliced = jax.tree.map(lambda a: a[:n_run], visual_params["blocks"])
     act = quick_gelu if vcfg.quick_gelu else gelu
-    x = scan_blocks(x, sliced, vcfg.heads, None, act, compute_dtype)
+    x = scan_blocks(x, sliced, vcfg.heads, None, act, compute_dtype,
+                    attn_impl=attn_impl)
     if cfg.drop_cls:
         x = x[:, 1:, :]
     return x
@@ -69,8 +71,10 @@ def project(params: Params, feats: jnp.ndarray, compute_dtype=jnp.bfloat16):
 
 
 def encode_images(params: Params, images: jnp.ndarray, cfg: LLaVAConfig,
-                  compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    feats = vision_tokens(params["visual"], images, cfg, compute_dtype)
+                  compute_dtype=jnp.bfloat16,
+                  attn_impl: str = "xla") -> jnp.ndarray:
+    feats = vision_tokens(params["visual"], images, cfg, compute_dtype,
+                          attn_impl=attn_impl)
     return project(params, feats, compute_dtype)      # [B, N, lm_dim]
 
 
@@ -98,9 +102,11 @@ def generate(
     max_new_tokens: int = 32,
     eos_token: int = 2,
     compute_dtype=jnp.bfloat16,
+    attn_impl: str = "xla",
 ) -> jnp.ndarray:
     """Greedy VQA decode (temp 0), the cascade verifier's contract."""
-    img = encode_images(params, images, cfg, compute_dtype)
+    img = encode_images(params, images, cfg, compute_dtype,
+                        attn_impl=attn_impl)
     embeds = build_multimodal_embeds(params, pre_tokens, img, post_tokens,
                                      compute_dtype)
     return llama.greedy_generate(params["lm"], embeds, cfg.lm,

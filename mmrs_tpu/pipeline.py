@@ -89,10 +89,18 @@ def build_towers(cfg: Config, tokenizer=None) -> Towers:
 
         params = quantize_clip_visual(params)
 
+    # Fused Pallas MHA wins for LONG vision sequences (measured on v5e:
+    # L/14 T=257 +19% bf16 / +27% int8; B/32 T=50 it LOSES to XLA's batched
+    # einsum — see COVERAGE.md perf notes), so select per tower.
+    attn_impl = ("pallas"
+                 if jax.default_backend() == "tpu" and vision.seq_len >= 128
+                 else "xla")
+
     @functools.partial(jax.jit, static_argnums=())
     def _embed_images(p, images_u8):
         x = normalize_images(images_u8, dtype=compute_dtype, impl="xla")
-        return clip.encode_image(p, x, ccfg, compute_dtype=compute_dtype)
+        return clip.encode_image(p, x, ccfg, compute_dtype=compute_dtype,
+                                 attn_impl=attn_impl)
 
     def image_encode(pixels_u8: np.ndarray) -> np.ndarray:
         out = _embed_images(params, jnp.asarray(pixels_u8))
@@ -102,7 +110,7 @@ def build_towers(cfg: Config, tokenizer=None) -> Towers:
     def _embed_images_raw(p, images_u8):
         x = normalize_images(images_u8, dtype=compute_dtype, impl="xla")
         return clip.encode_image(p, x, ccfg, compute_dtype=compute_dtype,
-                                 normalize=False)
+                                 normalize=False, attn_impl=attn_impl)
 
     def image_encode_raw(pixels_u8: np.ndarray) -> np.ndarray:
         out = _embed_images_raw(params, jnp.asarray(pixels_u8))

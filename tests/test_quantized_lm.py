@@ -78,3 +78,21 @@ def test_llava_int8_generate_runs():
     post = jnp.ones((2, 2), jnp.int32)
     toks = llava.generate(qparams, imgs, pre, post, cfg, max_new_tokens=3)
     assert np.asarray(toks).shape == (2, 3)
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """QTensor trees survive npz save/load (int8 verifier loads directly)."""
+    from mmrs_tpu.models import checkpoint
+
+    params = quantize_llama(llama.init(jax.random.key(4), LCFG))
+    path = str(tmp_path / "llama_int8.npz")
+    checkpoint.save_npz(params, path)
+    loaded = checkpoint.load_npz(path)
+    assert isinstance(loaded["blocks"]["wq"], QTensor)
+    assert loaded["blocks"]["wq"].q.dtype == jnp.int8
+
+    emb = llama.embed_tokens(params, jnp.arange(5)[None, :])
+    cache = llama.init_cache(LCFG, 1, jnp.float32)
+    a, _ = llama.forward(params, emb, cache, 0, LCFG, jnp.float32)
+    b, _ = llama.forward(loaded, emb, cache, 0, LCFG, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
