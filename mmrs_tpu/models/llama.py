@@ -118,8 +118,9 @@ def _attn_block(
                         preferred_element_type=jnp.float32)
     logits = logits / jnp.sqrt(jnp.float32(hd))
 
-    # causal + validity mask over the cache timeline
-    key_pos = jnp.arange(cfg.max_seq)[None, :]            # [1, MAX]
+    # causal + validity mask over the cache timeline (cache may be sized
+    # below cfg.max_seq — greedy_generate right-sizes it to the request)
+    key_pos = jnp.arange(cache_k.shape[1])[None, :]       # [1, CACHE]
     query_pos = (pos_offset + jnp.arange(t))[:, None]     # [T, 1]
     mask = key_pos <= query_pos                           # [T, MAX]
     logits = jnp.where(mask[None, None, None, :, :], logits, -jnp.inf)
@@ -144,8 +145,14 @@ def _attn_block(
     return h + down, cache_k, cache_v
 
 
-def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
-    shape = (cfg.layers, batch, cfg.max_seq, cfg.kv_heads, cfg.head_dim)
+def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16,
+               seq_len: int | None = None):
+    """KV cache [L, B, S, KVH, HD]. `seq_len` (default cfg.max_seq) lets
+    callers size the cache to the actual request: decode attention scans
+    the WHOLE cache every step, so a 512-slot cache behind a 128-token
+    request wastes 4x the KV bandwidth."""
+    s = seq_len or cfg.max_seq
+    shape = (cfg.layers, batch, s, cfg.kv_heads, cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -198,7 +205,11 @@ def greedy_generate(
             f"prompt ({t}) + max_new_tokens ({max_new_tokens}) exceeds "
             f"max_seq ({cfg.max_seq})"
         )
-    cache = init_cache(cfg, b, compute_dtype)
+    # right-size the cache to this request (rounded to 64 to bound the
+    # number of distinct compiled shapes); decode reads the whole cache
+    # every step, so slack slots are pure KV-bandwidth waste
+    cache_len = min(cfg.max_seq, ((t + max_new_tokens + 63) // 64) * 64)
+    cache = init_cache(cfg, b, compute_dtype, seq_len=cache_len)
     logits, cache = forward(params, prompt_embeds, cache, 0, cfg, compute_dtype)
     next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
     finished = next_tok == eos_token
