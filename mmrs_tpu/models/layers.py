@@ -139,47 +139,82 @@ def attention(
 ) -> jnp.ndarray:
     b, t, w = x.shape
     hd = w // heads
-    # 1/sqrt(d) folded into q BEFORE the score matmul (one [B,T,W] multiply
-    # instead of a [B,H,T,T] f32 multiply).
-    scale = jnp.asarray(1.0 / np.sqrt(hd), compute_dtype)
-    if isinstance(p["wq"], QTensor):
-        # quantize the (shared) layer input once for all three projections
-        xq, sx = _quantize_act(x)
-        q = _int8_matmul(xq, sx, p["wq"], p["bq"], compute_dtype)
-        k = _int8_matmul(xq, sx, p["wk"], p["bk"], compute_dtype)
-        v = _int8_matmul(xq, sx, p["wv"], p["bv"], compute_dtype)
-    else:
-        q = dense(x, p["wq"], p["bq"], compute_dtype)
-        k = dense(x, p["wk"], p["bk"], compute_dtype)
-        v = dense(x, p["wv"], p["bv"], compute_dtype)
-    q = q * scale
+    cd = compute_dtype
+    # 1/sqrt(d) folded into q BEFORE the score matmul (one [B,H,T,hd]
+    # multiply instead of a [B,H,T,T] f32 multiply).
+    scale = jnp.asarray(1.0 / np.sqrt(hd), cd)
+
+    # HEAD-MAJOR projections: einsum btw,whd->bhtd asks the matmul for the
+    # [B,H,T,hd] output the score einsum's batch dims need, so XLA's layout
+    # assignment absorbs the head-split transposes into the matmul
+    # epilogues. The naive reshape([B,T,H,hd]) form left 3.4 ms/batch of
+    # raw `copy` ops inside the ViT-B/32 layer scan (trace-verified on
+    # v5e; this form: +6.8% tower throughput, 12.4k -> 13.3k img/s bf16).
+    int8 = isinstance(p["wq"], QTensor)
 
     if attn_impl != "xla" and mask is None:
-        # fused short-seq kernel: no head transposes or [B,H,T,T] HBM logits
+        # fused short-seq kernel (wins from T~257 up): it wants the natural
+        # [B, T, W] layout, so project with plain dense (no head-major)
         from mmrs_tpu.ops.attention import mha_short_seq
 
-        out = mha_short_seq(q, k, v, heads, impl=attn_impl)
-        return dense(out, p["wo"], p["bo"], compute_dtype)
+        if int8:
+            xq, sx = _quantize_act(x)
+            q = _int8_matmul(xq, sx, p["wq"], p["bq"], cd)
+            k = _int8_matmul(xq, sx, p["wk"], p["bk"], cd)
+            v = _int8_matmul(xq, sx, p["wv"], p["bv"], cd)
+        else:
+            q = dense(x, p["wq"], p["bq"], cd)
+            k = dense(x, p["wk"], p["bk"], cd)
+            v = dense(x, p["wv"], p["bv"], cd)
+        out = mha_short_seq(q * scale, k, v, heads, impl=attn_impl)
+        return dense(out, p["wo"], p["bo"], cd)
 
-    q = q.reshape(b, t, heads, hd)
-    k = k.reshape(b, t, heads, hd)
-    v = v.reshape(b, t, heads, hd)
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-    )
+    if int8:
+        # quantize the (shared) layer input once for all three projections
+        xq, sx = _quantize_act(x)
+        sxh = sx.reshape(b, 1, t, 1)
+
+        def proj(kernel: QTensor, bias):
+            acc = jnp.einsum(
+                "btw,whd->bhtd", xq, kernel.q.reshape(w, heads, hd),
+                preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32) * sxh
+                 * kernel.s.astype(jnp.float32).reshape(1, heads, 1, hd))
+            return y + bias.astype(jnp.float32).reshape(1, heads, 1, hd)
+    else:
+        xc = x.astype(cd)
+
+        def proj(kernel, bias):
+            y = jnp.einsum("btw,whd->bhtd", xc,
+                           kernel.astype(cd).reshape(w, heads, hd),
+                           preferred_element_type=jnp.float32)
+            return y + bias.astype(jnp.float32).reshape(1, heads, 1, hd)
+
+    q = proj(p["wq"], p["bq"]).astype(cd) * scale        # [B, H, T, hd]
+    k = proj(p["wk"], p["bk"]).astype(cd)
+    v = proj(p["wv"], p["bv"]).astype(cd)
+
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                        preferred_element_type=jnp.float32)
     if mask is not None:
         logits = logits + mask.astype(jnp.float32)
     # Softmax in the compute dtype: with bf16 serving this removes the
-    # [B,H,T,T] f32 materialization and is the single biggest tower win on
-    # v5e (measured 10.3k -> 12.7k img/s for ViT-B/32; embedding cosine to
-    # the f32 tower is unchanged at 0.99995, i.e. within the bf16 matmul
-    # rounding already present). f32 compute keeps f32 softmax, so CPU
-    # parity tests see the exact reference math.
-    probs = jax.nn.softmax(logits.astype(compute_dtype), axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                     preferred_element_type=jnp.float32).astype(compute_dtype)
-    out = out.reshape(b, t, w)
-    return dense(out, p["wo"], p["bo"], compute_dtype)
+    # [B,H,T,T] f32 materialization (measured 10.3k -> 12.7k img/s for
+    # ViT-B/32; embedding cosine to the f32 tower unchanged at 0.99995).
+    # f32 compute keeps f32 softmax, so CPU parity tests see the exact
+    # reference math.
+    probs = jax.nn.softmax(logits.astype(cd), axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs, v,
+                     preferred_element_type=jnp.float32).astype(cd)
+    if int8:
+        # per-(b,t)-row dynamic quant needs the W-contiguous layout; one
+        # transpose here replaces the three the projections used to pay
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, w)
+        return dense(out, p["wo"], p["bo"], cd)
+    wo = p["wo"].astype(cd).reshape(heads, hd, w)
+    y = jnp.einsum("bhtd,hdw->btw", out, wo,
+                   preferred_element_type=jnp.float32)
+    return (y + p["bo"].astype(jnp.float32)).astype(cd)
 
 
 def mlp(x: jnp.ndarray, p: Params, act, compute_dtype: jnp.dtype) -> jnp.ndarray:
