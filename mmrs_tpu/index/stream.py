@@ -17,7 +17,7 @@ the index must stay on disk.
 from __future__ import annotations
 
 from collections import deque
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,14 +34,36 @@ def streaming_topk(
     device_dtype=jnp.bfloat16,
     impl: str = "auto",
     prefetch: int = 2,
+    mesh=None,
+    axis: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (values [Q, k] f32, global indices [Q, k] int64).
 
     Upload of chunk i+1 overlaps the scan of chunk i (JAX dispatch is
     async; results are fetched `prefetch` chunks behind). Peak device
-    memory ~= (prefetch + 1) * chunk_rows * D * itemsize(device_dtype)."""
+    memory ~= (prefetch + 1) * chunk_rows * D * itemsize(device_dtype).
+
+    With `mesh`, each chunk is row-sharded over the mesh's data axis and
+    scanned by `parallel.sharded_cosine_topk` — the on-disk-index tier
+    composed with multi-chip: upload bandwidth and scan both scale with
+    the chip count, and the per-chunk [Q, k] merge is the only collective.
+    """
     n = embeddings.shape[0]
-    q_dev = jnp.asarray(np.asarray(queries), device_dtype)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mmrs_tpu.parallel.mesh import DATA_AXIS
+        from mmrs_tpu.parallel.topk import sharded_cosine_topk
+
+        axis = axis or DATA_AXIS
+        n_shards = mesh.shape[axis]
+        shard = NamedSharding(mesh, P(axis, None))
+        repl = NamedSharding(mesh, P())
+        q_dev = jax.device_put(
+            jnp.asarray(np.asarray(queries), device_dtype), repl)
+    else:
+        q_dev = jnp.asarray(np.asarray(queries), device_dtype)
 
     # Upload chunks in their SOURCE dtype and cast on device: numpy's
     # f16->bf16 host conversion runs at ~0.3 GB/s single-threaded, well
@@ -60,9 +82,19 @@ def streaming_topk(
 
     for a in range(0, n, chunk_rows):
         b = min(a + chunk_rows, n)
-        chunk = cast(jax.device_put(np.ascontiguousarray(embeddings[a:b])))
         kk = min(k, b - a)
-        vals, idxs = cosine_topk(q_dev, chunk, k=kk, impl=impl)
+        host_chunk = np.ascontiguousarray(embeddings[a:b])
+        if mesh is not None:
+            pad = (-(b - a)) % n_shards
+            if pad:
+                host_chunk = np.pad(host_chunk, ((0, pad), (0, 0)))
+            chunk = cast(jax.device_put(host_chunk, shard))
+            vals, idxs = sharded_cosine_topk(q_dev, chunk, k=kk, mesh=mesh,
+                                             axis=axis, impl=impl,
+                                             n_valid=b - a)
+        else:
+            chunk = cast(jax.device_put(host_chunk))
+            vals, idxs = cosine_topk(q_dev, chunk, k=kk, impl=impl)
         if kk < k:                # tiny tail chunk: pad with sentinels
             vals = jnp.pad(vals, ((0, 0), (0, k - kk)),
                            constant_values=-np.inf)

@@ -55,3 +55,21 @@ def test_streaming_tail_smaller_than_k():
     # tail chunk has 3 rows < k: sentinels must not leak into the top-8
     assert (i >= 0).all() and (i < 100).all()
     assert i[0, 0] == 0 and i[1, 0] == 1
+
+
+def test_streaming_on_mesh_matches_oracle():
+    """Disk-tier streaming composed with the sharded scan (8-dev CPU mesh)."""
+    from mmrs_tpu.config import MeshConfig
+    from mmrs_tpu.parallel.multihost import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(MeshConfig())
+    n, d, q, k = 5_000, 64, 3, 7
+    emb = _mk(n, d)
+    queries = emb[[10, 2_500, 4_999]]          # hits incl. the ragged tail
+    v_ref, i_ref = cosine_topk(jnp.asarray(queries), jnp.asarray(emb), k,
+                               impl="xla")
+    # chunk 1024 -> 4 full chunks + ragged 904; 904 % 8 != 0 pads per chunk
+    v, i = streaming_topk(emb, queries, k=k, chunk_rows=1024,
+                          device_dtype=jnp.float32, impl="xla", mesh=mesh)
+    np.testing.assert_array_equal(i, np.asarray(i_ref))
+    np.testing.assert_allclose(v, np.asarray(v_ref), atol=1e-5)
