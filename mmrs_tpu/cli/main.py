@@ -397,6 +397,28 @@ def cmd_cascade(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve the query engine over HTTP (see mmrs_tpu/serve.py)."""
+    from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.pipeline import build_towers
+    from mmrs_tpu.search.engine import SearchEngine
+    from mmrs_tpu.serve import SearchService, make_server
+
+    cfg = _load_config(args.config)
+    idx = GalleryIndex.load(args.index)
+    engine = SearchEngine(idx, cfg.search)
+    towers = build_towers(cfg, tokenizer=_make_tokenizer(args, cfg))
+    service = SearchService(engine, towers)
+    server = make_server(service, host=args.host, port=args.port)
+    print(f"serving {len(idx)} rows on http://{args.host}:{args.port} "
+          f"(POST /v1/search, GET /healthz)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_parity(args) -> int:
     """Real-weight parity gate (VERDICT r1 Missing #1 / Next #2).
 
@@ -595,6 +617,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--merges", help="CLIP BPE merges file for --text")
     s.add_argument("--vocab", help="BERT vocab.txt for --text (Taiyi tower)")
     s.set_defaults(fn=cmd_search)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--merges", help="CLIP BPE merges file (enables text)")
+    sv.add_argument("--vocab", help="WordPiece vocab (Taiyi)")
+    sv.add_argument("--config")
+    sv.set_defaults(fn=cmd_serve)
 
     c = sub.add_parser("calibrate")
     c.add_argument("--index", required=True)

@@ -1,0 +1,121 @@
+"""HTTP serving layer: the query engine behind a JSON API.
+
+The reference is batch scripts only; this is the production-serving shim
+the framework is meant to power (stdlib-only, no server dependency):
+
+  GET  /healthz          -> {"ok": true, "rows": N, "dim": D}
+  POST /v1/search        -> {"hits": [[{path, score, rank, cls}, ...], ...]}
+        body: {"text": "a photo of lychee", "k": 10}
+           or {"image_b64": "<base64 jpeg/png>", "k": 10}
+           or {"texts": [...]} / {"images_b64": [...]} for batched queries
+
+Concurrency model: ThreadingHTTPServer + the engine's jitted top-k.
+JAX dispatch is thread-safe and the gallery scan is a single fused kernel,
+so concurrent requests pipeline on the device queue — the measured
+serving numbers (43.5k QPS at Q=64 over 1M rows, COVERAGE.md) come from
+exactly this batched-dispatch path. For strict tail-latency SLOs put a
+micro-batcher in front; each request here dispatches as its own batch.
+
+Start via `mmrs serve --index DIR --port 8080 [--merges bpe.txt]`.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+
+class SearchService:
+    """Engine + towers behind simple text / image-bytes query methods."""
+
+    def __init__(self, engine, towers, image_size: int = 224):
+        self.engine = engine
+        self.towers = towers
+        self.image_size = image_size
+        # one tower forward at a time keeps host-side pre/post bounded;
+        # device work still pipelines (dispatch is async)
+        self._encode_lock = threading.Lock()
+
+    def healthz(self) -> dict:
+        return {"ok": True, "rows": len(self.engine.index),
+                "dim": self.engine.index.dim}
+
+    def search_texts(self, texts: List[str], k: Optional[int]) -> list:
+        if self.towers.text_encode is None:
+            raise ValueError("server started without a tokenizer; "
+                             "text search unavailable")
+        with self._encode_lock:
+            vecs = self.towers.text_encode(texts)
+        return self._hits(self.engine.query_text(vecs, top_k=k))
+
+    def search_images(self, blobs: List[bytes], k: Optional[int]) -> list:
+        from mmrs_tpu.io.images import pil_loader
+        from mmrs_tpu.ops.preprocess import resize_center_crop
+
+        pixels = np.stack([
+            resize_center_crop(pil_loader(b), self.image_size)
+            for b in blobs
+        ])
+        with self._encode_lock:
+            vecs = self.towers.image_encode(pixels)
+        return self._hits(self.engine.query_image(vecs, top_k=k))
+
+    @staticmethod
+    def _hits(per_query) -> list:
+        return [[{"path": h.path, "score": h.score, "rank": h.rank,
+                  "cls": h.cls} for h in hits] for hits in per_query]
+
+
+def _make_handler(service: SearchService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            from mmrs_tpu.utils.logging import get_logger
+
+            get_logger("serve").debug(fmt % args)
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                return self._reply(200, service.healthz())
+            return self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/v1/search":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                k = req.get("k")
+                if "text" in req or "texts" in req:
+                    texts = req.get("texts") or [req["text"]]
+                    hits = service.search_texts(list(texts), k)
+                elif "image_b64" in req or "images_b64" in req:
+                    blobs = [base64.b64decode(s) for s in
+                             (req.get("images_b64") or [req["image_b64"]])]
+                    hits = service.search_images(blobs, k)
+                else:
+                    return self._reply(
+                        400, {"error": "need text(s) or image(s)_b64"})
+                return self._reply(200, {"hits": hits})
+            except Exception as e:  # noqa: BLE001 — surface as 400, keep serving
+                return self._reply(400, {"error": repr(e)})
+
+    return Handler
+
+
+def make_server(service: SearchService, host: str = "127.0.0.1",
+                port: int = 8080) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; call .serve_forever() to run."""
+    return ThreadingHTTPServer((host, port), _make_handler(service))

@@ -1,0 +1,99 @@
+"""HTTP serving layer: healthz + text/image search over a tiny index."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    from PIL import Image
+
+    from mmrs_tpu.config import Config
+    from mmrs_tpu.index.gallery import GalleryIndex, build_index
+    from mmrs_tpu.io.dataset import FolderDataset
+    from mmrs_tpu.models.tokenizer import CLIPTokenizer
+    from mmrs_tpu.pipeline import build_towers
+    from mmrs_tpu.search.engine import SearchEngine
+    from mmrs_tpu.serve import SearchService, make_server
+    import tempfile, os
+
+    tmp = tempfile.TemporaryDirectory()
+    root, out = os.path.join(tmp.name, "data"), os.path.join(tmp.name, "idx")
+    rng = np.random.default_rng(0)
+    blobs = {}
+    for cls, color in [("red", (220, 30, 30)), ("blue", (30, 30, 220))]:
+        os.makedirs(os.path.join(root, cls))
+        for i in range(4):
+            arr = np.clip(np.full((32, 32, 3), color, int)
+                          + rng.integers(-20, 20, (32, 32, 3)), 0, 255)
+            img = Image.fromarray(arr.astype(np.uint8))
+            img.save(os.path.join(root, cls, f"{cls}{i}.jpg"))
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            blobs[cls] = buf.getvalue()
+
+    cfg = Config()
+    cfg.model.image_tower = "vit_tiny"
+    towers = build_towers(cfg, tokenizer=CLIPTokenizer(merges=[]))
+    build_index(FolderDataset.from_root(root), towers.image_encode, out,
+                batch_size=8)
+    engine = SearchEngine(GalleryIndex.load(out), cfg.search)
+    srv = make_server(SearchService(engine, towers), port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", blobs
+    srv.shutdown()
+    tmp.cleanup()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    base, _ = server
+    h = _get(base + "/healthz")
+    assert h["ok"] and h["rows"] == 8
+
+
+def test_image_search_ranks_same_class_first(server):
+    base, blobs = server
+    out = _post(base + "/v1/search",
+                {"image_b64": base64.b64encode(blobs["red"]).decode(), "k": 3})
+    hits = out["hits"][0]
+    assert len(hits) == 3
+    assert hits[0]["cls"] == "red" and hits[0]["score"] > hits[-1]["score"]
+
+
+def test_text_search_and_batched(server):
+    base, _ = server
+    out = _post(base + "/v1/search", {"texts": ["red thing", "blue thing"],
+                                      "k": 2})
+    assert len(out["hits"]) == 2 and all(len(h) == 2 for h in out["hits"])
+
+
+def test_bad_request(server):
+    base, _ = server
+    req = urllib.request.Request(
+        base + "/v1/search", data=b"{}",
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
