@@ -5,7 +5,10 @@ story). Every destructive operation defaults to --dry-run; pass --no-dry-run
 to apply.
 
   mmrs index build   --root DIR --out DIR [--config cfg.yaml]
+  mmrs index update  --root DIR --index DIR      (append new images only)
+  mmrs index compact --index DIR                 (drop deleted files/classes)
   mmrs search        --index DIR (--image PATH... | --text "query") [-k 10]
+  mmrs serve         --index DIR --port 8080     (HTTP JSON search API)
   mmrs calibrate     --index DIR --positive-class NAME (per-class sweep)
   mmrs dedup         --mode exact|perceptual|embedding ...
   mmrs leakage       --train DIR --test DIR
@@ -397,6 +400,34 @@ def cmd_cascade(args) -> int:
     return 0
 
 
+def cmd_index_update(args) -> int:
+    """Incremental index update: embed only new images, append shards."""
+    from mmrs_tpu.index.gallery import update_index
+    from mmrs_tpu.io.dataset import FolderDataset
+    from mmrs_tpu.pipeline import build_towers
+
+    cfg = _load_config(args.config)
+    towers = build_towers(cfg)
+    ds = FolderDataset.from_root(args.root, num_workers=args.workers)
+    idx = update_index(ds, towers.image_encode, args.index,
+                       batch_size=cfg.gallery.batch_size,
+                       shard_rows=cfg.gallery.shard_rows)
+    print(f"index now has {len(idx)} rows")
+    return 0
+
+
+def cmd_index_compact(args) -> int:
+    """Drop rows for deleted files (and/or whole classes) from an index."""
+    from mmrs_tpu.index.gallery import compact_index
+
+    drop = set(args.drop_class)
+    keep = (lambda p, c: c not in drop) if drop else None
+    idx = compact_index(args.index, keep=keep,
+                        drop_missing=not args.keep_missing)
+    print(f"index now has {len(idx)} rows")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Serve the query engine over HTTP (see mmrs_tpu/serve.py)."""
     from mmrs_tpu.index.gallery import GalleryIndex
@@ -606,6 +637,21 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--sharded", action="store_true",
                    help="data-parallel embed over all devices")
     b.set_defaults(fn=cmd_index_build)
+
+    u = index.add_parser("update")
+    u.add_argument("--root", required=True)
+    u.add_argument("--index", required=True)
+    u.add_argument("--config")
+    u.add_argument("--workers", type=int, default=8)
+    u.set_defaults(fn=cmd_index_update)
+
+    cp = index.add_parser("compact")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--drop-class", nargs="*", default=[],
+                    help="drop rows of these classes")
+    cp.add_argument("--keep-missing", action="store_true",
+                    help="keep rows whose file no longer exists")
+    cp.set_defaults(fn=cmd_index_compact)
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)

@@ -137,6 +137,60 @@ def _write_shard(directory: str, shard_id: int, rows: np.ndarray,
     return {"data": data_name, "meta": meta_name, "rows": int(rows.shape[0])}
 
 
+def _write_manifest(out_dir: str, shards: List[dict], embed_dim: int) -> None:
+    man_path = os.path.join(out_dir, "manifest.json")
+    tmp = man_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"embed_dim": embed_dim,
+                   "shards": shards,
+                   "entries": sum(s["rows"] for s in shards)}, f)
+    os.replace(tmp, man_path)
+
+
+def _stream_into(
+    out_dir: str,
+    shards: List[dict],
+    ds: FolderDataset,
+    encode_fn: Callable[[np.ndarray], np.ndarray],
+    batch_size: int,
+    shard_rows: int,
+) -> None:
+    """Shared build loop: embed `ds` and append complete shards in place
+    (atomic shard writes, manifest rewritten after every shard)."""
+    buf_rows: List[np.ndarray] = []
+    buf_meta: List[Tuple[str, str]] = []
+    shard_samples = 0
+
+    def flush():
+        nonlocal buf_rows, buf_meta, shard_samples
+        if not buf_meta:
+            return
+        rows = np.concatenate(buf_rows, axis=0)
+        entry = _write_shard(out_dir, len(shards), rows, buf_meta)
+        entry["samples"] = shard_samples
+        shards.append(entry)
+        _write_manifest(out_dir, shards, int(rows.shape[1]))
+        buf_rows, buf_meta = [], []
+        shard_samples = 0
+
+    for batch in ds.batches(batch_size):
+        emb = np.asarray(encode_fn(batch.pixels), dtype=np.float32)
+        keep = batch.ok
+        if not keep.all():
+            for p, o in zip(batch.paths, keep):
+                if not o:
+                    log.warning("quarantined corrupt image: %s", p)
+        emb = emb[keep]
+        buf_rows.append(emb)
+        buf_meta.extend(
+            (p, c) for p, c, o in zip(batch.paths, batch.labels, keep) if o
+        )
+        shard_samples += len(batch)
+        if sum(r.shape[0] for r in buf_rows) >= shard_rows:
+            flush()
+    flush()
+
+
 def build_index(
     dataset: FolderDataset,
     encode_fn: Callable[[np.ndarray], np.ndarray],
@@ -154,14 +208,12 @@ def build_index(
     man_path = os.path.join(out_dir, "manifest.json")
 
     shards: List[dict] = []
-    done_rows = 0
     if resume and os.path.exists(man_path):
         with open(man_path, encoding="utf-8") as f:
             man = json.load(f)
         shards = man["shards"]
-        done_rows = sum(s["rows"] for s in shards)
         log.info("resuming index build: %d rows in %d complete shards",
-                 done_rows, len(shards))
+                 sum(s["rows"] for s in shards), len(shards))
 
     # NOTE: resume skips whole BATCH-aligned sample prefixes. Shard rows
     # count only successfully encoded images; to make resume exact we also
@@ -170,44 +222,90 @@ def build_index(
     pending = dataset.samples[done_samples:]
     ds = FolderDataset(pending, image_size=dataset.image_size,
                        stack=dataset.stack, num_workers=dataset.num_workers)
+    _stream_into(out_dir, shards, ds, encode_fn, batch_size, shard_rows)
+    return GalleryIndex.load(out_dir)
 
-    buf_rows: List[np.ndarray] = []
-    buf_meta: List[Tuple[str, str]] = []
-    buf_samples = 0
-    shard_samples = 0
 
-    def flush():
-        nonlocal buf_rows, buf_meta, shard_samples
-        if not buf_meta:
-            return
-        rows = np.concatenate(buf_rows, axis=0)
-        entry = _write_shard(out_dir, len(shards), rows, buf_meta)
-        entry["samples"] = shard_samples
-        shards.append(entry)
-        tmp = man_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"embed_dim": int(rows.shape[1]),
-                       "shards": shards,
-                       "entries": sum(s["rows"] for s in shards)}, f)
-        os.replace(tmp, man_path)
-        buf_rows, buf_meta = [], []
-        shard_samples = 0
+def update_index(
+    dataset: FolderDataset,
+    encode_fn: Callable[[np.ndarray], np.ndarray],
+    out_dir: str,
+    batch_size: int = 256,
+    shard_rows: int = 65536,
+) -> GalleryIndex:
+    """Incremental update (SURVEY §7 'index/ ... incremental update'): embed
+    only paths NOT already in the index and append them as new shards.
+    Existing shards are untouched, so updates are as cheap as the new data;
+    deleted files stay until `compact_index` drops them."""
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path, encoding="utf-8") as f:
+        shards = json.load(f)["shards"]
+    have = set()
+    for s in shards:
+        with open(os.path.join(out_dir, s["meta"]), encoding="utf-8") as f:
+            have.update(m[0] for m in json.load(f))
+    new = [smp for smp in dataset.samples if smp[0] not in have]
+    log.info("index update: %d existing rows, %d new images",
+             len(have), len(new))
+    ds = FolderDataset(new, image_size=dataset.image_size,
+                       stack=dataset.stack, num_workers=dataset.num_workers)
+    _stream_into(out_dir, shards, ds, encode_fn, batch_size, shard_rows)
+    return GalleryIndex.load(out_dir)
 
-    for batch in ds.batches(batch_size):
-        emb = np.asarray(encode_fn(batch.pixels), dtype=np.float32)
-        keep = batch.ok
-        if not keep.all():
-            for p, o in zip(batch.paths, keep):
-                if not o:
-                    log.warning("quarantined corrupt image: %s", p)
-        emb = emb[keep]
-        buf_rows.append(emb)
-        buf_meta.extend(
-            (p, c) for p, c, o in zip(batch.paths, batch.labels, keep) if o
-        )
-        shard_samples += len(batch)
-        buf_samples = sum(r.shape[0] for r in buf_rows)
-        if buf_samples >= shard_rows:
-            flush()
-    flush()
+
+def compact_index(
+    out_dir: str,
+    keep: Optional[Callable[[str, str], bool]] = None,
+    drop_missing: bool = True,
+) -> GalleryIndex:
+    """Drop rows whose (path, class) fails `keep` (default: keep all) or
+    whose file no longer exists (`drop_missing`) — the index side of the
+    governance deletions (dedup/leakage/normalize remove files; the index
+    must follow). Shards are rewritten atomically in place; untouched
+    shards are left as-is."""
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path, encoding="utf-8") as f:
+        man = json.load(f)
+    new_shards: List[dict] = []
+    dim = man["embed_dim"]
+    dropped = 0
+    # rewritten shards get FRESH ids past every existing one — reusing
+    # positional ids could overwrite a kept shard's file mid-compaction
+    # (ids are parsed from names: repeated compactions keep growing them)
+    next_id = 1 + max(
+        (int(s["data"].split("_")[1].split(".")[0]) for s in man["shards"]),
+        default=-1)
+    stale_files: List[str] = []
+    for s in man["shards"]:
+        with open(os.path.join(out_dir, s["meta"]), encoding="utf-8") as f:
+            meta = [(m[0], m[1]) for m in json.load(f)]
+        mask = []
+        for p, c in meta:
+            ok = keep(p, c) if keep is not None else True
+            if ok and drop_missing and not os.path.exists(p):
+                ok = False
+            mask.append(ok)
+        if all(mask):
+            new_shards.append(s)
+            continue
+        dropped += mask.count(False)
+        stale_files += [s["data"], s["meta"]]
+        sel = np.asarray(mask, bool)
+        kept_meta = [m for m, k in zip(meta, mask) if k]
+        if not kept_meta:
+            continue                      # whole shard gone
+        rows = np.asarray(np.load(os.path.join(out_dir, s["data"]),
+                                  mmap_mode="r"))
+        entry = _write_shard(out_dir, next_id, rows[sel], kept_meta)
+        next_id += 1
+        entry["samples"] = entry["rows"]
+        new_shards.append(entry)
+    _write_manifest(out_dir, new_shards, dim)
+    for name in stale_files:
+        try:
+            os.unlink(os.path.join(out_dir, name))
+        except OSError:
+            pass
+    log.info("index compact: dropped %d rows, %d shards remain",
+             dropped, len(new_shards))
     return GalleryIndex.load(out_dir)

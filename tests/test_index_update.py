@@ -1,0 +1,82 @@
+"""Incremental index update + compaction (SURVEY §7 index story)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mmrs_tpu.index.gallery import (
+    GalleryIndex,
+    build_index,
+    compact_index,
+    update_index,
+)
+from mmrs_tpu.io.dataset import FolderDataset
+
+
+def _fake_encode(pixels):
+    # deterministic per-image "embedding": channel means + noise-free pad
+    m = pixels.reshape(pixels.shape[0], -1, 3).mean(axis=1) / 255.0
+    out = np.concatenate([m, np.ones((len(m), 5))], axis=1)
+    return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+
+def _add_images(root, cls, color, n, start=0):
+    os.makedirs(os.path.join(root, cls), exist_ok=True)
+    for i in range(start, start + n):
+        arr = np.full((32, 32, 3), color, np.uint8)
+        arr[0, 0] = (i % 255, 0, 0)   # unique-ish pixel per file
+        Image.fromarray(arr).save(os.path.join(root, cls, f"{cls}{i}.jpg"))
+
+
+@pytest.fixture()
+def index_dir(tmp_path):
+    root = str(tmp_path / "data")
+    out = str(tmp_path / "idx")
+    _add_images(root, "red", (200, 30, 30), 5)
+    _add_images(root, "blue", (30, 30, 200), 5)
+    build_index(FolderDataset.from_root(root), _fake_encode, out,
+                batch_size=4, shard_rows=4)
+    return root, out
+
+
+def test_update_appends_only_new(index_dir):
+    root, out = index_dir
+    before = GalleryIndex.load(out, mmap=False)
+    assert len(before) == 10
+    _add_images(root, "red", (200, 30, 30), 3, start=5)
+    after = update_index(FolderDataset.from_root(root), _fake_encode, out,
+                         batch_size=4, shard_rows=4)
+    assert len(after) == 13
+    # old rows untouched, in order
+    assert after.paths[:10] == before.paths
+    np.testing.assert_array_equal(np.asarray(after.embeddings)[:10],
+                                  np.asarray(before.embeddings))
+    # idempotent: nothing new -> no change
+    again = update_index(FolderDataset.from_root(root), _fake_encode, out)
+    assert len(again) == 13
+
+
+def test_compact_drops_missing_and_predicate(index_dir):
+    root, out = index_dir
+    idx = GalleryIndex.load(out, mmap=False)
+    victim = idx.paths[2]
+    os.unlink(victim)                          # governance deleted a file
+    after = compact_index(out)
+    assert len(after) == 9 and victim not in after.paths
+    # embeddings still aligned with paths
+    np.testing.assert_array_equal(
+        np.asarray(after.embeddings)[after.paths.index(idx.paths[0])],
+        np.asarray(idx.embeddings)[0])
+
+    n_red = sum(c == "red" for c, p in zip(after.classes, after.paths))
+    dropped = compact_index(out, keep=lambda p, c: c != "blue")
+    assert len(dropped) == n_red
+    assert all(c == "red" for c in dropped.classes)
+    # engine still works over the compacted index
+    from mmrs_tpu.search.engine import SearchEngine
+
+    eng = SearchEngine(GalleryIndex.load(out))
+    hits = eng.query_vectors(np.asarray(dropped.embeddings)[:1], top_k=2)
+    assert hits[0][0].path == dropped.paths[0]
