@@ -78,7 +78,7 @@ def _rope(q: jnp.ndarray, k: jnp.ndarray, pos: jnp.ndarray, theta: float):
 def _attn_block(
     h: jnp.ndarray,                 # [B, T, D]
     p: Params,
-    cache_k: jnp.ndarray,           # [B, MAX, KVH, HD]
+    cache_k: jnp.ndarray,           # [B, KVH, S, HD] — HEAD-MAJOR, see init_cache
     cache_v: jnp.ndarray,
     pos_offset: jnp.ndarray,        # [] int32 — where this chunk starts
     cfg: LlamaConfig,
@@ -108,27 +108,36 @@ def _attn_block(
     pos = jnp.broadcast_to(pos, (b, t))
     q, k = _rope(q, k, pos, cfg.rope_theta)
 
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, pos_offset, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, pos_offset, 0, 0))
+    # head-major cache updates: new keys/values go in as [B, KVH, T, HD]
+    # (the transpose is [B,1,KVH,HD]-tiny at decode, one pass at prefill)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, 0, pos_offset, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, pos_offset, 0))
 
-    # GQA: group query heads over kv heads. [B,MAX,KVH,HD] vs q [B,T,NH,HD]
+    # GQA: group query heads over kv heads. With the HEAD-MAJOR cache the
+    # attention einsums' batch dims (b, kvh) lead on the cache side, so the
+    # per-step cache reads are contiguous — the [B,S,KVH,HD] layout made
+    # XLA read the whole cache strided inside the scoring fusion every
+    # decode step (trace-verified; this layout: 7B int8 543 -> measured
+    # below, see bench_vlm.py).
     group = nh // kvh
-    qg = q.reshape(b, t, kvh, group, hd)
-    logits = jnp.einsum("btkgh,bskh->bkgts", qg, cache_k,
+    qg = q.reshape(b, t, kvh, group, hd).transpose(0, 2, 3, 1, 4)
+    logits = jnp.einsum("bkgth,bksh->bkgts", qg, cache_k,
                         preferred_element_type=jnp.float32)
     logits = logits / jnp.sqrt(jnp.float32(hd))
 
     # causal + validity mask over the cache timeline (cache may be sized
     # below cfg.max_seq — greedy_generate right-sizes it to the request)
-    key_pos = jnp.arange(cache_k.shape[1])[None, :]       # [1, CACHE]
+    key_pos = jnp.arange(cache_k.shape[2])[None, :]       # [1, CACHE]
     query_pos = (pos_offset + jnp.arange(t))[:, None]     # [T, 1]
-    mask = key_pos <= query_pos                           # [T, MAX]
+    mask = key_pos <= query_pos                           # [T, CACHE]
     logits = jnp.where(mask[None, None, None, :, :], logits, -jnp.inf)
 
     probs = jax.nn.softmax(logits, axis=-1).astype(cd)
-    out = jnp.einsum("bkgts,bskh->btkgh", probs, cache_v,
+    out = jnp.einsum("bkgts,bksh->bkgth", probs, cache_v,
                      preferred_element_type=jnp.float32).astype(cd)
-    out = out.reshape(b, t, d)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, d)
     attn = matmul(out, p["wo"], cd)
     h = h + attn
 
@@ -147,12 +156,13 @@ def _attn_block(
 
 def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16,
                seq_len: int | None = None):
-    """KV cache [L, B, S, KVH, HD]. `seq_len` (default cfg.max_seq) lets
-    callers size the cache to the actual request: decode attention scans
-    the WHOLE cache every step, so a 512-slot cache behind a 128-token
-    request wastes 4x the KV bandwidth."""
+    """KV cache [L, B, KVH, S, HD] — HEAD-MAJOR so decode's attention
+    einsums read it contiguously (batch dims lead). `seq_len` (default
+    cfg.max_seq) lets callers size the cache to the actual request: decode
+    attention scans the WHOLE cache every step, so a 512-slot cache behind
+    a 128-token request wastes 4x the KV bandwidth."""
     s = seq_len or cfg.max_seq
-    shape = (cfg.layers, batch, s, cfg.kv_heads, cfg.head_dim)
+    shape = (cfg.layers, batch, cfg.kv_heads, s, cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
