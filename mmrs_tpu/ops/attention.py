@@ -60,6 +60,77 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, block_b: int):
         o_ref[i] = jnp.concatenate(out_heads, axis=-1)  # [T, W]
 
 
+def _mha_bd_kernel(q_ref, k_ref, v_ref, o_ref, kpack, vpack, *,
+                   heads: int, block_b: int):
+    """Block-diagonal variant: per image, pack k and v into [H*T, W]
+    block-diagonal scratches (plain slice copies, no transposes), then run
+    attention as TWO dense [T,W]x... dots at full MXU utilization:
+
+      logits = q . kpack^T   [T, H*T]   (col block h = q_h @ k_h^T — only
+                                         head-h rows of kpack are nonzero
+                                         in those columns)
+      out    = probs . vpack [T, W]     (row block h of vpack carries v_h)
+
+    12x redundant FLOPs (the zero blocks multiply anyway) but the per-head
+    [50,64] dots that starve the MXU in the naive kernel become dense
+    [50,768]x[768,600] matmuls. Scratches zero once at step 0; the nonzero
+    (diagonal) blocks are overwritten per image, zeros stay zero.
+    """
+    step = pl.program_id(0)
+    t = q_ref.shape[1]
+    w = q_ref.shape[2]
+    hd = w // heads
+
+    @pl.when(step == 0)
+    def _zero():
+        kpack[:] = jnp.zeros_like(kpack)
+        vpack[:] = jnp.zeros_like(vpack)
+
+    for i in range(block_b):
+        q = q_ref[i]                                   # [T, W]
+        k = k_ref[i]
+        v = v_ref[i]
+        for h in range(heads):
+            kpack[h * t:(h + 1) * t, h * hd:(h + 1) * hd] = \
+                k[:, h * hd:(h + 1) * hd]
+            vpack[h * t:(h + 1) * t, h * hd:(h + 1) * hd] = \
+                v[:, h * hd:(h + 1) * hd]
+        logits = jax.lax.dot_general(                  # [T, H*T] f32
+            q, kpack[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        blocks = []
+        for h in range(heads):                         # blockwise softmax
+            lg = logits[:, h * t:(h + 1) * t]
+            m = jnp.max(lg, axis=-1, keepdims=True)
+            e = jnp.exp(lg - m)
+            blocks.append(e / jnp.sum(e, axis=-1, keepdims=True))
+        probs = jnp.concatenate(blocks, axis=-1).astype(v.dtype)
+        o_ref[i] = jax.lax.dot_general(                # [T, W]
+            probs, vpack[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _mha_pallas_bd(q, k, v, heads: int, block_b: int, interpret: bool):
+    b, t, w = q.shape
+    grid = (b // block_b,)
+    spec = pl.BlockSpec((block_b, t, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mha_bd_kernel, heads=heads, block_b=block_b),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, w), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((heads * t, w), q.dtype),
+            pltpu.VMEM((heads * t, w), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _mha_pallas(q, k, v, heads: int, block_b: int, interpret: bool):
     b, t, w = q.shape
     grid = (b // block_b,)
@@ -116,6 +187,8 @@ def mha_short_seq(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         return _mha_xla(q, k, v, heads)
-    interpret = impl == "pallas_interpret"
+    interpret = impl.endswith("_interpret")
     block_b = _pick_block_b(*q.shape)
+    if impl.startswith("pallas_bd"):
+        return _mha_pallas_bd(q, k, v, heads, block_b, interpret)
     return _mha_pallas(q, k, v, heads, block_b, interpret)

@@ -51,3 +51,19 @@ def test_tower_with_pallas_attention_matches_xla():
     # identical here since compute is f32 end to end
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_blockdiag_matches_oracle():
+    q, k, v = _qkv(4, 50, 768, seed=2)
+    ref = mha_short_seq(q, k, v, heads=12, impl="xla")
+    out = mha_short_seq(q, k, v, heads=12, impl="pallas_bd_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_blockdiag_odd_shapes():
+    q, k, v = _qkv(3, 17, 64, seed=3)
+    ref = mha_short_seq(q, k, v, heads=4, impl="xla")
+    out = mha_short_seq(q, k, v, heads=4, impl="pallas_bd_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
