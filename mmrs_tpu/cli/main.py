@@ -475,6 +475,55 @@ def cmd_parity(args) -> int:
         }
         ok &= r.ok
 
+    if args.int8_tower:
+        # int8 serving-tower geometry gate: embedding cosine vs the f32
+        # tower and top-1 retrieval agreement (runs on the current backend,
+        # so on TPU this exercises the real MXU int8 path)
+        import jax
+        import jax.numpy as jnp
+
+        from mmrs_tpu.models import clip as clip_mod
+        from mmrs_tpu.models.clip import CLIPConfig
+        from mmrs_tpu.models.configs import IMAGE_TOWERS, CLIP_TEXT_B32, \
+            CLIP_TEXT_L14, CLIP_TEXT_TINY
+        from mmrs_tpu.models.quantize import quantize_clip_visual
+
+        tower = args.int8_tower
+        ccfg = CLIPConfig(
+            vision=IMAGE_TOWERS[tower],
+            text={"vit_b32": CLIP_TEXT_B32, "vit_l14": CLIP_TEXT_L14,
+                  "vit_tiny": CLIP_TEXT_TINY}[tower])
+        cfg2 = _load_config(args.config)
+        if cfg2.model.checkpoint_path or args.checkpoint:
+            from mmrs_tpu.models import checkpoint as ckpt
+
+            params = ckpt.load_npz(args.checkpoint
+                                   or cfg2.model.checkpoint_path)
+        else:
+            try:
+                host = jax.devices("cpu")[0]
+            except RuntimeError:
+                host = jax.devices()[0]
+            with jax.default_device(host):   # tiny-op init off the tunnel
+                params = clip_mod.init(jax.random.key(0), ccfg)
+            params = jax.device_put(params, jax.devices()[0])
+        imgs = jax.random.normal(jax.random.key(1), (16, 224, 224, 3)) * 0.5
+        f32 = np.asarray(clip_mod.encode_image(
+            params, imgs, ccfg, compute_dtype=jnp.float32), np.float32)
+        q8 = np.asarray(clip_mod.encode_image(
+            quantize_clip_visual(params), imgs, ccfg), np.float32)
+        cos = np.sum(f32 * q8, axis=1)
+        gal = np.concatenate([f32, np.asarray(jax.random.normal(
+            jax.random.key(2), (1000, f32.shape[1])), np.float32)])
+        gal /= np.linalg.norm(gal, axis=1, keepdims=True)
+        top1 = (np.argmax(q8 @ gal.T, 1) == np.argmax(f32 @ gal.T, 1))
+        g_ok = bool(cos.min() > 0.995 and top1.all())
+        report["int8_tower"] = {
+            "tower": tower, "min_cosine_vs_f32": float(cos.min()),
+            "top1_agreement": float(top1.mean()), "ok": g_ok,
+        }
+        ok &= g_ok
+
     if args.checkpoint:
         cfg = _load_config(args.config)
         cfg.model.checkpoint_path = args.checkpoint
@@ -517,7 +566,7 @@ def cmd_parity(args) -> int:
             ok &= t["threshold_ok"] and t["f1_ok"]
 
     if not report:
-        print("nothing to check: pass --rank-gate and/or --checkpoint",
+        print("nothing to check: pass --rank-gate, --int8-tower, and/or --checkpoint",
               file=sys.stderr)
         return 2
     report["ok"] = ok
@@ -785,6 +834,9 @@ def build_parser() -> argparse.ArgumentParser:
     pa = sub.add_parser("parity")
     pa.add_argument("--rank-gate", action="store_true",
                     help="bf16-vs-f32 top-k rank parity (no weights needed)")
+    pa.add_argument("--int8-tower", metavar="TOWER",
+                    help="int8-vs-f32 tower geometry gate (vit_b32/vit_l14/"
+                         "vit_tiny; uses --checkpoint when given)")
     pa.add_argument("--rows", type=int, default=100_000)
     pa.add_argument("--queries", type=int, default=16)
     pa.add_argument("--k", type=int, default=10)

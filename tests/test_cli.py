@@ -191,3 +191,10 @@ def test_cli_cascade_with_prompt(tree, tmp_path):
               "--verifier", "stub", "--config", cfgp])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "gate passed: 7" in r.stdout
+
+
+def test_parity_int8_tower_gate(tmp_path):
+    out = _run(["parity", "--int8-tower", "vit_tiny"])
+    assert out.returncode == 0, out.stderr
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["int8_tower"]["ok"] and rep["int8_tower"]["top1_agreement"] == 1.0
