@@ -77,7 +77,8 @@ def device_params(cfg: LlamaConfig, int8: bool, seed=0):
     return params
 
 
-def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5):
+def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
+                 kv_dtype=None):
     n_bytes = sum(x.nbytes for x in jax.tree.leaves(params))
     log(f"[{label}] params on device: {n_bytes/1e9:.2f} GB")
 
@@ -85,7 +86,8 @@ def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5):
     def gen(params, tokens):
         embeds = llama.embed_tokens(params, tokens)
         return llama.greedy_generate(params, embeds, cfg,
-                                     max_new_tokens=new_tokens, eos_token=-1)
+                                     max_new_tokens=new_tokens, eos_token=-1,
+                                     kv_dtype=kv_dtype)
 
     tokens = jax.random.randint(jax.random.key(1), (batch, prompt_len),
                                 3, 31000, jnp.int32)
@@ -108,25 +110,49 @@ def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5):
     return tps
 
 
-def run(cfg, label, int8, batch):
-    params = device_params(cfg, int8)
+def run(cfg, label, int8, batch, kv_dtype=None, prompt_len=64, params=None,
+        keep_params=False):
+    owns = params is None
+    if owns:
+        params = device_params(cfg, int8)
     try:
-        return round(bench_decode(cfg, params, label, batch, 64, 64), 1)
+        tps = round(bench_decode(cfg, params, label, batch, prompt_len, 64,
+                                 kv_dtype=kv_dtype), 1)
+        return (tps, params) if keep_params else tps
     except Exception as e:
         log(f"[{label}] failed:", repr(e))
-        return None
+        return (None, params) if keep_params else None
     finally:
-        for leaf in jax.tree.leaves(params):
-            leaf.delete()
-        gc.collect()
+        if owns and not keep_params:
+            for leaf in jax.tree.leaves(params):
+                leaf.delete()
+            gc.collect()
+
+
+def free(params):
+    for leaf in jax.tree.leaves(params):
+        leaf.delete()
+    gc.collect()
 
 
 def main() -> None:
     out = {"metric": "vlm_greedy_decode", "unit": "tokens/sec"}
 
-    cfg7 = LlamaConfig(max_seq=512)          # LLAMA2_7B dims, short cache
+    cfg7 = LlamaConfig(max_seq=1024)         # LLAMA2_7B dims, short cache
     assert (cfg7.dim, cfg7.layers) == (LLAMA2_7B.dim, LLAMA2_7B.layers)
-    out["llama7b_int8_bs8"] = run(cfg7, "7B int8", True, 8)
+    out["llama7b_int8_bs8"], p7 = run(cfg7, "7B int8", True, 8,
+                                      keep_params=True)
+    # int8 KV cache: half the per-step KV bytes at the same batch...
+    out["llama7b_int8_kv8_bs8"] = run(cfg7, "7B int8+kv8", True, 8,
+                                      kv_dtype=jnp.int8, params=p7)
+    # ...and the freed HBM admits 2x the batch over the cascade's real
+    # ~640-token multimodal prompt shape (576 image tokens + text)
+    out["llama7b_int8_kv8_bs16_p576"] = run(
+        cfg7, "7B int8+kv8 b16 p576", True, 16, kv_dtype=jnp.int8,
+        prompt_len=576, params=p7)
+    out["llama7b_int8_bs8_p576"] = run(
+        cfg7, "7B int8 b8 p576", True, 8, prompt_len=576, params=p7)
+    free(p7)
     # bf16 7B = 13.5 GB: batch 2 like the cascade's verify stage
     out["llama7b_bf16_bs2"] = run(cfg7, "7B bf16", False, 2)
 
@@ -135,7 +161,8 @@ def main() -> None:
     out["llama1b_bf16_bs8"] = run(cfg1, "1.1B bf16", False, 8)
     out["llama1b_int8_bs8"] = run(cfg1, "1.1B int8", True, 8)
 
-    out["value"] = out["llama7b_int8_bs8"]
+    out["value"] = (out.get("llama7b_int8_kv8_bs8")
+                    or out["llama7b_int8_bs8"])
     print(json.dumps(out))
 
 

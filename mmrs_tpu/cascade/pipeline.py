@@ -127,3 +127,87 @@ class CascadePipeline:
             stats=stats,
             metrics=metrics,
         )
+
+    def _verify_paths(self, paths: List[str], category: str,
+                      fixed_batch: Optional[int]) -> List[bool]:
+        import inspect
+
+        batch_fn = getattr(self.verifier, "verify_batch", None)
+        if batch_fn is None:
+            return [self.verifier.verify(p, category) for p in paths]
+        if fixed_batch and "fixed_batch" in inspect.signature(
+                batch_fn).parameters:
+            return list(batch_fn(paths, category, fixed_batch=fixed_batch))
+        return list(batch_fn(paths, category))
+
+    def run_streaming(
+        self,
+        paths: Sequence[str],
+        category: str,
+        labels: Optional[Sequence[bool]] = None,
+        chunk_size: int = 224,
+        verify_batch: int = 8,
+    ) -> CascadeResult:
+        """Chunked cascade for folders that don't fit one scoring pass.
+
+        Gates `chunk_size` images at a time (both towers), accumulates OR
+        survivors, and dispatches the verifier only in FULL `verify_batch`
+        packs padded to a fixed compiled shape (the reference loads the
+        whole folder and loops one image at a time,
+        code/union_clip_llava2.py:144-260; here memory is bounded by one
+        chunk + one verify pack, and the 7B decoder compiles exactly once).
+        Result is identical to `run()` with the same thresholds."""
+        stats = StageStats()
+        n = len(paths)
+        en_all = np.full(n, -np.inf, np.float32)
+        cn_all = np.full(n, -np.inf, np.float32)
+        verified = np.zeros(n, bool)
+        gate_all = np.zeros(n, bool)
+        pending: List[int] = []
+        calls = 0
+
+        def flush(batch: List[int]):
+            nonlocal calls
+            with stats.timed("verifier", count=len(batch)):
+                answers = self._verify_paths(
+                    [paths[i] for i in batch], category,
+                    fixed_batch=verify_batch)
+            calls += len(batch)
+            for i, ok in zip(batch, answers):
+                verified[i] = ok
+
+        for start in range(0, n, chunk_size):
+            idx = np.arange(start, min(start + chunk_size, n))
+            chunk = [paths[i] for i in idx]
+            if self.en_scorer is not None:
+                with stats.timed("en_clip", count=len(chunk)):
+                    en_all[idx] = np.asarray(self.en_scorer(chunk), np.float32)
+            if self.cn_scorer is not None:
+                with stats.timed("cn_clip", count=len(chunk)):
+                    cn_all[idx] = np.asarray(self.cn_scorer(chunk), np.float32)
+            gate = ((en_all[idx] >= self.en_threshold)
+                    | (cn_all[idx] >= self.cn_threshold))
+            gate_all[idx] = gate
+            if self.verifier is None:
+                verified[idx] = gate
+                continue
+            pending.extend(int(i) for i in idx[gate])
+            while len(pending) >= verify_batch:
+                flush(pending[:verify_batch])
+                pending = pending[verify_batch:]
+        if pending:
+            flush(pending)
+
+        metrics = None
+        if labels is not None:
+            metrics = binary_prf1(verified, np.asarray(labels, bool))
+        return CascadeResult(
+            paths=list(paths),
+            en_scores=en_all,
+            cn_scores=cn_all,
+            gate_passed=gate_all,
+            verified=verified,
+            verifier_calls=calls,
+            stats=stats,
+            metrics=metrics,
+        )

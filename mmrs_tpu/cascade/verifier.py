@@ -109,7 +109,8 @@ class TPULLaVAVerifier:
                  eos_token: int = 2,
                  image_size: int = 336,
                  compute_dtype=None,
-                 attn_impl: str = "auto"):
+                 attn_impl: str = "auto",
+                 kv_dtype=None):
         import jax
         import jax.numpy as jnp
 
@@ -119,6 +120,9 @@ class TPULLaVAVerifier:
             attn_impl = ("pallas" if jax.default_backend() == "tpu"
                          else "xla")
         self.attn_impl = attn_impl
+        # int8 KV cache (llama.QKVCache) halves per-step KV traffic and
+        # HBM residency of the ~600-token multimodal prompts
+        self.kv_dtype = kv_dtype
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -167,6 +171,7 @@ class TPULLaVAVerifier:
             jnp.asarray([post_ids], jnp.int32),
             self.cfg, self.max_new_tokens, self.eos_token,
             self.compute_dtype, attn_impl=self.attn_impl,
+            kv_dtype=self.kv_dtype,
         )
         ids = [int(t) for t in np.asarray(out)[0] if int(t) != self.eos_token]
         return self.tokenizer.decode(ids)
@@ -175,11 +180,17 @@ class TPULLaVAVerifier:
         prompt = self.prompt_template.format(category=category)
         return parse_yes_no(self.generate_text(image_path, prompt))
 
-    def verify_batch(self, image_paths, category: str):
+    def verify_batch(self, image_paths, category: str,
+                     fixed_batch: int | None = None):
         """Batched VQA decode: one TPU dispatch for all gate survivors
         (vs the reference's one-image-at-a-time LLaVA loop,
         code/union_clip_llava2.py:172-260). Same prompt for every image, so
-        the prompt tokens are shared and only images vary."""
+        the prompt tokens are shared and only images vary.
+
+        `fixed_batch` pads the batch (repeating the first image) to a fixed
+        compiled shape — a streaming cascade otherwise triggers one XLA
+        compile per distinct survivor count (minutes each for the 7B
+        decoder through this environment's remote compiler)."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -187,6 +198,12 @@ class TPULLaVAVerifier:
 
         if not image_paths:
             return []
+        n_real = len(image_paths)
+        if fixed_batch is not None:
+            if n_real > fixed_batch:
+                raise ValueError(f"{n_real} paths > fixed_batch {fixed_batch}")
+            image_paths = list(image_paths) + [image_paths[0]] * (
+                fixed_batch - n_real)
         prompt = self.prompt_template.format(category=category)
         pre_ids, post_ids = self._prompt_ids(prompt)
         images = jnp.concatenate(
@@ -198,9 +215,10 @@ class TPULLaVAVerifier:
             jnp.tile(jnp.asarray([post_ids], jnp.int32), (b, 1)),
             self.cfg, self.max_new_tokens, self.eos_token,
             self.compute_dtype, attn_impl=self.attn_impl,
+            kv_dtype=self.kv_dtype,
         )
         results = []
         for row in np.asarray(out):
             ids = [int(t) for t in row if int(t) != self.eos_token]
             results.append(parse_yes_no(self.tokenizer.decode(ids)))
-        return results
+        return results[:n_real]

@@ -18,7 +18,7 @@ is implemented TPU-first so the verifier stage can be hosted on the mesh:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,45 @@ import jax.numpy as jnp
 from mmrs_tpu.models.layers import QTensor, _int8_matmul, _quantize_act, matmul
 
 Params = Dict[str, Any]
+
+
+class QKVCache(NamedTuple):
+    """int8 KV cache: values + per-(batch, kv-head, position) f32 scales.
+
+    Decode reads the whole cache every step, so at 7B/batch-8/S=640 the
+    bf16 cache is ~2.7 GB of the ~9.6 GB each step streams from HBM.
+    Storing int8 halves that; the scales are factored OUT of both
+    attention dots (applied to the small [B,KVH,G,T,S] logits/probs
+    tensors instead), so the MXU reads raw int8 with the bf16 convert
+    fused into the dot — no dequantized copy of the cache is ever
+    materialized. The freed HBM also doubles the feasible batch, which
+    amortizes the (dominant) weight read. Mirrors the reference's 8-bit
+    serving intent (code/test_llava.py:13 load_8bit=True) applied to the
+    cache rather than just the weights.
+    """
+
+    q: jnp.ndarray                 # int8 [..., B, KVH, S, HD]
+    s: jnp.ndarray                 # f32  [..., B, KVH, S]
+
+
+def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 over the head_dim axis. x [B, KVH, T, HD]."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    return jnp.round(x32 / s).astype(jnp.int8), jnp.squeeze(s, -1)
+
+
+def _cache_write(cache, new: jnp.ndarray, pos_offset) :
+    """Insert [B, KVH, T, HD] entries at pos_offset (bf16 or int8 cache)."""
+    if isinstance(cache, QKVCache):
+        q, s = _quantize_kv(new)
+        return QKVCache(
+            jax.lax.dynamic_update_slice(cache.q, q, (0, 0, pos_offset, 0)),
+            jax.lax.dynamic_update_slice(cache.s, s, (0, 0, pos_offset)),
+        )
+    return jax.lax.dynamic_update_slice(
+        cache, new.astype(cache.dtype), (0, 0, pos_offset, 0))
 
 
 @dataclass(frozen=True)
@@ -112,30 +151,46 @@ def _attn_block(
     # (the transpose is [B,1,KVH,HD]-tiny at decode, one pass at prefill)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, 0, pos_offset, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, pos_offset, 0))
+    cache_k = _cache_write(cache_k, k, pos_offset)
+    cache_v = _cache_write(cache_v, v, pos_offset)
+    int8_kv = isinstance(cache_k, QKVCache)
+    ck = cache_k.q if int8_kv else cache_k
+    cache_slots = ck.shape[2]
 
     # GQA: group query heads over kv heads. With the HEAD-MAJOR cache the
     # attention einsums' batch dims (b, kvh) lead on the cache side, so the
     # per-step cache reads are contiguous — the [B,S,KVH,HD] layout made
     # XLA read the whole cache strided inside the scoring fusion every
     # decode step (trace-verified; this layout: 7B int8 543 -> measured
-    # below, see bench_vlm.py).
+    # below, see bench_vlm.py). With an int8 cache the convert-to-bf16 is
+    # fused into the dot's operand read and the per-position scale is
+    # applied to the [B,KVH,G,T,S] logits afterwards — the cache itself
+    # crosses HBM as int8.
     group = nh // kvh
     qg = q.reshape(b, t, kvh, group, hd).transpose(0, 2, 3, 1, 4)
-    logits = jnp.einsum("bkgth,bksh->bkgts", qg, cache_k,
+    logits = jnp.einsum("bkgth,bksh->bkgts", qg, ck.astype(cd),
                         preferred_element_type=jnp.float32)
+    if int8_kv:
+        logits = logits * cache_k.s[:, :, None, None, :]
     logits = logits / jnp.sqrt(jnp.float32(hd))
 
     # causal + validity mask over the cache timeline (cache may be sized
     # below cfg.max_seq — greedy_generate right-sizes it to the request)
-    key_pos = jnp.arange(cache_k.shape[2])[None, :]       # [1, CACHE]
+    key_pos = jnp.arange(cache_slots)[None, :]            # [1, CACHE]
     query_pos = (pos_offset + jnp.arange(t))[:, None]     # [T, 1]
     mask = key_pos <= query_pos                           # [T, CACHE]
     logits = jnp.where(mask[None, None, None, :, :], logits, -jnp.inf)
 
-    probs = jax.nn.softmax(logits, axis=-1).astype(cd)
-    out = jnp.einsum("bkgts,bksh->bkgth", probs, cache_v,
+    probs = jax.nn.softmax(logits, axis=-1)
+    if int8_kv:
+        # fold V's dequant scale into the (small) probs tensor, in f32
+        # straight off the softmax so no extra materialization
+        probs = probs * cache_v.s[:, :, None, None, :]
+        cv = cache_v.q
+    else:
+        cv = cache_v
+    probs = probs.astype(cd)
+    out = jnp.einsum("bkgts,bksh->bkgth", probs, cv.astype(cd),
                      preferred_element_type=jnp.float32).astype(cd)
     out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, d)
     attn = matmul(out, p["wo"], cd)
@@ -160,9 +215,18 @@ def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16,
     einsums read it contiguously (batch dims lead). `seq_len` (default
     cfg.max_seq) lets callers size the cache to the actual request: decode
     attention scans the WHOLE cache every step, so a 512-slot cache behind
-    a 128-token request wastes 4x the KV bandwidth."""
+    a 128-token request wastes 4x the KV bandwidth.
+
+    `dtype=jnp.int8` builds a quantized QKVCache (values + per-position
+    f32 scales): half the KV bytes per decode step and per HBM-resident
+    request — see QKVCache."""
     s = seq_len or cfg.max_seq
     shape = (cfg.layers, batch, cfg.kv_heads, s, cfg.head_dim)
+    if dtype == jnp.int8:
+        def one():
+            return QKVCache(jnp.zeros(shape, jnp.int8),
+                            jnp.zeros(shape[:-1], jnp.float32))
+        return one(), one()
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -205,9 +269,13 @@ def greedy_generate(
     max_new_tokens: int = 32,
     eos_token: int = 2,
     compute_dtype=jnp.bfloat16,
+    kv_dtype=None,
 ) -> jnp.ndarray:
     """Greedy decode (temperature 0, the reference verifier's config).
-    Returns [B, max_new_tokens] int32, EOS-padded after finish."""
+    Returns [B, max_new_tokens] int32, EOS-padded after finish.
+
+    `kv_dtype=jnp.int8` serves with a quantized KV cache (half the KV
+    bytes per step; see QKVCache); default is the compute dtype."""
     b, t, _ = prompt_embeds.shape
     if t + max_new_tokens > cfg.max_seq:
         # dynamic_update_slice would clamp silently and corrupt the cache
@@ -219,7 +287,7 @@ def greedy_generate(
     # number of distinct compiled shapes); decode reads the whole cache
     # every step, so slack slots are pure KV-bandwidth waste
     cache_len = min(cfg.max_seq, ((t + max_new_tokens + 63) // 64) * 64)
-    cache = init_cache(cfg, b, compute_dtype, seq_len=cache_len)
+    cache = init_cache(cfg, b, kv_dtype or compute_dtype, seq_len=cache_len)
     logits, cache = forward(params, prompt_embeds, cache, 0, cfg, compute_dtype)
     next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
     finished = next_tok == eos_token

@@ -66,6 +66,60 @@ def test_cascade_gate_and_verifier():
     assert d["verifier"]["count"] == 4
 
 
+class _PackStubVerifier(StubVerifier):
+    """StubVerifier that records fixed-batch packs like the TPU verifier."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.packs = []
+
+    def verify_batch(self, image_paths, category, fixed_batch=None):
+        n_real = len(image_paths)
+        padded = list(image_paths)
+        if fixed_batch is not None:
+            padded += [image_paths[0]] * (fixed_batch - n_real)
+        self.packs.append(len(padded))
+        return [self.verify(p, category) for p in padded][:n_real]
+
+
+def test_cascade_streaming_matches_run():
+    """run_streaming == run, with the verifier dispatched in fixed packs."""
+    rng = np.random.default_rng(0)
+    paths = [f"img{i}.jpg" for i in range(23)]
+    en = {p: float(s) for p, s in zip(paths, rng.uniform(0, 30, 23))}
+    cn = {p: float(s) for p, s in zip(paths, rng.uniform(0, 15, 23))}
+    labels = list(rng.uniform(0, 1, 23) > 0.5)
+    answers = {p: bool(rng.integers(0, 2)) for p in paths}
+
+    def build(verifier):
+        return CascadePipeline(
+            en_scorer=lambda ps: [en[p] for p in ps],
+            cn_scorer=lambda ps: [cn[p] for p in ps],
+            en_threshold=18.0, cn_threshold=9.0, verifier=verifier)
+
+    ref = build(StubVerifier(answers=dict(answers))).run(
+        paths, "cat", labels=labels)
+    sv = _PackStubVerifier(answers=dict(answers))
+    res = build(sv).run_streaming(paths, "cat", labels=labels,
+                                  chunk_size=7, verify_batch=4)
+
+    np.testing.assert_array_equal(res.gate_passed, ref.gate_passed)
+    np.testing.assert_array_equal(res.verified, ref.verified)
+    np.testing.assert_allclose(res.en_scores, ref.en_scores)
+    assert res.verifier_calls == ref.verifier_calls
+    assert res.metrics == ref.metrics
+    # every dispatched pack has the fixed compiled shape
+    assert all(p == 4 for p in sv.packs)
+
+
+def test_cascade_streaming_no_verifier():
+    paths = [f"img{i}.jpg" for i in range(5)]
+    pipe = CascadePipeline(en_scorer=lambda ps: [float(len(p)) for p in ps],
+                           en_threshold=0.0)
+    res = pipe.run_streaming(paths, "cat", chunk_size=2)
+    assert res.verified.all() and res.verifier_calls == 0
+
+
 def test_cascade_single_tower():
     pipe = CascadePipeline(en_scorer=lambda ps: [1.0] * len(ps),
                            en_threshold=0.5)

@@ -100,6 +100,56 @@ def test_greedy_generate_matches_hf(hf_llama_pair):
     np.testing.assert_array_equal(j_out, t_out)
 
 
+def test_int8_kv_cache_numerics(hf_llama_pair):
+    """int8 KV cache: logits track the f32-cache forward closely, and the
+    prefill+decode split stays self-consistent (quantize-on-write is the
+    same whether a position was written during prefill or decode)."""
+    _, params = hf_llama_pair
+    rng = np.random.default_rng(4)
+    tokens = jnp.asarray(rng.integers(3, LCFG.vocab_size, (2, 12)), jnp.int32)
+    embeds = llama.embed_tokens(params, tokens)
+
+    ref_logits, _ = llama.forward(
+        params, embeds, llama.init_cache(LCFG, 2, jnp.float32), 0, LCFG,
+        compute_dtype=jnp.float32)
+    q_logits, _ = llama.forward(
+        params, embeds, llama.init_cache(LCFG, 2, jnp.int8), 0, LCFG,
+        compute_dtype=jnp.float32)
+
+    ref = np.asarray(ref_logits).reshape(-1, LCFG.vocab_size)
+    q = np.asarray(q_logits).reshape(-1, LCFG.vocab_size)
+    cos = (ref * q).sum(-1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(q, axis=-1))
+    assert cos.min() > 0.999, cos.min()
+    # int8 quantization error must not reorder the greedy choice here
+    assert (ref.argmax(-1) == q.argmax(-1)).mean() >= 0.9
+
+    # split consistency: prefill 8 + decode 1 == full forward at pos 8
+    ck = llama.init_cache(LCFG, 2, jnp.int8)
+    _, ck = llama.forward(params, embeds[:, :8], ck, 0, LCFG,
+                          compute_dtype=jnp.float32)
+    step_logits, _ = llama.forward(params, embeds[:, 8:9], ck, 8, LCFG,
+                                   compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(step_logits[:, 0]),
+                               np.asarray(q_logits[:, 8]),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_greedy_generate_int8_kv_matches_greedy(hf_llama_pair):
+    """greedy_generate(kv_dtype=int8) produces (near-)identical tokens."""
+    _, params = hf_llama_pair
+    rng = np.random.default_rng(5)
+    prompt = jnp.asarray(rng.integers(3, LCFG.vocab_size, (2, 6)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+    ref = np.asarray(llama.greedy_generate(
+        params, embeds, LCFG, max_new_tokens=8, eos_token=-1,
+        compute_dtype=jnp.float32))
+    q = np.asarray(llama.greedy_generate(
+        params, embeds, LCFG, max_new_tokens=8, eos_token=-1,
+        compute_dtype=jnp.float32, kv_dtype=jnp.int8))
+    assert (ref == q).mean() >= 0.85, (ref, q)
+
+
 def test_greedy_generate_eos_padding(hf_llama_pair):
     _, params = hf_llama_pair
     rng = np.random.default_rng(3)
