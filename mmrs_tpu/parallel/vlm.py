@@ -57,8 +57,14 @@ def shard_llama_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
-                     eos_token: int = 2, compute_dtype=jnp.bfloat16):
-    """Returns a jitted greedy_generate with TP shardings over `mesh`."""
+                     eos_token: int = 2, compute_dtype=jnp.bfloat16,
+                     kv_dtype=None):
+    """Returns a jitted greedy_generate with TP shardings over `mesh`.
+
+    `kv_dtype=jnp.int8` serves with the quantized KV cache
+    (llama.QKVCache); the per-shard k/v quantization is elementwise over
+    head_dim, so GSPMD propagates the kv-head sharding into both the int8
+    values and their scales unchanged."""
     specs = llama_param_specs()
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                             is_leaf=lambda x: isinstance(x, P))
@@ -66,6 +72,7 @@ def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
 
     def gen(params, prompt_embeds):
         return llama.greedy_generate(params, prompt_embeds, cfg,
-                                     max_new_tokens, eos_token, compute_dtype)
+                                     max_new_tokens, eos_token, compute_dtype,
+                                     kv_dtype=kv_dtype)
 
     return jax.jit(gen, in_shardings=(param_sh, repl), out_shardings=repl)
