@@ -146,9 +146,15 @@ def generate_params_into_formats(structs, formats):
 
 def main():
     int8 = "--int8" in sys.argv
+    kv8 = "--kv8" in sys.argv          # int8 KV cache (llama.QKVCache)
     verify_batch = VERIFY_BATCH_INT8 if int8 else VERIFY_BATCH
+    if kv8:
+        # half the cache bytes -> twice the verify batch fits next to the
+        # int8 weights
+        verify_batch *= 2
+    kv_dtype = jnp.int8 if kv8 else None
     log(f"devices: {jax.devices()}  verifier={'int8' if int8 else 'bf16'} "
-        f"batch={verify_batch}")
+        f"kv={'int8' if kv8 else 'bf16'} batch={verify_batch}")
     dev = jax.devices()[0]
 
     # ---- stage 1: EN CLIP gate --------------------------------------------
@@ -207,7 +213,7 @@ def main():
         # the einsum path, unlike the 50-token B/32 gate)
         return llava.generate(p, x, pre, post, LLAVA_7B,
                               max_new_tokens=MAX_NEW_TOKENS, eos_token=2,
-                              attn_impl="pallas")
+                              attn_impl="pallas", kv_dtype=kv_dtype)
 
     # Compile with AUTO input layouts: the decode scan wants the stacked
     # [L, 4096, 4096] weights in a transposed layout, and default-layout
@@ -268,6 +274,7 @@ def main():
         "total_ms_per_image": round(total_s * 1e3 / N_IMAGES, 2),
         "verifier": ("llava-7b-config "
                      + ("int8" if int8 else "bf16")
+                     + (" kv-int8" if kv8 else "")
                      + f", batch {verify_batch}, single v5e chip"),
     }
     log("stage table:", table)

@@ -230,6 +230,32 @@ def init_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16,
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def init_cache_layers(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16,
+                      seq_len: int | None = None):
+    """Per-layer KV cache: a list of `layers` (k, v) pairs, each its own
+    [B, KVH, S, HD] buffer, for the UNROLLED layer loop (`layers="unroll"`).
+
+    Why it exists: with the stacked cache scanned through lax.scan's
+    xs->ys, XLA cannot alias the input cache to the output stack — the
+    trace on the v5e showed the FULL cache copied once per forward call
+    (~2 ms per GB per step) plus per-layer dynamic-slice/update-slice
+    materialization, ~36% of the 7B decode step at 576-token prompts.
+    Separate per-layer buffers carried through the decode scan update
+    in place (dynamic_update_slice on a carry aliases), and the unrolled
+    loop indexes the stacked weights statically (offset views, no copy).
+    """
+    s = seq_len or cfg.max_seq
+    shape = (batch, cfg.kv_heads, s, cfg.head_dim)
+    if dtype == jnp.int8:
+        def one():
+            return QKVCache(jnp.zeros(shape, jnp.int8),
+                            jnp.zeros(shape[:-1], jnp.float32))
+    else:
+        def one():
+            return jnp.zeros(shape, dtype)
+    return [(one(), one()) for _ in range(cfg.layers)]
+
+
 def forward(
     params: Params,
     embeds: jnp.ndarray,            # [B, T, D] already-embedded inputs
@@ -239,9 +265,30 @@ def forward(
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Returns (logits [B, T, V], updated cache). Embedding-level input so
-    LLaVA can splice image tokens into the sequence."""
-    cache_k, cache_v = cache
+    LLaVA can splice image tokens into the sequence.
+
+    Cache forms: a `(stacked_k, stacked_v)` pair runs the layer body as
+    one lax.scan (single compiled layer, fast compile); a LIST of
+    per-layer (k, v) pairs (init_cache_layers) runs an UNROLLED Python
+    loop with static weight indexing — bigger HLO, but the per-layer
+    cache buffers update in place with no xs->ys copies (see
+    init_cache_layers for the measured cost of the scanned form)."""
     pos_offset = jnp.asarray(pos_offset, jnp.int32)
+
+    if isinstance(cache, list):
+        h = embeds.astype(compute_dtype)
+        new_cache = []
+        for i, (ck, cv) in enumerate(cache):
+            layer_p = jax.tree.map(lambda a, i=i: a[i], params["blocks"])
+            h, ck, cv = _attn_block(h, layer_p, ck, cv, pos_offset, cfg,
+                                    compute_dtype)
+            new_cache.append((ck, cv))
+        h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+        logits = matmul(h, params["lm_head"], compute_dtype,
+                        out_dtype=jnp.float32)
+        return logits, new_cache
+
+    cache_k, cache_v = cache
 
     def body(h, xs):
         layer_p, ck, cv = xs
@@ -270,12 +317,15 @@ def greedy_generate(
     eos_token: int = 2,
     compute_dtype=jnp.bfloat16,
     kv_dtype=None,
+    layers: str = "scan",
 ) -> jnp.ndarray:
     """Greedy decode (temperature 0, the reference verifier's config).
     Returns [B, max_new_tokens] int32, EOS-padded after finish.
 
     `kv_dtype=jnp.int8` serves with a quantized KV cache (half the KV
-    bytes per step; see QKVCache); default is the compute dtype."""
+    bytes per step; see QKVCache); default is the compute dtype.
+    `layers="unroll"` trades compile time for zero cache-copy decode
+    steps (see init_cache_layers)."""
     b, t, _ = prompt_embeds.shape
     if t + max_new_tokens > cfg.max_seq:
         # dynamic_update_slice would clamp silently and corrupt the cache
@@ -287,7 +337,8 @@ def greedy_generate(
     # number of distinct compiled shapes); decode reads the whole cache
     # every step, so slack slots are pure KV-bandwidth waste
     cache_len = min(cfg.max_seq, ((t + max_new_tokens + 63) // 64) * 64)
-    cache = init_cache(cfg, b, kv_dtype or compute_dtype, seq_len=cache_len)
+    make_cache = init_cache_layers if layers == "unroll" else init_cache
+    cache = make_cache(cfg, b, kv_dtype or compute_dtype, seq_len=cache_len)
     logits, cache = forward(params, prompt_embeds, cache, 0, cfg, compute_dtype)
     next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
     finished = next_tok == eos_token

@@ -150,6 +150,23 @@ def test_greedy_generate_int8_kv_matches_greedy(hf_llama_pair):
     assert (ref == q).mean() >= 0.85, (ref, q)
 
 
+def test_greedy_generate_unrolled_layers_matches_scan(hf_llama_pair):
+    """layers="unroll" (per-layer cache buffers, in-place decode updates)
+    is numerically identical to the stacked-cache lax.scan form."""
+    _, params = hf_llama_pair
+    rng = np.random.default_rng(6)
+    prompt = jnp.asarray(rng.integers(3, LCFG.vocab_size, (2, 5)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+    for kv_dtype in (None, jnp.int8):
+        ref = np.asarray(llama.greedy_generate(
+            params, embeds, LCFG, max_new_tokens=6, eos_token=-1,
+            compute_dtype=jnp.float32, kv_dtype=kv_dtype))
+        unr = np.asarray(llama.greedy_generate(
+            params, embeds, LCFG, max_new_tokens=6, eos_token=-1,
+            compute_dtype=jnp.float32, kv_dtype=kv_dtype, layers="unroll"))
+        np.testing.assert_array_equal(unr, ref)
+
+
 def test_greedy_generate_eos_padding(hf_llama_pair):
     _, params = hf_llama_pair
     rng = np.random.default_rng(3)
