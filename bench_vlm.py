@@ -78,7 +78,7 @@ def device_params(cfg: LlamaConfig, int8: bool, seed=0):
 
 
 def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
-                 kv_dtype=None, layers="scan"):
+                 kv_dtype=None, layers="scan", prefill_chunk=None):
     n_bytes = sum(x.nbytes for x in jax.tree.leaves(params))
     log(f"[{label}] params on device: {n_bytes/1e9:.2f} GB")
 
@@ -87,7 +87,8 @@ def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
         embeds = llama.embed_tokens(params, tokens)
         return llama.greedy_generate(params, embeds, cfg,
                                      max_new_tokens=new_tokens, eos_token=-1,
-                                     kv_dtype=kv_dtype, layers=layers)
+                                     kv_dtype=kv_dtype, layers=layers,
+                                     prefill_chunk=prefill_chunk)
 
     tokens = jax.random.randint(jax.random.key(1), (batch, prompt_len),
                                 3, 31000, jnp.int32)
@@ -111,13 +112,14 @@ def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
 
 
 def run(cfg, label, int8, batch, kv_dtype=None, prompt_len=64, params=None,
-        keep_params=False, layers="scan"):
+        keep_params=False, layers="scan", prefill_chunk=None):
     owns = params is None
     if owns:
         params = device_params(cfg, int8)
     try:
         tps = round(bench_decode(cfg, params, label, batch, prompt_len, 64,
-                                 kv_dtype=kv_dtype, layers=layers), 1)
+                                 kv_dtype=kv_dtype, layers=layers,
+                                 prefill_chunk=prefill_chunk), 1)
         return (tps, params) if keep_params else tps
     except Exception as e:
         log(f"[{label}] failed:", repr(e))
@@ -159,6 +161,13 @@ def main() -> None:
     out["llama7b_int8_kv8_unroll_bs16_p576"] = run(
         cfg7, "7B int8+kv8 unroll b16 p576", True, 16, kv_dtype=jnp.int8,
         prompt_len=576, params=p7, layers="unroll")
+    # + chunked causal prefill: 128-token chunks with statically-sliced
+    # cache reads bound the prefill's f32 attention-logits tensor and skip
+    # the [B,576,vocab] LM head (last position only)
+    out["llama7b_int8_kv8_unroll_pc128_bs16_p576"] = run(
+        cfg7, "7B int8+kv8 unroll pc128 b16 p576", True, 16,
+        kv_dtype=jnp.int8, prompt_len=576, params=p7, layers="unroll",
+        prefill_chunk=128)
     free(p7)
     # bf16 7B = 13.5 GB: batch 2 like the cascade's verify stage
     out["llama7b_bf16_bs2"] = run(cfg7, "7B bf16", False, 2)

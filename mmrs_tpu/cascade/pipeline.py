@@ -147,6 +147,7 @@ class CascadePipeline:
         labels: Optional[Sequence[bool]] = None,
         chunk_size: int = 224,
         verify_batch: int = 8,
+        pipeline_depth: int = 2,
     ) -> CascadeResult:
         """Chunked cascade for folders that don't fit one scoring pass.
 
@@ -156,7 +157,14 @@ class CascadePipeline:
         whole folder and loops one image at a time,
         code/union_clip_llava2.py:144-260; here memory is bounded by one
         chunk + one verify pack, and the 7B decoder compiles exactly once).
-        Result is identical to `run()` with the same thresholds."""
+        Result is identical to `run()` with the same thresholds.
+
+        Verify packs are PIPELINED when the verifier exposes
+        `verify_batch_async`/`collect`: up to `pipeline_depth` packs stay
+        in flight as async device dispatches while the host loads and
+        gates the next chunk — the host-side image decode for chunk i+1
+        hides behind the device's verify of chunk i's survivors.
+        `pipeline_depth=0` forces the old synchronous flush."""
         stats = StageStats()
         n = len(paths)
         en_all = np.full(n, -np.inf, np.float32)
@@ -166,13 +174,34 @@ class CascadePipeline:
         pending: List[int] = []
         calls = 0
 
+        async_ok = (pipeline_depth > 0
+                    and hasattr(self.verifier, "verify_batch_async")
+                    and hasattr(self.verifier, "collect"))
+        in_flight: List[tuple] = []   # [(batch_indices, handle), ...]
+
+        def drain_one():
+            batch, handle = in_flight.pop(0)
+            with stats.timed("verifier_wait", count=len(batch)):
+                answers = self.verifier.collect(handle)
+            for i, ok in zip(batch, answers):
+                verified[i] = ok
+
         def flush(batch: List[int]):
             nonlocal calls
+            calls += len(batch)
+            if async_ok:
+                with stats.timed("verifier", count=len(batch)):
+                    handle = self.verifier.verify_batch_async(
+                        [paths[i] for i in batch], category,
+                        fixed_batch=verify_batch)
+                in_flight.append((batch, handle))
+                while len(in_flight) > pipeline_depth:
+                    drain_one()
+                return
             with stats.timed("verifier", count=len(batch)):
                 answers = self._verify_paths(
                     [paths[i] for i in batch], category,
                     fixed_batch=verify_batch)
-            calls += len(batch)
             for i, ok in zip(batch, answers):
                 verified[i] = ok
 
@@ -197,6 +226,8 @@ class CascadePipeline:
                 pending = pending[verify_batch:]
         if pending:
             flush(pending)
+        while in_flight:
+            drain_one()
 
         metrics = None
         if labels is not None:

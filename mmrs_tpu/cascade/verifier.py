@@ -110,7 +110,9 @@ class TPULLaVAVerifier:
                  image_size: int = 336,
                  compute_dtype=None,
                  attn_impl: str = "auto",
-                 kv_dtype=None):
+                 kv_dtype=None,
+                 layers: str = "scan",
+                 prefill_chunk: int | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -121,8 +123,12 @@ class TPULLaVAVerifier:
                          else "xla")
         self.attn_impl = attn_impl
         # int8 KV cache (llama.QKVCache) halves per-step KV traffic and
-        # HBM residency of the ~600-token multimodal prompts
+        # HBM residency of the ~600-token multimodal prompts; layers=
+        # "unroll" + prefill_chunk are the measured-fast decode options at
+        # the 576-token multimodal prompt (see models/llama.greedy_generate)
         self.kv_dtype = kv_dtype
+        self.layers = layers
+        self.prefill_chunk = prefill_chunk
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -171,7 +177,8 @@ class TPULLaVAVerifier:
             jnp.asarray([post_ids], jnp.int32),
             self.cfg, self.max_new_tokens, self.eos_token,
             self.compute_dtype, attn_impl=self.attn_impl,
-            kv_dtype=self.kv_dtype,
+            kv_dtype=self.kv_dtype, layers=self.layers,
+            prefill_chunk=self.prefill_chunk,
         )
         ids = [int(t) for t in np.asarray(out)[0] if int(t) != self.eos_token]
         return self.tokenizer.decode(ids)
@@ -180,24 +187,21 @@ class TPULLaVAVerifier:
         prompt = self.prompt_template.format(category=category)
         return parse_yes_no(self.generate_text(image_path, prompt))
 
-    def verify_batch(self, image_paths, category: str,
-                     fixed_batch: int | None = None):
-        """Batched VQA decode: one TPU dispatch for all gate survivors
-        (vs the reference's one-image-at-a-time LLaVA loop,
-        code/union_clip_llava2.py:172-260). Same prompt for every image, so
-        the prompt tokens are shared and only images vary.
+    def verify_batch_async(self, image_paths, category: str,
+                           fixed_batch: int | None = None):
+        """Dispatch one batched VQA decode WITHOUT waiting for the result.
 
-        `fixed_batch` pads the batch (repeating the first image) to a fixed
-        compiled shape — a streaming cascade otherwise triggers one XLA
-        compile per distinct survivor count (minutes each for the 7B
-        decoder through this environment's remote compiler)."""
+        Returns an opaque handle for `collect()`. The device array inside
+        is an async JAX dispatch: the TPU crunches while the host goes on
+        to load/gate the next chunk — on one chip the device work is
+        serial either way, but host-side image decode (the other big cost
+        on this 1-core box) then overlaps it (gate->verify pipelining)."""
         import jax.numpy as jnp
-        import numpy as np
 
         from mmrs_tpu.models import llava
 
         if not image_paths:
-            return []
+            return ([], 0)
         n_real = len(image_paths)
         if fixed_batch is not None:
             if n_real > fixed_batch:
@@ -215,10 +219,35 @@ class TPULLaVAVerifier:
             jnp.tile(jnp.asarray([post_ids], jnp.int32), (b, 1)),
             self.cfg, self.max_new_tokens, self.eos_token,
             self.compute_dtype, attn_impl=self.attn_impl,
-            kv_dtype=self.kv_dtype,
+            kv_dtype=self.kv_dtype, layers=self.layers,
+            prefill_chunk=self.prefill_chunk,
         )
+        return (out, n_real)
+
+    def collect(self, handle):
+        """Fetch + parse an async verify dispatch (see verify_batch_async)."""
+        import numpy as np
+
+        out, n_real = handle
+        if n_real == 0:
+            return []
         results = []
         for row in np.asarray(out):
             ids = [int(t) for t in row if int(t) != self.eos_token]
             results.append(parse_yes_no(self.tokenizer.decode(ids)))
         return results[:n_real]
+
+    def verify_batch(self, image_paths, category: str,
+                     fixed_batch: int | None = None):
+        """Batched VQA decode: one TPU dispatch for all gate survivors
+        (vs the reference's one-image-at-a-time LLaVA loop,
+        code/union_clip_llava2.py:172-260). Same prompt for every image, so
+        the prompt tokens are shared and only images vary.
+
+        `fixed_batch` pads the batch (repeating the first image) to a fixed
+        compiled shape — a streaming cascade otherwise triggers one XLA
+        compile per distinct survivor count (minutes each for the 7B
+        decoder through this environment's remote compiler)."""
+        return self.collect(
+            self.verify_batch_async(image_paths, category,
+                                    fixed_batch=fixed_batch))

@@ -122,6 +122,7 @@ def _attn_block(
     pos_offset: jnp.ndarray,        # [] int32 — where this chunk starts
     cfg: LlamaConfig,
     compute_dtype,
+    kv_limit: int | None = None,    # STATIC: attend only to cache[:kv_limit]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, t, d = h.shape
     nh, kvh, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
@@ -154,7 +155,22 @@ def _attn_block(
     cache_k = _cache_write(cache_k, k, pos_offset)
     cache_v = _cache_write(cache_v, v, pos_offset)
     int8_kv = isinstance(cache_k, QKVCache)
-    ck = cache_k.q if int8_kv else cache_k
+    # Chunked prefill passes a STATIC kv_limit covering positions written so
+    # far: reads below are sliced to cache[:kv_limit], so chunk i's attention
+    # streams O(i·C) cache bytes and materializes [.., T=C, S=kv_limit]
+    # logits instead of the full [.., T, S_total] tensor.
+    if kv_limit is not None:
+        if int8_kv:
+            read_k = QKVCache(cache_k.q[:, :, :kv_limit],
+                              cache_k.s[:, :, :kv_limit])
+            read_v = QKVCache(cache_v.q[:, :, :kv_limit],
+                              cache_v.s[:, :, :kv_limit])
+        else:
+            read_k = cache_k[:, :, :kv_limit]
+            read_v = cache_v[:, :, :kv_limit]
+    else:
+        read_k, read_v = cache_k, cache_v
+    ck = read_k.q if int8_kv else read_k
     cache_slots = ck.shape[2]
 
     # GQA: group query heads over kv heads. With the HEAD-MAJOR cache the
@@ -171,7 +187,7 @@ def _attn_block(
     logits = jnp.einsum("bkgth,bksh->bkgts", qg, ck.astype(cd),
                         preferred_element_type=jnp.float32)
     if int8_kv:
-        logits = logits * cache_k.s[:, :, None, None, :]
+        logits = logits * read_k.s[:, :, None, None, :]
     logits = logits / jnp.sqrt(jnp.float32(hd))
 
     # causal + validity mask over the cache timeline (cache may be sized
@@ -185,10 +201,10 @@ def _attn_block(
     if int8_kv:
         # fold V's dequant scale into the (small) probs tensor, in f32
         # straight off the softmax so no extra materialization
-        probs = probs * cache_v.s[:, :, None, None, :]
-        cv = cache_v.q
+        probs = probs * read_v.s[:, :, None, None, :]
+        cv = read_v.q
     else:
-        cv = cache_v
+        cv = read_v
     probs = probs.astype(cd)
     out = jnp.einsum("bkgts,bksh->bkgth", probs, cv.astype(cd),
                      preferred_element_type=jnp.float32).astype(cd)
@@ -263,6 +279,8 @@ def forward(
     pos_offset,                     # scalar int32
     cfg: LlamaConfig,
     compute_dtype=jnp.bfloat16,
+    kv_limit: int | None = None,    # static: attend to cache[:kv_limit] only
+    last_logit_only: bool = False,  # lm_head on the final position only
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Returns (logits [B, T, V], updated cache). Embedding-level input so
     LLaVA can splice image tokens into the sequence.
@@ -281,28 +299,27 @@ def forward(
         for i, (ck, cv) in enumerate(cache):
             layer_p = jax.tree.map(lambda a, i=i: a[i], params["blocks"])
             h, ck, cv = _attn_block(h, layer_p, ck, cv, pos_offset, cfg,
-                                    compute_dtype)
+                                    compute_dtype, kv_limit=kv_limit)
             new_cache.append((ck, cv))
-        h = rms_norm(h, params["final_norm"], cfg.norm_eps)
-        logits = matmul(h, params["lm_head"], compute_dtype,
-                        out_dtype=jnp.float32)
-        return logits, new_cache
+    else:
+        cache_k, cache_v = cache
 
-    cache_k, cache_v = cache
+        def body(h, xs):
+            layer_p, ck, cv = xs
+            h, ck, cv = _attn_block(h, layer_p, ck, cv, pos_offset, cfg,
+                                    compute_dtype, kv_limit=kv_limit)
+            return h, (ck, cv)
 
-    def body(h, xs):
-        layer_p, ck, cv = xs
-        h, ck, cv = _attn_block(h, layer_p, ck, cv, pos_offset, cfg,
-                                compute_dtype)
-        return h, (ck, cv)
-
-    h, (new_k, new_v) = jax.lax.scan(
-        body, embeds.astype(compute_dtype), (params["blocks"], cache_k, cache_v)
-    )
+        h, new_cache = jax.lax.scan(
+            body, embeds.astype(compute_dtype),
+            (params["blocks"], cache_k, cache_v),
+        )
+    if last_logit_only:
+        h = h[:, -1:, :]
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
     logits = matmul(h, params["lm_head"], compute_dtype,
                     out_dtype=jnp.float32)
-    return logits, (new_k, new_v)
+    return logits, new_cache
 
 
 def embed_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -318,6 +335,7 @@ def greedy_generate(
     compute_dtype=jnp.bfloat16,
     kv_dtype=None,
     layers: str = "scan",
+    prefill_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Greedy decode (temperature 0, the reference verifier's config).
     Returns [B, max_new_tokens] int32, EOS-padded after finish.
@@ -325,7 +343,13 @@ def greedy_generate(
     `kv_dtype=jnp.int8` serves with a quantized KV cache (half the KV
     bytes per step; see QKVCache); default is the compute dtype.
     `layers="unroll"` trades compile time for zero cache-copy decode
-    steps (see init_cache_layers)."""
+    steps (see init_cache_layers).
+    `prefill_chunk=C` runs the prompt through the network C tokens at a
+    time with STATICALLY-sliced cache reads: chunk i attends to
+    cache[:(i+1)·C], so prefill's attention-logits materialization is
+    bounded at [B,KVH,G,C,(i+1)C] f32 (triangular total) instead of one
+    [.., T, S] tensor, and the LM head runs on the final position only
+    instead of all T prompt positions (a [B,T,vocab] f32 save)."""
     b, t, _ = prompt_embeds.shape
     if t + max_new_tokens > cfg.max_seq:
         # dynamic_update_slice would clamp silently and corrupt the cache
@@ -339,7 +363,22 @@ def greedy_generate(
     cache_len = min(cfg.max_seq, ((t + max_new_tokens + 63) // 64) * 64)
     make_cache = init_cache_layers if layers == "unroll" else init_cache
     cache = make_cache(cfg, b, kv_dtype or compute_dtype, seq_len=cache_len)
-    logits, cache = forward(params, prompt_embeds, cache, 0, cfg, compute_dtype)
+    if prefill_chunk is not None and t > prefill_chunk:
+        c = prefill_chunk
+        starts = list(range(0, t, c))
+        for s0 in starts:
+            piece = prompt_embeds[:, s0:s0 + c]
+            # round the read window up to the cache's 64-slot granularity
+            # so chunk sizes off the 128-lane grid still tile cleanly
+            lim = min(cache_len, ((s0 + piece.shape[1] + 63) // 64) * 64)
+            # last_logit_only on EVERY chunk: a [B,1,vocab] head per chunk
+            # is noise; only the final chunk's logits are consumed
+            logits, cache = forward(params, piece, cache, s0, cfg,
+                                    compute_dtype, kv_limit=lim,
+                                    last_logit_only=True)
+    else:
+        logits, cache = forward(params, prompt_embeds, cache, 0, cfg,
+                                compute_dtype, last_logit_only=True)
     next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
     finished = next_tok == eos_token
 

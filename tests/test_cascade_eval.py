@@ -112,6 +112,60 @@ def test_cascade_streaming_matches_run():
     assert all(p == 4 for p in sv.packs)
 
 
+class _AsyncPackStubVerifier(_PackStubVerifier):
+    """Adds the async dispatch/collect split the TPU verifier exposes, with
+    deferred answer resolution so a premature (unpipelined) collect would
+    be visible as max_in_flight == 1."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.open_handles = 0
+        self.max_in_flight = 0
+
+    def verify_batch_async(self, image_paths, category, fixed_batch=None):
+        self.open_handles += 1
+        self.max_in_flight = max(self.max_in_flight, self.open_handles)
+        return (list(image_paths), category, fixed_batch)
+
+    def collect(self, handle):
+        paths, category, fixed_batch = handle
+        self.open_handles -= 1
+        return super().verify_batch(paths, category, fixed_batch=fixed_batch)
+
+
+def test_cascade_streaming_pipelined_matches_sync():
+    """Async gate->verify pipelining (verify_batch_async/collect) yields the
+    same CascadeResult as the synchronous flush, keeps up to pipeline_depth
+    packs in flight, and pipeline_depth=0 falls back to sync."""
+    rng = np.random.default_rng(1)
+    paths = [f"img{i}.jpg" for i in range(29)]
+    en = {p: float(s) for p, s in zip(paths, rng.uniform(0, 30, 29))}
+    labels = list(rng.uniform(0, 1, 29) > 0.5)
+    answers = {p: bool(rng.integers(0, 2)) for p in paths}
+
+    def build(verifier):
+        return CascadePipeline(
+            en_scorer=lambda ps: [en[p] for p in ps],
+            en_threshold=12.0, verifier=verifier)
+
+    ref = build(_PackStubVerifier(answers=dict(answers))).run_streaming(
+        paths, "cat", labels=labels, chunk_size=5, verify_batch=3,
+        pipeline_depth=0)
+    av = _AsyncPackStubVerifier(answers=dict(answers))
+    res = build(av).run_streaming(paths, "cat", labels=labels,
+                                  chunk_size=5, verify_batch=3,
+                                  pipeline_depth=2)
+
+    np.testing.assert_array_equal(res.verified, ref.verified)
+    np.testing.assert_array_equal(res.gate_passed, ref.gate_passed)
+    assert res.verifier_calls == ref.verifier_calls
+    assert res.metrics == ref.metrics
+    assert av.max_in_flight >= 2          # actually pipelined
+    assert av.open_handles == 0           # fully drained
+    assert all(p == 3 for p in av.packs)
+    assert "verifier_wait" in res.stats.stages
+
+
 def test_cascade_streaming_no_verifier():
     paths = [f"img{i}.jpg" for i in range(5)]
     pipe = CascadePipeline(en_scorer=lambda ps: [float(len(p)) for p in ps],

@@ -167,6 +167,35 @@ def test_greedy_generate_unrolled_layers_matches_scan(hf_llama_pair):
         np.testing.assert_array_equal(unr, ref)
 
 
+def test_greedy_generate_chunked_prefill_matches_full(hf_llama_pair):
+    """prefill_chunk=C (statically kv-sliced chunked prefill) reproduces the
+    one-shot prefill exactly, for both cache forms and int8 KV, including a
+    chunk size that does not divide the prompt length. The 70-token prompt
+    forces a 128-slot cache so early chunks read a STRICT 64-slot slice
+    (kv_limit < cache_len), not a whole-cache no-op."""
+    _, params = hf_llama_pair
+    cfg = LlamaConfig(vocab_size=LCFG.vocab_size, dim=LCFG.dim,
+                      layers=LCFG.layers, heads=LCFG.heads,
+                      kv_heads=LCFG.kv_heads, mlp_dim=LCFG.mlp_dim,
+                      max_seq=256)
+    rng = np.random.default_rng(7)
+    prompt = jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 70)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+    ref = np.asarray(llama.greedy_generate(
+        params, embeds, cfg, max_new_tokens=6, eos_token=-1,
+        compute_dtype=jnp.float32))
+    for kv_dtype in (None, jnp.int8):
+        want = ref if kv_dtype is None else np.asarray(llama.greedy_generate(
+            params, embeds, cfg, max_new_tokens=6, eos_token=-1,
+            compute_dtype=jnp.float32, kv_dtype=kv_dtype))
+        for lyr in ("scan", "unroll"):
+            got = np.asarray(llama.greedy_generate(
+                params, embeds, cfg, max_new_tokens=6, eos_token=-1,
+                compute_dtype=jnp.float32, kv_dtype=kv_dtype, layers=lyr,
+                prefill_chunk=32))
+            np.testing.assert_array_equal(got, want, err_msg=f"{kv_dtype} {lyr}")
+
+
 def test_greedy_generate_eos_padding(hf_llama_pair):
     _, params = hf_llama_pair
     rng = np.random.default_rng(3)
