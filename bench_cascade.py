@@ -147,6 +147,11 @@ def generate_params_into_formats(structs, formats):
 def main():
     int8 = "--int8" in sys.argv
     kv8 = "--kv8" in sys.argv          # int8 KV cache (llama.QKVCache)
+    # unrolled per-layer cache buffers + chunked causal prefill: the
+    # measured-fast decode options at this 624-token multimodal prompt
+    # (bench_vlm: scan 327.8 -> unroll 458.1 -> +pc128 491.6 tok/s)
+    unroll = "--unroll" in sys.argv
+    pc = 128 if "--pc128" in sys.argv else None
     verify_batch = VERIFY_BATCH_INT8 if int8 else VERIFY_BATCH
     if kv8:
         # half the cache bytes -> twice the verify batch fits next to the
@@ -154,7 +159,8 @@ def main():
         verify_batch *= 2
     kv_dtype = jnp.int8 if kv8 else None
     log(f"devices: {jax.devices()}  verifier={'int8' if int8 else 'bf16'} "
-        f"kv={'int8' if kv8 else 'bf16'} batch={verify_batch}")
+        f"kv={'int8' if kv8 else 'bf16'} batch={verify_batch} "
+        f"layers={'unroll' if unroll else 'scan'} prefill_chunk={pc}")
     dev = jax.devices()[0]
 
     # ---- stage 1: EN CLIP gate --------------------------------------------
@@ -213,7 +219,9 @@ def main():
         # the einsum path, unlike the 50-token B/32 gate)
         return llava.generate(p, x, pre, post, LLAVA_7B,
                               max_new_tokens=MAX_NEW_TOKENS, eos_token=2,
-                              attn_impl="pallas", kv_dtype=kv_dtype)
+                              attn_impl="pallas", kv_dtype=kv_dtype,
+                              layers="unroll" if unroll else "scan",
+                              prefill_chunk=pc)
 
     # Compile with AUTO input layouts: the decode scan wants the stacked
     # [L, 4096, 4096] weights in a transposed layout, and default-layout
@@ -275,6 +283,8 @@ def main():
         "verifier": ("llava-7b-config "
                      + ("int8" if int8 else "bf16")
                      + (" kv-int8" if kv8 else "")
+                     + (" unroll" if unroll else "")
+                     + (f" pc{pc}" if pc else "")
                      + f", batch {verify_batch}, single v5e chip"),
     }
     log("stage table:", table)

@@ -78,7 +78,8 @@ def device_params(cfg: LlamaConfig, int8: bool, seed=0):
 
 
 def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
-                 kv_dtype=None, layers="scan", prefill_chunk=None):
+                 kv_dtype=None, layers="scan", prefill_chunk=None,
+                 decode_window=None):
     n_bytes = sum(x.nbytes for x in jax.tree.leaves(params))
     log(f"[{label}] params on device: {n_bytes/1e9:.2f} GB")
 
@@ -88,7 +89,8 @@ def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
         return llama.greedy_generate(params, embeds, cfg,
                                      max_new_tokens=new_tokens, eos_token=-1,
                                      kv_dtype=kv_dtype, layers=layers,
-                                     prefill_chunk=prefill_chunk)
+                                     prefill_chunk=prefill_chunk,
+                                     decode_window=decode_window)
 
     tokens = jax.random.randint(jax.random.key(1), (batch, prompt_len),
                                 3, 31000, jnp.int32)
@@ -112,14 +114,16 @@ def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
 
 
 def run(cfg, label, int8, batch, kv_dtype=None, prompt_len=64, params=None,
-        keep_params=False, layers="scan", prefill_chunk=None):
+        keep_params=False, layers="scan", prefill_chunk=None,
+        new_tokens=64, decode_window=None):
     owns = params is None
     if owns:
         params = device_params(cfg, int8)
     try:
-        tps = round(bench_decode(cfg, params, label, batch, prompt_len, 64,
-                                 kv_dtype=kv_dtype, layers=layers,
-                                 prefill_chunk=prefill_chunk), 1)
+        tps = round(bench_decode(cfg, params, label, batch, prompt_len,
+                                 new_tokens, kv_dtype=kv_dtype, layers=layers,
+                                 prefill_chunk=prefill_chunk,
+                                 decode_window=decode_window), 1)
         return (tps, params) if keep_params else tps
     except Exception as e:
         log(f"[{label}] failed:", repr(e))

@@ -112,7 +112,8 @@ class TPULLaVAVerifier:
                  attn_impl: str = "auto",
                  kv_dtype=None,
                  layers: str = "scan",
-                 prefill_chunk: int | None = None):
+                 prefill_chunk: int | None = None,
+                 decode_window: int | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -129,6 +130,7 @@ class TPULLaVAVerifier:
         self.kv_dtype = kv_dtype
         self.layers = layers
         self.prefill_chunk = prefill_chunk
+        self.decode_window = decode_window
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -179,6 +181,7 @@ class TPULLaVAVerifier:
             self.compute_dtype, attn_impl=self.attn_impl,
             kv_dtype=self.kv_dtype, layers=self.layers,
             prefill_chunk=self.prefill_chunk,
+            decode_window=self.decode_window,
         )
         ids = [int(t) for t in np.asarray(out)[0] if int(t) != self.eos_token]
         return self.tokenizer.decode(ids)
@@ -221,6 +224,7 @@ class TPULLaVAVerifier:
             self.compute_dtype, attn_impl=self.attn_impl,
             kv_dtype=self.kv_dtype, layers=self.layers,
             prefill_chunk=self.prefill_chunk,
+            decode_window=self.decode_window,
         )
         return (out, n_real)
 

@@ -336,6 +336,7 @@ def greedy_generate(
     kv_dtype=None,
     layers: str = "scan",
     prefill_chunk: int | None = None,
+    decode_window: int | None = None,
 ) -> jnp.ndarray:
     """Greedy decode (temperature 0, the reference verifier's config).
     Returns [B, max_new_tokens] int32, EOS-padded after finish.
@@ -349,7 +350,12 @@ def greedy_generate(
     cache[:(i+1)·C], so prefill's attention-logits materialization is
     bounded at [B,KVH,G,C,(i+1)C] f32 (triangular total) instead of one
     [.., T, S] tensor, and the LM head runs on the final position only
-    instead of all T prompt positions (a [B,T,vocab] f32 save)."""
+    instead of all T prompt positions (a [B,T,vocab] f32 save).
+    `decode_window=W` splits the decode scan into segments of W steps;
+    segment j reads cache[:round64(t+(j+1)·W)] (STATIC per segment), so
+    decode steps early in a long generation (the reference verifier runs
+    max_new_tokens=512, code/test_llava.py:29) stream only the live cache
+    prefix instead of the full right-sized cache every step."""
     b, t, _ = prompt_embeds.shape
     if t + max_new_tokens > cfg.max_seq:
         # dynamic_update_slice would clamp silently and corrupt the cache
@@ -382,20 +388,36 @@ def greedy_generate(
     next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
     finished = next_tok == eos_token
 
-    def step(carry, _):
-        tok, cache, pos, finished = carry
-        emb = embed_tokens(params, tok[:, None])
-        logits, cache = forward(params, emb, cache, pos, cfg, compute_dtype)
-        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-        nxt = jnp.where(finished, eos_token, nxt)
-        finished = finished | (nxt == eos_token)
-        return (nxt, cache, pos + 1, finished), tok
+    def make_step(kv_limit):
+        def step(carry, _):
+            tok, cache, pos, finished = carry
+            emb = embed_tokens(params, tok[:, None])
+            logits, cache = forward(params, emb, cache, pos, cfg,
+                                    compute_dtype, kv_limit=kv_limit)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            nxt = jnp.where(finished, eos_token, nxt)
+            finished = finished | (nxt == eos_token)
+            return (nxt, cache, pos + 1, finished), tok
+        return step
 
-    (_, _, _, _), toks = jax.lax.scan(
-        step, (next_tok, cache, jnp.asarray(t, jnp.int32), finished),
-        None, length=max_new_tokens,
-    )
-    return jnp.transpose(toks, (1, 0))  # [B, max_new_tokens]
+    carry = (next_tok, cache, jnp.asarray(t, jnp.int32), finished)
+    if decode_window is None or decode_window >= max_new_tokens:
+        carry, toks = jax.lax.scan(make_step(None), carry, None,
+                                   length=max_new_tokens)
+        return jnp.transpose(toks, (1, 0))  # [B, max_new_tokens]
+
+    w = decode_window
+    pieces = []
+    for s0 in range(0, max_new_tokens, w):
+        steps = min(w, max_new_tokens - s0)
+        # segment writes positions [t+s0, t+s0+steps); each step also reads
+        # its own fresh write, so the window must cover t+s0+steps slots
+        lim = min(cache_len, ((t + s0 + steps + 63) // 64) * 64)
+        if lim >= cache_len:
+            lim = None  # whole cache — skip the slice so XLA sees one form
+        carry, toks = jax.lax.scan(make_step(lim), carry, None, length=steps)
+        pieces.append(toks)
+    return jnp.transpose(jnp.concatenate(pieces, axis=0), (1, 0))
 
 
 def init(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:

@@ -106,15 +106,17 @@ def generate(
     kv_dtype=None,
     layers: str = "scan",
     prefill_chunk: int | None = None,
+    decode_window: int | None = None,
 ) -> jnp.ndarray:
     """Greedy VQA decode (temp 0), the cascade verifier's contract.
 
     `kv_dtype=jnp.int8` serves the decoder with a quantized KV cache
     (llama.QKVCache): half the KV bytes per decode step, which at the
     ~600-token multimodal prompts (576 image tokens + text) is a large
-    share of the per-step HBM traffic. `layers`/`prefill_chunk` pass
-    through to llama.greedy_generate (unrolled in-place cache decode /
-    chunked causal prefill — both matter most at exactly these prompt
+    share of the per-step HBM traffic. `layers`/`prefill_chunk`/
+    `decode_window` pass through to llama.greedy_generate (unrolled
+    in-place cache decode / chunked causal prefill / segment-sliced
+    decode cache reads — all matter most at exactly these prompt
     lengths)."""
     img = encode_images(params, images, cfg, compute_dtype,
                         attn_impl=attn_impl)
@@ -123,7 +125,8 @@ def generate(
     return llama.greedy_generate(params["lm"], embeds, cfg.lm,
                                  max_new_tokens, eos_token, compute_dtype,
                                  kv_dtype=kv_dtype, layers=layers,
-                                 prefill_chunk=prefill_chunk)
+                                 prefill_chunk=prefill_chunk,
+                                 decode_window=decode_window)
 
 
 def init(key: jax.Array, cfg: LLaVAConfig, dtype=jnp.float32) -> Params:

@@ -196,6 +196,33 @@ def test_greedy_generate_chunked_prefill_matches_full(hf_llama_pair):
             np.testing.assert_array_equal(got, want, err_msg=f"{kv_dtype} {lyr}")
 
 
+def test_greedy_generate_decode_window_matches_full(hf_llama_pair):
+    """decode_window=W (segment-sliced decode cache reads) reproduces the
+    full-cache decode scan exactly for scan/unroll layers and bf16/int8 KV,
+    including a window that does not divide max_new_tokens. The 10-token
+    prompt + 150 new tokens force a 192-slot cache, so the first segments
+    read strict 64/128-slot slices."""
+    _, params = hf_llama_pair
+    cfg = LlamaConfig(vocab_size=LCFG.vocab_size, dim=LCFG.dim,
+                      layers=LCFG.layers, heads=LCFG.heads,
+                      kv_heads=LCFG.kv_heads, mlp_dim=LCFG.mlp_dim,
+                      max_seq=256)
+    rng = np.random.default_rng(8)
+    prompt = jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 10)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+    for kv_dtype in (None, jnp.int8):
+        want = np.asarray(llama.greedy_generate(
+            params, embeds, cfg, max_new_tokens=150, eos_token=-1,
+            compute_dtype=jnp.float32, kv_dtype=kv_dtype))
+        for lyr in ("scan", "unroll"):
+            got = np.asarray(llama.greedy_generate(
+                params, embeds, cfg, max_new_tokens=150, eos_token=-1,
+                compute_dtype=jnp.float32, kv_dtype=kv_dtype, layers=lyr,
+                decode_window=64))
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"{kv_dtype} {lyr}")
+
+
 def test_greedy_generate_eos_padding(hf_llama_pair):
     _, params = hf_llama_pair
     rng = np.random.default_rng(3)
