@@ -8,6 +8,17 @@ the framework is meant to power (stdlib-only, no server dependency):
         body: {"text": "a photo of lychee", "k": 10}
            or {"image_b64": "<base64 jpeg/png>", "k": 10}
            or {"texts": [...]} / {"images_b64": [...]} for batched queries
+  POST /v1/verify        -> {"results": [{gate_score, gate_passed,
+                                          verified}, ...]}
+        body: {"image_b64": ... | "images_b64": [...],
+               "category": "lychee", "threshold": 27.63,
+               "prompt": "a photo of {category}"?}
+        The cascade's serving form (union_clip_llava2.py's gate->VLM flow
+        as an endpoint): CLIP-score each image against the category
+        prompt, threshold, and — when the service was built with a
+        verifier — run the VLM yes/no on the gate survivors only.
+        `verified` is null for images the gate rejected (never sent to
+        the VLM) and for all images when no verifier is attached.
 
 Concurrency model: ThreadingHTTPServer + the engine's jitted top-k.
 JAX dispatch is thread-safe and the gallery scan is a single fused kernel,
@@ -31,12 +42,17 @@ import numpy as np
 
 
 class SearchService:
-    """Engine + towers behind simple text / image-bytes query methods."""
+    """Engine + towers behind simple text / image-bytes query methods.
 
-    def __init__(self, engine, towers, image_size: int = 224):
+    `verifier` (optional) is any cascade Verifier (cascade/verifier.py) —
+    a TPULLaVAVerifier, an HTTP-backed CallableVerifier, or a stub; it
+    powers /v1/verify's VLM stage."""
+
+    def __init__(self, engine, towers, image_size: int = 224, verifier=None):
         self.engine = engine
         self.towers = towers
         self.image_size = image_size
+        self.verifier = verifier
         # one tower forward at a time keeps host-side pre/post bounded;
         # device work still pipelines (dispatch is async)
         self._encode_lock = threading.Lock()
@@ -70,6 +86,60 @@ class SearchService:
         return [[{"path": h.path, "score": h.score, "rank": h.rank,
                   "cls": h.cls} for h in hits] for hits in per_query]
 
+    def verify_images(self, blobs: List[bytes], category: str,
+                      threshold: float,
+                      prompt: str = "a photo of {category}") -> list:
+        """The cascade as a request/response flow: CLIP gate (100·cosine vs
+        the category prompt, the reference's logit-scaled score) then the
+        VLM yes/no on gate survivors only (union_clip_llava2.py:189-194)."""
+        import os
+        import tempfile
+
+        from mmrs_tpu.io.images import pil_loader
+        from mmrs_tpu.ops.preprocess import resize_center_crop
+
+        if self.towers.text_encode is None:
+            raise ValueError("server started without a tokenizer; "
+                             "verify unavailable")
+        pixels = np.stack([
+            resize_center_crop(pil_loader(b), self.image_size)
+            for b in blobs
+        ])
+        with self._encode_lock:
+            img = self.towers.image_encode(pixels)                  # [N, D]
+            txt = self.towers.text_encode([prompt.format(category=category)])
+        scores = 100.0 * (img @ np.asarray(txt)[0])
+        passed = scores >= threshold
+        verified: List[Optional[bool]] = [None] * len(blobs)
+        if self.verifier is not None and passed.any():
+            survivors = [i for i in range(len(blobs)) if passed[i]]
+            # the Verifier protocol takes paths (the cascade's unit of
+            # work); uploaded bytes go through short-lived temp files
+            tmps = []
+            try:
+                for i in survivors:
+                    f = tempfile.NamedTemporaryFile(suffix=".jpg",
+                                                    delete=False)
+                    f.write(blobs[i])
+                    f.close()
+                    tmps.append(f.name)
+                if hasattr(self.verifier, "verify_batch"):
+                    answers = self.verifier.verify_batch(tmps, category)
+                else:
+                    answers = [self.verifier.verify(p, category)
+                               for p in tmps]
+                for i, ok in zip(survivors, answers):
+                    verified[i] = bool(ok)
+            finally:
+                for p in tmps:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+        return [{"gate_score": float(s), "gate_passed": bool(p),
+                 "verified": v}
+                for s, p, v in zip(scores, passed, verified)]
+
 
 def _make_handler(service: SearchService):
     class Handler(BaseHTTPRequestHandler):
@@ -92,11 +162,19 @@ def _make_handler(service: SearchService):
             return self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/v1/search":
+            if self.path not in ("/v1/search", "/v1/verify"):
                 return self._reply(404, {"error": "unknown path"})
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/v1/verify":
+                    blobs = [base64.b64decode(s) for s in
+                             (req.get("images_b64") or [req["image_b64"]])]
+                    results = service.verify_images(
+                        blobs, req["category"],
+                        float(req.get("threshold", 0.0)),
+                        prompt=req.get("prompt", "a photo of {category}"))
+                    return self._reply(200, {"results": results})
                 k = req.get("k")
                 if "text" in req or "texts" in req:
                     texts = req.get("texts") or [req["text"]]

@@ -44,10 +44,25 @@ def server():
     build_index(FolderDataset.from_root(root), towers.image_encode, out,
                 batch_size=8)
     engine = SearchEngine(GalleryIndex.load(out), cfg.search)
-    srv = make_server(SearchService(engine, towers), port=0)  # ephemeral port
+
+    class ColorVerifier:
+        """Answers by opening the (temp-file) image: yes iff mostly red.
+        Exercises the /v1/verify blob->tempfile->Verifier path."""
+
+        def __init__(self):
+            self.calls = []
+
+        def verify(self, image_path, category):
+            self.calls.append((image_path, category))
+            arr = np.asarray(Image.open(image_path).convert("RGB"), float)
+            return bool(arr[..., 0].mean() > arr[..., 2].mean())
+
+    verifier = ColorVerifier()
+    srv = make_server(SearchService(engine, towers, verifier=verifier),
+                      port=0)  # ephemeral port
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}", blobs
+    yield f"http://127.0.0.1:{srv.server_address[1]}", blobs, verifier
     srv.shutdown()
     tmp.cleanup()
 
@@ -66,13 +81,13 @@ def _post(url, payload):
 
 
 def test_healthz(server):
-    base, _ = server
+    base, *_ = server
     h = _get(base + "/healthz")
     assert h["ok"] and h["rows"] == 8
 
 
 def test_image_search_ranks_same_class_first(server):
-    base, blobs = server
+    base, blobs, _ = server
     out = _post(base + "/v1/search",
                 {"image_b64": base64.b64encode(blobs["red"]).decode(), "k": 3})
     hits = out["hits"][0]
@@ -81,14 +96,14 @@ def test_image_search_ranks_same_class_first(server):
 
 
 def test_text_search_and_batched(server):
-    base, _ = server
+    base, *_ = server
     out = _post(base + "/v1/search", {"texts": ["red thing", "blue thing"],
                                       "k": 2})
     assert len(out["hits"]) == 2 and all(len(h) == 2 for h in out["hits"])
 
 
 def test_bad_request(server):
-    base, _ = server
+    base, *_ = server
     req = urllib.request.Request(
         base + "/v1/search", data=b"{}",
         headers={"Content-Type": "application/json"})
@@ -97,3 +112,27 @@ def test_bad_request(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_verify_endpoint_cascade(server):
+    """/v1/verify: gate scores + survivor-only VLM verify over uploads."""
+    base, blobs, verifier = server
+    imgs = [base64.b64encode(blobs["red"]).decode(),
+            base64.b64encode(blobs["blue"]).decode()]
+
+    n0 = len(verifier.calls)
+    out = _post(base + "/v1/verify",
+                {"images_b64": imgs, "category": "red", "threshold": -1e9})
+    res = out["results"]
+    assert len(res) == 2 and all(r["gate_passed"] for r in res)
+    assert res[0]["verified"] is True and res[1]["verified"] is False
+    assert len(verifier.calls) - n0 == 2
+    assert all(c[1] == "red" for c in verifier.calls[n0:])
+
+    # gate rejects everything -> the VLM is never called, verified is null
+    n1 = len(verifier.calls)
+    out = _post(base + "/v1/verify",
+                {"images_b64": imgs, "category": "red", "threshold": 1e9})
+    res = out["results"]
+    assert all(not r["gate_passed"] and r["verified"] is None for r in res)
+    assert len(verifier.calls) == n1
