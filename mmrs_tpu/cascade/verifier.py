@@ -113,7 +113,8 @@ class TPULLaVAVerifier:
                  kv_dtype=None,
                  layers: str = "scan",
                  prefill_chunk: int | None = None,
-                 decode_window: int | None = None):
+                 decode_window: int | None = None,
+                 early_stop: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -131,6 +132,9 @@ class TPULLaVAVerifier:
         self.layers = layers
         self.prefill_chunk = prefill_chunk
         self.decode_window = decode_window
+        # halt the decode while_loop once every row has answered (yes/no
+        # answers finish in ~3 of max_new=8 steps; bit-identical output)
+        self.early_stop = early_stop
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -182,6 +186,7 @@ class TPULLaVAVerifier:
             kv_dtype=self.kv_dtype, layers=self.layers,
             prefill_chunk=self.prefill_chunk,
             decode_window=self.decode_window,
+            early_stop=self.early_stop,
         )
         ids = [int(t) for t in np.asarray(out)[0] if int(t) != self.eos_token]
         return self.tokenizer.decode(ids)
@@ -225,6 +230,7 @@ class TPULLaVAVerifier:
             kv_dtype=self.kv_dtype, layers=self.layers,
             prefill_chunk=self.prefill_chunk,
             decode_window=self.decode_window,
+            early_stop=self.early_stop,
         )
         return (out, n_real)
 

@@ -337,9 +337,14 @@ def greedy_generate(
     layers: str = "scan",
     prefill_chunk: int | None = None,
     decode_window: int | None = None,
+    early_stop: bool = False,
 ) -> jnp.ndarray:
     """Greedy decode (temperature 0, the reference verifier's config).
     Returns [B, max_new_tokens] int32, EOS-padded after finish.
+
+    `early_stop=True` decodes via lax.while_loop and halts as soon as all
+    batch rows have emitted `eos_token` (bit-identical output — the
+    skipped steps would only have produced the EOS padding).
 
     `kv_dtype=jnp.int8` serves with a quantized KV cache (half the KV
     bytes per step; see QKVCache); default is the compute dtype.
@@ -401,23 +406,55 @@ def greedy_generate(
         return step
 
     carry = (next_tok, cache, jnp.asarray(t, jnp.int32), finished)
-    if decode_window is None or decode_window >= max_new_tokens:
-        carry, toks = jax.lax.scan(make_step(None), carry, None,
-                                   length=max_new_tokens)
-        return jnp.transpose(toks, (1, 0))  # [B, max_new_tokens]
 
-    w = decode_window
-    pieces = []
-    for s0 in range(0, max_new_tokens, w):
-        steps = min(w, max_new_tokens - s0)
-        # segment writes positions [t+s0, t+s0+steps); each step also reads
-        # its own fresh write, so the window must cover t+s0+steps slots
-        lim = min(cache_len, ((t + s0 + steps + 63) // 64) * 64)
-        if lim >= cache_len:
-            lim = None  # whole cache — skip the slice so XLA sees one form
-        carry, toks = jax.lax.scan(make_step(lim), carry, None, length=steps)
-        pieces.append(toks)
-    return jnp.transpose(jnp.concatenate(pieces, axis=0), (1, 0))
+    if decode_window is None or decode_window >= max_new_tokens:
+        segments = [(0, max_new_tokens, None)]
+    else:
+        w = decode_window
+        segments = []
+        for s0 in range(0, max_new_tokens, w):
+            steps = min(w, max_new_tokens - s0)
+            # segment writes positions [t+s0, t+s0+steps); each step also
+            # reads its own fresh write, so the window must cover
+            # t+s0+steps slots
+            lim = min(cache_len, ((t + s0 + steps + 63) // 64) * 64)
+            if lim >= cache_len:
+                lim = None  # whole cache — one compiled form, no slice
+            segments.append((s0, steps, lim))
+
+    if not early_stop:
+        pieces = []
+        for _, steps, lim in segments:
+            carry, toks = jax.lax.scan(make_step(lim), carry, None,
+                                       length=steps)
+            pieces.append(toks)
+        if len(pieces) == 1:
+            return jnp.transpose(pieces[0], (1, 0))  # [B, max_new_tokens]
+        return jnp.transpose(jnp.concatenate(pieces, axis=0), (1, 0))
+
+    # early_stop: a while_loop per segment stops decoding as soon as EVERY
+    # sequence has emitted eos_token — the verifier's yes/no answers finish
+    # in ~3 of their max_new=8 steps, so the device skips the tail. The
+    # output buffer starts EOS-filled, which is exactly the scan path's
+    # post-finish padding, so outputs are bit-identical.
+    out_buf = jnp.full((b, max_new_tokens), eos_token, jnp.int32)
+    for s0, steps, lim in segments:
+        step = make_step(lim)
+
+        def cond(state, end=s0 + steps):
+            i, carry_, _ = state
+            return (i < end) & ~jnp.all(carry_[3])
+
+        def body(state, step=step):
+            i, carry_, buf = state
+            buf = jax.lax.dynamic_update_slice(buf, carry_[0][:, None],
+                                               (0, i))
+            carry_, _ = step(carry_, None)
+            return (i + 1, carry_, buf)
+
+        _, carry, out_buf = jax.lax.while_loop(
+            cond, body, (jnp.asarray(s0, jnp.int32), carry, out_buf))
+    return out_buf
 
 
 def init(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:

@@ -107,6 +107,7 @@ def generate(
     layers: str = "scan",
     prefill_chunk: int | None = None,
     decode_window: int | None = None,
+    early_stop: bool = False,
 ) -> jnp.ndarray:
     """Greedy VQA decode (temp 0), the cascade verifier's contract.
 
@@ -126,7 +127,8 @@ def generate(
                                  max_new_tokens, eos_token, compute_dtype,
                                  kv_dtype=kv_dtype, layers=layers,
                                  prefill_chunk=prefill_chunk,
-                                 decode_window=decode_window)
+                                 decode_window=decode_window,
+                                 early_stop=early_stop)
 
 
 def init(key: jax.Array, cfg: LLaVAConfig, dtype=jnp.float32) -> Params:

@@ -223,6 +223,41 @@ def test_greedy_generate_decode_window_matches_full(hf_llama_pair):
                                           err_msg=f"{kv_dtype} {lyr}")
 
 
+def test_greedy_generate_early_stop_matches_scan(hf_llama_pair):
+    """early_stop=True (while_loop halting when all rows hit EOS) is
+    bit-identical to the scan decode, both when EOS never fires (eos=-1)
+    and when it fires mid-generation (eos = a token the model actually
+    emits, so the loop exits early and the EOS-filled buffer must equal
+    the scan's post-finish padding). Covers unroll + int8 KV +
+    decode_window composition."""
+    _, params = hf_llama_pair
+    rng = np.random.default_rng(9)
+    prompt = jnp.asarray(rng.integers(3, LCFG.vocab_size, (2, 6)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+    ref = np.asarray(llama.greedy_generate(
+        params, embeds, LCFG, max_new_tokens=10, eos_token=-1,
+        compute_dtype=jnp.float32))
+    # a token both rows emit (row 0's 4th generated token is as good as
+    # any); using it as EOS makes every row finish before max_new
+    eos = int(ref[0, 3])
+    for kv_dtype in (None, jnp.int8):
+        for lyr in ("scan", "unroll"):
+            for dw in (None, 4):
+                for eos_token in (-1, eos):
+                    want = np.asarray(llama.greedy_generate(
+                        params, embeds, LCFG, max_new_tokens=10,
+                        eos_token=eos_token, compute_dtype=jnp.float32,
+                        kv_dtype=kv_dtype, layers=lyr))
+                    got = np.asarray(llama.greedy_generate(
+                        params, embeds, LCFG, max_new_tokens=10,
+                        eos_token=eos_token, compute_dtype=jnp.float32,
+                        kv_dtype=kv_dtype, layers=lyr, decode_window=dw,
+                        early_stop=True))
+                    np.testing.assert_array_equal(
+                        got, want, err_msg=f"{kv_dtype} {lyr} dw={dw} "
+                                           f"eos={eos_token}")
+
+
 def test_greedy_generate_eos_padding(hf_llama_pair):
     _, params = hf_llama_pair
     rng = np.random.default_rng(3)
