@@ -392,12 +392,34 @@ def cmd_cascade(args) -> int:
                              layers=24, heads=16, embed_dim=768),
             lm=LLAMA2_7B)
         tok = SentencePieceBPE.from_file(args.tokenizer_model)
-        verifier = TPULLaVAVerifier(vparams, lcfg, tok)
+        # measured-fast 7B serving config (COVERAGE.md): int8 KV cache
+        # alongside int8 weights, unrolled per-layer cache buffers,
+        # chunked causal prefill (+ the default all-rows-finished early
+        # stop). --simple-decode opts out (much faster cold compile).
+        fast = not args.simple_decode
+        verifier = TPULLaVAVerifier(
+            vparams, lcfg, tok,
+            kv_dtype=(jnp_int8() if args.verifier_int8 and fast else None),
+            layers="unroll" if fast else "scan",
+            prefill_chunk=128 if fast else None)
     pipe = CascadePipeline(en_scorer=scorer, en_threshold=args.threshold,
                            verifier=verifier)
-    res = pipe.run(paths, args.positive_class, labels=labels)
+    if args.chunk_size:
+        # bounded-memory streaming with pipelined gate->verify (one
+        # compiled verify shape; async packs in flight)
+        res = pipe.run_streaming(paths, args.positive_class, labels=labels,
+                                 chunk_size=args.chunk_size,
+                                 verify_batch=args.verify_batch)
+    else:
+        res = pipe.run(paths, args.positive_class, labels=labels)
     print(res.summary())
     return 0
+
+
+def jnp_int8():
+    import jax.numpy as jnp
+
+    return jnp.int8
 
 
 def cmd_index_update(args) -> int:
@@ -816,6 +838,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="converted llava npz (models/convert hf_llava)")
     ca.add_argument("--tokenizer-model",
                     help="SentencePiece tokenizer.model for the verifier")
+    ca.add_argument("--chunk-size", type=int, default=0,
+                    help="stream the folder in chunks of this many images "
+                         "(bounded memory, pipelined verify); 0 = one pass")
+    ca.add_argument("--verify-batch", type=int, default=8,
+                    help="fixed compiled batch for streamed verify packs")
+    ca.add_argument("--simple-decode", action="store_true",
+                    help="skip the unroll/chunked-prefill/int8-KV decode "
+                         "config (faster cold compile, slower decode)")
     ca.add_argument("--verifier-int8", action="store_true",
                     help="int8 serving weights for the verifier (2x decode "
                          "bandwidth; the reference's load_8bit equivalent)")

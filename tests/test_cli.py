@@ -111,6 +111,15 @@ def test_cli_cascade_gate(tree, tmp_path):
     assert "gate passed: 7" in r.stdout
     assert "verifier calls: 7" in r.stdout
 
+    # streamed variant: same result through run_streaming + verify packs
+    r = _run(["cascade", "--root", tree, "--positive-class", "red",
+              "--class-embed", embp, "--threshold=-1e30",
+              "--verifier", "stub", "--config", cfgp,
+              "--chunk-size", "3", "--verify-batch", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "gate passed: 7" in r.stdout
+    assert "verifier calls: 7" in r.stdout
+
 
 def test_cli_adapter_train(tmp_path):
     rng = np.random.default_rng(0)
