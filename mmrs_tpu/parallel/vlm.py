@@ -58,13 +58,19 @@ def shard_llama_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
                      eos_token: int = 2, compute_dtype=jnp.bfloat16,
-                     kv_dtype=None):
+                     kv_dtype=None, layers: str = "scan",
+                     prefill_chunk: int | None = None,
+                     decode_window: int | None = None,
+                     early_stop: bool = False):
     """Returns a jitted greedy_generate with TP shardings over `mesh`.
 
     `kv_dtype=jnp.int8` serves with the quantized KV cache
     (llama.QKVCache); the per-shard k/v quantization is elementwise over
     head_dim, so GSPMD propagates the kv-head sharding into both the int8
-    values and their scales unchanged."""
+    values and their scales unchanged. The single-chip decode options
+    (`layers`/`prefill_chunk`/`decode_window`/`early_stop`, see
+    llama.greedy_generate) compose: they only restructure the loop over
+    positions, never the sharded tensor layouts."""
     specs = llama_param_specs()
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                             is_leaf=lambda x: isinstance(x, P))
@@ -73,6 +79,9 @@ def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
     def gen(params, prompt_embeds):
         return llama.greedy_generate(params, prompt_embeds, cfg,
                                      max_new_tokens, eos_token, compute_dtype,
-                                     kv_dtype=kv_dtype)
+                                     kv_dtype=kv_dtype, layers=layers,
+                                     prefill_chunk=prefill_chunk,
+                                     decode_window=decode_window,
+                                     early_stop=early_stop)
 
     return jax.jit(gen, in_shardings=(param_sh, repl), out_shardings=repl)
