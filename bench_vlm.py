@@ -172,6 +172,13 @@ def main() -> None:
         cfg7, "7B int8+kv8 unroll pc128 b16 p576", True, 16,
         kv_dtype=jnp.int8, prompt_len=576, params=p7, layers="unroll",
         prefill_chunk=128)
+    # + segment-sliced decode reads at the reference verifier's long-
+    # generation config (max_new_tokens=512, code/test_llava.py:29):
+    # early decode segments stream only the live cache prefix
+    out["llama7b_int8_kv8_unroll_pc128_dw128_bs8_p64_new512"] = run(
+        cfg7, "7B int8+kv8 unroll pc128 dw128 b8 p64 new512", True, 8,
+        kv_dtype=jnp.int8, params=p7, layers="unroll", prefill_chunk=128,
+        new_tokens=512, decode_window=128)
     free(p7)
     # bf16 7B = 13.5 GB: batch 2 like the cascade's verify stage
     out["llama7b_bf16_bs2"] = run(cfg7, "7B bf16", False, 2)
