@@ -19,13 +19,20 @@ import numpy as np
 from bench import log, pipelined_seconds
 
 
-def host_init_bf16(init_fn):
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = init_fn(jax.random.key(0))
-        params = jax.tree.map(
+def device_init_bf16(init_fn):
+    """Random bf16 params generated ON the TPU (CLAUDE.md: host-converted
+    bf16 moves at ~0.3 GB/s through this environment's tunnel — generate
+    on device instead; bench timings don't depend on weight values)."""
+    @jax.jit
+    def init(key):
+        params = init_fn(key)
+        return jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 and x.ndim > 1 else x, params)
-    return jax.device_put(params, jax.devices()[0])
+
+    params = init(jax.random.key(0))
+    jax.block_until_ready(params)
+    return params
 
 
 def bench_taiyi(batch: int = 512, seq: int = 32):
@@ -36,7 +43,7 @@ def bench_taiyi(batch: int = 512, seq: int = 32):
     from mmrs_tpu.models import bert
     from mmrs_tpu.models.configs import TAIYI_ROBERTA_LARGE as cfg
 
-    params = host_init_bf16(lambda k: bert.init(k, cfg))
+    params = device_init_bf16(lambda k: bert.init(k, cfg))
 
     @jax.jit
     def encode(params, tokens):
@@ -61,7 +68,7 @@ def bench_clip_text(batch: int = 512):
     from mmrs_tpu.models.configs import CLIP_TEXT_B32, VIT_B32
 
     cfg = CLIPConfig(vision=VIT_B32, text=CLIP_TEXT_B32)
-    params = host_init_bf16(lambda k: clip.init(k, cfg))
+    params = device_init_bf16(lambda k: clip.init(k, cfg))
 
     @jax.jit
     def encode(params, tokens):

@@ -174,10 +174,12 @@ def main() -> None:
         prefill_chunk=128)
     # + segment-sliced decode reads at the reference verifier's long-
     # generation config (max_new_tokens=512, code/test_llava.py:29):
-    # early decode segments stream only the live cache prefix
-    out["llama7b_int8_kv8_unroll_pc128_dw128_bs8_p64_new512"] = run(
-        cfg7, "7B int8+kv8 unroll pc128 dw128 b8 p64 new512", True, 8,
-        kv_dtype=jnp.int8, params=p7, layers="unroll", prefill_chunk=128,
+    # early decode segments stream only the live cache prefix. (No
+    # prefill_chunk here — the 64-token prompt is below the chunk size,
+    # so chunked prefill would be a no-op.)
+    out["llama7b_int8_kv8_unroll_dw128_bs8_p64_new512"] = run(
+        cfg7, "7B int8+kv8 unroll dw128 b8 p64 new512", True, 8,
+        kv_dtype=jnp.int8, params=p7, layers="unroll",
         new_tokens=512, decode_window=128)
     free(p7)
     # bf16 7B = 13.5 GB: batch 2 like the cascade's verify stage

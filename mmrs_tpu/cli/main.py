@@ -333,7 +333,7 @@ def cmd_cascade(args) -> int:
     """OR-gate cascade over a folder (code/union_clip_llava2.py flow).
     Scores come from similarity of each tower's embedding to a provided
     class embedding; verifier defaults to none (gate only)."""
-    from mmrs_tpu.cascade import CascadePipeline, StubVerifier
+    from mmrs_tpu.cascade import CascadePipeline
     from mmrs_tpu.io.dataset import FolderDataset
     from mmrs_tpu.pipeline import build_towers
 
@@ -365,43 +365,9 @@ def cmd_cascade(args) -> int:
             sims.extend((e @ embed) * cfg.search.logit_scale)
         return sims
 
-    verifier = None
-    if args.verifier == "stub":
-        verifier = StubVerifier()
-    elif args.verifier == "llava":
-        # TPU-hosted llava-v1.5 verifier (union_clip_llava2.py:104-130 flow):
-        # converted checkpoint + the model's own SentencePiece tokenizer
-        from mmrs_tpu.cascade.verifier import TPULLaVAVerifier
-        from mmrs_tpu.models import checkpoint
-        from mmrs_tpu.models.llama import LLAMA2_7B
-        from mmrs_tpu.models.llava import LLaVAConfig
-        from mmrs_tpu.models.sentencepiece import SentencePieceBPE
-        from mmrs_tpu.models.configs import VITConfig
-
-        if not (args.llava_checkpoint and args.tokenizer_model):
-            print("--verifier llava needs --llava-checkpoint and "
-                  "--tokenizer-model", file=sys.stderr)
-            return 2
-        vparams = checkpoint.load_npz(args.llava_checkpoint)
-        if args.verifier_int8:
-            from mmrs_tpu.models.quantize import quantize_llava
-
-            vparams = quantize_llava(vparams)
-        lcfg = LLaVAConfig(
-            vision=VITConfig(image_size=336, patch_size=14, width=1024,
-                             layers=24, heads=16, embed_dim=768),
-            lm=LLAMA2_7B)
-        tok = SentencePieceBPE.from_file(args.tokenizer_model)
-        # measured-fast 7B serving config (COVERAGE.md): int8 KV cache
-        # alongside int8 weights, unrolled per-layer cache buffers,
-        # chunked causal prefill (+ the default all-rows-finished early
-        # stop). --simple-decode opts out (much faster cold compile).
-        fast = not args.simple_decode
-        verifier = TPULLaVAVerifier(
-            vparams, lcfg, tok,
-            kv_dtype=(jnp_int8() if args.verifier_int8 and fast else None),
-            layers="unroll" if fast else "scan",
-            prefill_chunk=128 if fast else None)
+    verifier = _make_verifier(args)
+    if verifier == 2:
+        return 2
     pipe = CascadePipeline(en_scorer=scorer, en_threshold=args.threshold,
                            verifier=verifier)
     if args.chunk_size:
@@ -416,10 +382,72 @@ def cmd_cascade(args) -> int:
     return 0
 
 
-def jnp_int8():
+def _add_verifier_flags(parser) -> None:
+    """Cascade-verifier flags shared by `mmrs cascade` and `mmrs serve`
+    (see _make_verifier)."""
+    parser.add_argument("--verifier", default="none",
+                        choices=["none", "stub", "llava"])
+    parser.add_argument("--llava-checkpoint",
+                        help="converted llava npz (models/convert hf_llava)")
+    parser.add_argument("--tokenizer-model",
+                        help="SentencePiece tokenizer.model for the verifier")
+    parser.add_argument("--verify-batch", type=int, default=8,
+                        help="fixed compiled batch for VLM verify packs")
+    parser.add_argument("--simple-decode", action="store_true",
+                        help="skip the unroll/chunked-prefill/int8-KV decode "
+                             "config (faster cold compile, slower decode)")
+    parser.add_argument("--verifier-int8", action="store_true",
+                        help="int8 serving weights for the verifier (2x "
+                             "decode bandwidth; the reference's load_8bit "
+                             "equivalent)")
+
+
+def _make_verifier(args):
+    """Build the cascade verifier from CLI flags (shared by `mmrs cascade`
+    and `mmrs serve`). Returns None / a Verifier / the int 2 on usage
+    error (caller returns it as the exit code)."""
+    kind = getattr(args, "verifier", "none")
+    if kind == "stub":
+        from mmrs_tpu.cascade import StubVerifier
+
+        return StubVerifier()
+    if kind != "llava":
+        return None
+    # TPU-hosted llava-v1.5 verifier (union_clip_llava2.py:104-130 flow):
+    # converted checkpoint + the model's own SentencePiece tokenizer
     import jax.numpy as jnp
 
-    return jnp.int8
+    from mmrs_tpu.cascade.verifier import TPULLaVAVerifier
+    from mmrs_tpu.models import checkpoint
+    from mmrs_tpu.models.llama import LLAMA2_7B
+    from mmrs_tpu.models.llava import LLaVAConfig
+    from mmrs_tpu.models.sentencepiece import SentencePieceBPE
+    from mmrs_tpu.models.configs import VITConfig
+
+    if not (args.llava_checkpoint and args.tokenizer_model):
+        print("--verifier llava needs --llava-checkpoint and "
+              "--tokenizer-model", file=sys.stderr)
+        return 2
+    vparams = checkpoint.load_npz(args.llava_checkpoint)
+    if args.verifier_int8:
+        from mmrs_tpu.models.quantize import quantize_llava
+
+        vparams = quantize_llava(vparams)
+    lcfg = LLaVAConfig(
+        vision=VITConfig(image_size=336, patch_size=14, width=1024,
+                         layers=24, heads=16, embed_dim=768),
+        lm=LLAMA2_7B)
+    tok = SentencePieceBPE.from_file(args.tokenizer_model)
+    # measured-fast 7B serving config (COVERAGE.md): int8 KV cache
+    # alongside int8 weights, unrolled per-layer cache buffers,
+    # chunked causal prefill (+ the default all-rows-finished early
+    # stop). --simple-decode opts out (much faster cold compile).
+    fast = not args.simple_decode
+    return TPULLaVAVerifier(
+        vparams, lcfg, tok,
+        kv_dtype=(jnp.int8 if args.verifier_int8 and fast else None),
+        layers="unroll" if fast else "scan",
+        prefill_chunk=128 if fast else None)
 
 
 def cmd_index_update(args) -> int:
@@ -461,10 +489,15 @@ def cmd_serve(args) -> int:
     idx = GalleryIndex.load(args.index)
     engine = SearchEngine(idx, cfg.search)
     towers = build_towers(cfg, tokenizer=_make_tokenizer(args, cfg))
-    service = SearchService(engine, towers)
+    verifier = _make_verifier(args)
+    if verifier == 2:
+        return 2
+    service = SearchService(engine, towers, verifier=verifier,
+                            verify_batch=args.verify_batch,
+                            logit_scale=cfg.search.logit_scale)
     server = make_server(service, host=args.host, port=args.port)
     print(f"serving {len(idx)} rows on http://{args.host}:{args.port} "
-          f"(POST /v1/search, GET /healthz)")
+          f"(POST /v1/search, POST /v1/verify, GET /healthz)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -742,6 +775,7 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--merges", help="CLIP BPE merges file (enables text)")
     sv.add_argument("--vocab", help="WordPiece vocab (Taiyi)")
     sv.add_argument("--config")
+    _add_verifier_flags(sv)
     sv.set_defaults(fn=cmd_serve)
 
     c = sub.add_parser("calibrate")
@@ -832,23 +866,10 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--merges", help="CLIP BPE merges file")
     ca.add_argument("--vocab", help="WordPiece vocab (Taiyi)")
     ca.add_argument("--threshold", type=float, required=True)
-    ca.add_argument("--verifier", default="none",
-                    choices=["none", "stub", "llava"])
-    ca.add_argument("--llava-checkpoint",
-                    help="converted llava npz (models/convert hf_llava)")
-    ca.add_argument("--tokenizer-model",
-                    help="SentencePiece tokenizer.model for the verifier")
+    _add_verifier_flags(ca)
     ca.add_argument("--chunk-size", type=int, default=0,
                     help="stream the folder in chunks of this many images "
                          "(bounded memory, pipelined verify); 0 = one pass")
-    ca.add_argument("--verify-batch", type=int, default=8,
-                    help="fixed compiled batch for streamed verify packs")
-    ca.add_argument("--simple-decode", action="store_true",
-                    help="skip the unroll/chunked-prefill/int8-KV decode "
-                         "config (faster cold compile, slower decode)")
-    ca.add_argument("--verifier-int8", action="store_true",
-                    help="int8 serving weights for the verifier (2x decode "
-                         "bandwidth; the reference's load_8bit equivalent)")
     ca.add_argument("--config")
     ca.set_defaults(fn=cmd_cascade)
 

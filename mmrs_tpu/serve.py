@@ -46,13 +46,21 @@ class SearchService:
 
     `verifier` (optional) is any cascade Verifier (cascade/verifier.py) —
     a TPULLaVAVerifier, an HTTP-backed CallableVerifier, or a stub; it
-    powers /v1/verify's VLM stage."""
+    powers /v1/verify's VLM stage. `verify_batch` is the FIXED compiled
+    batch for batched verifiers: survivors go to the VLM in packs of this
+    size (padded), so a TPU-hosted 7B compiles exactly one decode shape
+    instead of one per distinct survivor count. `logit_scale` is the gate
+    score multiplier (the reference's 100·cosine; keep it equal to
+    config.search.logit_scale so CLI and HTTP thresholds agree)."""
 
-    def __init__(self, engine, towers, image_size: int = 224, verifier=None):
+    def __init__(self, engine, towers, image_size: int = 224, verifier=None,
+                 verify_batch: int = 8, logit_scale: float = 100.0):
         self.engine = engine
         self.towers = towers
         self.image_size = image_size
         self.verifier = verifier
+        self.verify_batch = verify_batch
+        self.logit_scale = logit_scale
         # one tower forward at a time keeps host-side pre/post bounded;
         # device work still pipelines (dispatch is async)
         self._encode_lock = threading.Lock()
@@ -108,7 +116,7 @@ class SearchService:
         with self._encode_lock:
             img = self.towers.image_encode(pixels)                  # [N, D]
             txt = self.towers.text_encode([prompt.format(category=category)])
-        scores = 100.0 * (img @ np.asarray(txt)[0])
+        scores = self.logit_scale * (img @ np.asarray(txt)[0])
         passed = scores >= threshold
         verified: List[Optional[bool]] = [None] * len(blobs)
         if self.verifier is not None and passed.any():
@@ -124,7 +132,14 @@ class SearchService:
                     f.close()
                     tmps.append(f.name)
                 if hasattr(self.verifier, "verify_batch"):
-                    answers = self.verifier.verify_batch(tmps, category)
+                    # FIXED-size packs: one compiled VLM decode shape for
+                    # any survivor count (a fresh 7B compile per distinct
+                    # batch takes minutes through a remote compiler)
+                    vb = self.verify_batch
+                    answers = []
+                    for j in range(0, len(tmps), vb):
+                        answers.extend(self.verifier.verify_batch(
+                            tmps[j:j + vb], category, fixed_batch=vb))
                 else:
                     answers = [self.verifier.verify(p, category)
                                for p in tmps]

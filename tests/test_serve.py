@@ -136,3 +136,52 @@ def test_verify_endpoint_cascade(server):
     res = out["results"]
     assert all(not r["gate_passed"] and r["verified"] is None for r in res)
     assert len(verifier.calls) == n1
+
+
+def test_verify_images_fixed_packs():
+    """Batched verifiers get FIXED-size packs (one compiled VLM shape per
+    deployment, not one per survivor count) and results map back to the
+    right images."""
+    import io as _io
+
+    from PIL import Image
+    from mmrs_tpu.serve import SearchService
+
+    def blob(v):
+        buf = _io.BytesIO()
+        Image.fromarray(np.full((8, 8, 3), v, np.uint8)).save(buf, "JPEG")
+        return buf.getvalue()
+
+    blobs = [blob(10 * i) for i in range(5)]
+
+    class Towers:
+        # scores 0..4 under logit_scale 1.0: embeddings = e_i scaled
+        def image_encode(self, pixels):
+            n = len(pixels)
+            out = np.zeros((n, 8), np.float32)
+            for i in range(n):
+                out[i, 0] = float(i)
+            return out
+
+        def text_encode(self, texts):
+            e = np.zeros((1, 8), np.float32)
+            e[0, 0] = 1.0
+            return e
+
+    class PackVerifier:
+        def __init__(self):
+            self.packs = []
+
+        def verify_batch(self, paths, category, fixed_batch=None):
+            assert fixed_batch == 2
+            self.packs.append(len(paths))
+            # odd-indexed survivors verify True (by recorded order)
+            return [j % 2 == 1 for j in range(len(paths))]
+
+    pv = PackVerifier()
+    svc = SearchService(engine=None, towers=Towers(), verifier=pv,
+                        verify_batch=2, logit_scale=1.0)
+    res = svc.verify_images(blobs, "cat", threshold=2.0)  # survivors: 2,3,4
+    assert [r["gate_passed"] for r in res] == [False, False, True, True, True]
+    assert pv.packs == [2, 1]          # fixed packs of verify_batch
+    assert [r["verified"] for r in res] == [None, None, False, True, False]
