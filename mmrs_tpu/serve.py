@@ -4,6 +4,10 @@ The reference is batch scripts only; this is the production-serving shim
 the framework is meant to power (stdlib-only, no server dependency):
 
   GET  /healthz          -> {"ok": true, "rows": N, "dim": D}
+  GET  /v1/stats         -> per-stage serving counters (StageStats: total
+                            seconds, item counts, items/s per endpoint
+                            stage — the cascade's stage-timer observability
+                            (union_clip_llava2.py:263-268) for the server)
   POST /v1/search        -> {"hits": [[{path, score, rank, cls}, ...], ...]}
         body: {"text": "a photo of lychee", "k": 10}
            or {"image_b64": "<base64 jpeg/png>", "k": 10}
@@ -61,6 +65,11 @@ class SearchService:
         self.verifier = verifier
         self.verify_batch = verify_batch
         self.logit_scale = logit_scale
+        # per-stage serving counters (GET /v1/stats). Updates are a few
+        # GIL-atomic float adds; good enough for observability.
+        from mmrs_tpu.utils.stats import StageStats
+
+        self.stats = StageStats()
         # one tower forward at a time keeps host-side pre/post bounded;
         # device work still pipelines (dispatch is async)
         self._encode_lock = threading.Lock()
@@ -73,21 +82,28 @@ class SearchService:
         if self.towers.text_encode is None:
             raise ValueError("server started without a tokenizer; "
                              "text search unavailable")
-        with self._encode_lock:
+        with self.stats.timed("text_encode", count=len(texts)), \
+                self._encode_lock:
             vecs = self.towers.text_encode(texts)
-        return self._hits(self.engine.query_text(vecs, top_k=k))
+        with self.stats.timed("query", count=len(texts)):
+            hits = self.engine.query_text(vecs, top_k=k)
+        return self._hits(hits)
 
     def search_images(self, blobs: List[bytes], k: Optional[int]) -> list:
         from mmrs_tpu.io.images import pil_loader
         from mmrs_tpu.ops.preprocess import resize_center_crop
 
-        pixels = np.stack([
-            resize_center_crop(pil_loader(b), self.image_size)
-            for b in blobs
-        ])
-        with self._encode_lock:
+        with self.stats.timed("decode", count=len(blobs)):
+            pixels = np.stack([
+                resize_center_crop(pil_loader(b), self.image_size)
+                for b in blobs
+            ])
+        with self.stats.timed("image_encode", count=len(blobs)), \
+                self._encode_lock:
             vecs = self.towers.image_encode(pixels)
-        return self._hits(self.engine.query_image(vecs, top_k=k))
+        with self.stats.timed("query", count=len(blobs)):
+            hits = self.engine.query_image(vecs, top_k=k)
+        return self._hits(hits)
 
     @staticmethod
     def _hits(per_query) -> list:
@@ -109,11 +125,12 @@ class SearchService:
         if self.towers.text_encode is None:
             raise ValueError("server started without a tokenizer; "
                              "verify unavailable")
-        pixels = np.stack([
-            resize_center_crop(pil_loader(b), self.image_size)
-            for b in blobs
-        ])
-        with self._encode_lock:
+        with self.stats.timed("decode", count=len(blobs)):
+            pixels = np.stack([
+                resize_center_crop(pil_loader(b), self.image_size)
+                for b in blobs
+            ])
+        with self.stats.timed("gate", count=len(blobs)), self._encode_lock:
             img = self.towers.image_encode(pixels)                  # [N, D]
             txt = self.towers.text_encode([prompt.format(category=category)])
         scores = self.logit_scale * (img @ np.asarray(txt)[0])
@@ -131,18 +148,20 @@ class SearchService:
                     f.write(blobs[i])
                     f.close()
                     tmps.append(f.name)
-                if hasattr(self.verifier, "verify_batch"):
-                    # FIXED-size packs: one compiled VLM decode shape for
-                    # any survivor count (a fresh 7B compile per distinct
-                    # batch takes minutes through a remote compiler)
-                    vb = self.verify_batch
-                    answers = []
-                    for j in range(0, len(tmps), vb):
-                        answers.extend(self.verifier.verify_batch(
-                            tmps[j:j + vb], category, fixed_batch=vb))
-                else:
-                    answers = [self.verifier.verify(p, category)
-                               for p in tmps]
+                with self.stats.timed("verifier", count=len(tmps)):
+                    if hasattr(self.verifier, "verify_batch"):
+                        # FIXED-size packs: one compiled VLM decode shape
+                        # for any survivor count (a fresh 7B compile per
+                        # distinct batch takes minutes through a remote
+                        # compiler)
+                        vb = self.verify_batch
+                        answers = []
+                        for j in range(0, len(tmps), vb):
+                            answers.extend(self.verifier.verify_batch(
+                                tmps[j:j + vb], category, fixed_batch=vb))
+                    else:
+                        answers = [self.verifier.verify(p, category)
+                                   for p in tmps]
                 for i, ok in zip(survivors, answers):
                     verified[i] = bool(ok)
             finally:
@@ -174,6 +193,8 @@ def _make_handler(service: SearchService):
         def do_GET(self):
             if self.path == "/healthz":
                 return self._reply(200, service.healthz())
+            if self.path == "/v1/stats":
+                return self._reply(200, {"stages": service.stats.as_dict()})
             return self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):

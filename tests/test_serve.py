@@ -185,3 +185,13 @@ def test_verify_images_fixed_packs():
     assert [r["gate_passed"] for r in res] == [False, False, True, True, True]
     assert pv.packs == [2, 1]          # fixed packs of verify_batch
     assert [r["verified"] for r in res] == [None, None, False, True, False]
+
+
+def test_stats_endpoint(server):
+    base, blobs, _ = server
+    _post(base + "/v1/search",
+          {"image_b64": base64.b64encode(blobs["red"]).decode(), "k": 2})
+    out = _get(base + "/v1/stats")
+    st = out["stages"]
+    for stage in ("decode", "image_encode", "query"):
+        assert stage in st and st[stage]["count"] >= 1, st
