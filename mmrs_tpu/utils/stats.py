@@ -9,9 +9,14 @@ derived rates per named stage, and renders the same style of summary.
 from __future__ import annotations
 
 import time
+from collections import deque
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Dict, Iterator
+
+# per-stage window of recent call durations for tail-latency percentiles
+# (bounded: a long-running server keeps ~4 KB per stage)
+_WINDOW = 512
 
 
 @dataclass
@@ -19,6 +24,8 @@ class StageRecord:
     seconds: float = 0.0
     count: int = 0
     calls: int = 0
+    recent: "deque[float]" = field(
+        default_factory=lambda: deque(maxlen=_WINDOW))
 
     @property
     def items_per_sec(self) -> float:
@@ -27,6 +34,16 @@ class StageRecord:
     @property
     def mean_seconds(self) -> float:
         return self.seconds / self.calls if self.calls > 0 else 0.0
+
+    def percentile_seconds(self, q: float) -> float:
+        """q-th percentile (0..100) over the recent-call window (nearest
+        rank, the conservative convention for tail SLOs)."""
+        if not self.recent:
+            return 0.0
+        xs = sorted(self.recent)
+        rank = max(0, min(len(xs) - 1,
+                          int(round(q / 100.0 * (len(xs) - 1)))))
+        return xs[rank]
 
 
 @dataclass
@@ -38,6 +55,7 @@ class StageStats:
         rec.seconds += seconds
         rec.count += count
         rec.calls += 1
+        rec.recent.append(seconds)
 
     @contextmanager
     def timed(self, stage: str, count: int = 1) -> Iterator[None]:
@@ -65,6 +83,8 @@ class StageStats:
                 "calls": rec.calls,
                 "items_per_sec": rec.items_per_sec,
                 "mean_seconds": rec.mean_seconds,
+                "p50_seconds": rec.percentile_seconds(50),
+                "p99_seconds": rec.percentile_seconds(99),
             }
             for name, rec in self.stages.items()
         }
