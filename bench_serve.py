@@ -1,0 +1,144 @@
+"""HTTP serving-layer benchmark: text-search QPS + tail latency on TPU.
+
+The library-level number (43.5k QPS at Q=64 over 1M rows, bench.py) is the
+kernel's ceiling; this measures the full production path a client sees:
+HTTP -> tokenizer -> text tower -> fused top-k over a 1M x 512 gallery ->
+JSON, served by `mmrs_tpu.serve` (ThreadingHTTPServer), with per-stage
+p50/p99 from GET /v1/stats. Gallery + towers are random (generated ON
+device; timings don't depend on values).
+
+Prints one JSON line: achieved queries/s end-to-end + stage percentiles.
+
+CAVEAT for tunneled environments: every request's dispatch+fetch crosses
+the host<->TPU transport, so on a remote-tunneled chip (26 ms RTT, erratic
+multi-second stalls under sustained request load — measured here:
+text_encode p50 9.7 s vs 1 ms tokenizer + ~2 ms device compute) this
+records the TRANSPORT, not the server. Treat results from such a setup as
+a harness smoke test; run on a PCIe/ICI-attached host for real numbers.
+"""
+
+from __future__ import annotations
+
+import base64  # noqa: F401  (kept for parity with serve's API surface)
+import json
+import sys
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_ROWS = 1_048_576
+QUERIES_PER_REQ = 16
+REQUESTS_PER_CLIENT = 12
+N_CLIENTS = 6
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from mmrs_tpu.config import Config
+    from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.models.tokenizer import CLIPTokenizer
+    from mmrs_tpu.pipeline import build_towers
+    from mmrs_tpu.search.engine import SearchEngine
+    from mmrs_tpu.serve import SearchService, make_server
+
+    log(f"devices: {jax.devices()}")
+    cfg = Config()
+    towers = build_towers(cfg, tokenizer=CLIPTokenizer(merges=[]))
+
+    # tiny placeholder index to construct the engine, then swap in a
+    # device-generated 1M-row gallery (host-side generation + upload of
+    # 1 GB through this environment's tunnel would dominate the setup)
+    seed_idx = GalleryIndex(
+        embeddings=np.eye(2, 512, dtype=np.float16),
+        paths=["a.jpg", "b.jpg"], classes=["a", "b"])
+    engine = SearchEngine(seed_idx, cfg.search)
+
+    @jax.jit
+    def make_gallery(key):
+        g = jax.random.normal(key, (N_ROWS, 512), jnp.bfloat16)
+        n = jnp.linalg.norm(g.astype(jnp.float32), axis=1, keepdims=True)
+        return (g.astype(jnp.float32) / n).astype(jnp.bfloat16)
+
+    engine.gallery = make_gallery(jax.random.key(0))
+    jax.block_until_ready(engine.gallery)
+    engine.index = GalleryIndex(
+        embeddings=np.empty((N_ROWS, 0), np.float16),   # rows only for len()
+        paths=[f"img{i:07d}.jpg" for i in range(N_ROWS)],
+        classes=["c%d" % (i % 10) for i in range(N_ROWS)])
+    log(f"gallery resident: {N_ROWS}x512 bf16 on device")
+
+    service = SearchService(engine, towers)
+    # pre-warm the compiled paths from the MAIN thread: the first call
+    # compiles tower + top-k (remote compiler, ~minutes); HTTP handler
+    # threads then only dispatch cached executables
+    texts_warm = [f"a photo of thing {i}" for i in range(QUERIES_PER_REQ)]
+    t0 = time.perf_counter()
+    service.search_texts(texts_warm, 10)
+    log(f"warmup (compile) {time.perf_counter() - t0:.1f}s")
+    srv = make_server(service, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def post(payload):
+        req = urllib.request.Request(
+            base + "/v1/search", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    texts = [f"a photo of thing {i}" for i in range(QUERIES_PER_REQ)]
+    out = post({"texts": texts, "k": 10})        # warmup: compile both paths
+    assert len(out["hits"]) == QUERIES_PER_REQ
+
+    def client(errors):
+        try:
+            for i in range(REQUESTS_PER_CLIENT):
+                out = post({"texts": texts, "k": 10})
+                assert len(out["hits"]) == QUERIES_PER_REQ
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    errors: list = []
+    threads = [threading.Thread(target=client, args=(errors,))
+               for _ in range(N_CLIENTS)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    if errors:
+        log("client errors:", errors[:3])
+    n_q = N_CLIENTS * REQUESTS_PER_CLIENT * QUERIES_PER_REQ
+    qps = n_q / wall
+
+    with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
+        stages = json.loads(r.read())["stages"]
+    srv.shutdown()
+
+    pct = {
+        name: {"p50_ms": round(rec["p50_seconds"] * 1e3, 2),
+               "p99_ms": round(rec["p99_seconds"] * 1e3, 2)}
+        for name, rec in stages.items()
+    }
+    log(f"{n_q} queries over {wall:.2f}s from {N_CLIENTS} clients "
+        f"-> {qps:.0f} q/s; stages: {pct}")
+    print(json.dumps({
+        "metric": "http_text_search_qps", "value": round(qps, 1),
+        "unit": "queries/sec",
+        "rows": N_ROWS, "clients": N_CLIENTS,
+        "queries_per_request": QUERIES_PER_REQ,
+        "stage_percentiles_ms": pct,
+        "errors": len(errors),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,9 +70,13 @@ class SearchService:
         from mmrs_tpu.utils.stats import StageStats
 
         self.stats = StageStats()
-        # one tower forward at a time keeps host-side pre/post bounded;
-        # device work still pipelines (dispatch is async)
-        self._encode_lock = threading.Lock()
+        # ONE in-flight device operation (encode/query/VLM) at a time:
+        # on a single chip the device serializes them anyway, and
+        # concurrent result fetches from multiple server threads can
+        # deadlock remote-runtime transports (observed through this
+        # environment's tunneled TPU). HTTP parse/JSON/decode still
+        # overlap across threads.
+        self._device_lock = threading.Lock()
 
     def healthz(self) -> dict:
         return {"ok": True, "rows": len(self.engine.index),
@@ -82,11 +86,11 @@ class SearchService:
         if self.towers.text_encode is None:
             raise ValueError("server started without a tokenizer; "
                              "text search unavailable")
-        with self.stats.timed("text_encode", count=len(texts)), \
-                self._encode_lock:
-            vecs = self.towers.text_encode(texts)
-        with self.stats.timed("query", count=len(texts)):
-            hits = self.engine.query_text(vecs, top_k=k)
+        with self._device_lock:
+            with self.stats.timed("text_encode", count=len(texts)):
+                vecs = self.towers.text_encode(texts)
+            with self.stats.timed("query", count=len(texts)):
+                hits = self.engine.query_text(vecs, top_k=k)
         return self._hits(hits)
 
     def search_images(self, blobs: List[bytes], k: Optional[int]) -> list:
@@ -98,11 +102,11 @@ class SearchService:
                 resize_center_crop(pil_loader(b), self.image_size)
                 for b in blobs
             ])
-        with self.stats.timed("image_encode", count=len(blobs)), \
-                self._encode_lock:
-            vecs = self.towers.image_encode(pixels)
-        with self.stats.timed("query", count=len(blobs)):
-            hits = self.engine.query_image(vecs, top_k=k)
+        with self._device_lock:
+            with self.stats.timed("image_encode", count=len(blobs)):
+                vecs = self.towers.image_encode(pixels)
+            with self.stats.timed("query", count=len(blobs)):
+                hits = self.engine.query_image(vecs, top_k=k)
         return self._hits(hits)
 
     @staticmethod
@@ -130,7 +134,7 @@ class SearchService:
                 resize_center_crop(pil_loader(b), self.image_size)
                 for b in blobs
             ])
-        with self.stats.timed("gate", count=len(blobs)), self._encode_lock:
+        with self.stats.timed("gate", count=len(blobs)), self._device_lock:
             img = self.towers.image_encode(pixels)                  # [N, D]
             txt = self.towers.text_encode([prompt.format(category=category)])
         scores = self.logit_scale * (img @ np.asarray(txt)[0])
@@ -148,7 +152,8 @@ class SearchService:
                     f.write(blobs[i])
                     f.close()
                     tmps.append(f.name)
-                with self.stats.timed("verifier", count=len(tmps)):
+                with self.stats.timed("verifier", count=len(tmps)), \
+                        self._device_lock:
                     if hasattr(self.verifier, "verify_batch"):
                         # FIXED-size packs: one compiled VLM decode shape
                         # for any survivor count (a fresh 7B compile per
