@@ -494,7 +494,10 @@ def cmd_serve(args) -> int:
         return 2
     service = SearchService(engine, towers, verifier=verifier,
                             verify_batch=args.verify_batch,
-                            logit_scale=cfg.search.logit_scale)
+                            logit_scale=cfg.search.logit_scale,
+                            max_batch=args.max_batch,
+                            batch_window=args.batch_window,
+                            serialize_fetch=not args.concurrent_fetch)
     server = make_server(service, host=args.host, port=args.port)
     print(f"serving {len(idx)} rows on http://{args.host}:{args.port} "
           f"(POST /v1/search, POST /v1/verify, GET /healthz)")
@@ -775,6 +778,15 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--merges", help="CLIP BPE merges file (enables text)")
     sv.add_argument("--vocab", help="WordPiece vocab (Taiyi)")
     sv.add_argument("--config")
+    sv.add_argument("--batch-window", type=float, default=0.002,
+                    help="micro-batcher linger seconds (coalesces "
+                         "concurrent requests into one device dispatch)")
+    sv.add_argument("--max-batch", type=int, default=64,
+                    help="max items per coalesced device dispatch")
+    sv.add_argument("--concurrent-fetch", action="store_true",
+                    help="allow concurrent device result fetches "
+                         "(PCIe/ICI-attached hosts; keep OFF for "
+                         "tunneled/remote runtimes)")
     _add_verifier_flags(sv)
     sv.set_defaults(fn=cmd_serve)
 

@@ -5,9 +5,10 @@ the framework is meant to power (stdlib-only, no server dependency):
 
   GET  /healthz          -> {"ok": true, "rows": N, "dim": D}
   GET  /v1/stats         -> per-stage serving counters (StageStats: total
-                            seconds, item counts, items/s per endpoint
-                            stage — the cascade's stage-timer observability
-                            (union_clip_llava2.py:263-268) for the server)
+                            seconds, item counts, calls, items/call —
+                            batch utilization — items/s, p50/p99). The
+                            cascade's stage-timer observability
+                            (union_clip_llava2.py:263-268) for the server.
   POST /v1/search        -> {"hits": [[{path, score, rank, cls}, ...], ...]}
         body: {"text": "a photo of lychee", "k": 10}
            or {"image_b64": "<base64 jpeg/png>", "k": 10}
@@ -24,12 +25,23 @@ the framework is meant to power (stdlib-only, no server dependency):
         `verified` is null for images the gate rejected (never sent to
         the VLM) and for all images when no verifier is attached.
 
-Concurrency model: ThreadingHTTPServer + the engine's jitted top-k.
-JAX dispatch is thread-safe and the gallery scan is a single fused kernel,
-so concurrent requests pipeline on the device queue — the measured
-serving numbers (43.5k QPS at Q=64 over 1M rows, COVERAGE.md) come from
-exactly this batched-dispatch path. For strict tail-latency SLOs put a
-micro-batcher in front; each request here dispatches as its own batch.
+Concurrency model (micro-batched): ThreadingHTTPServer threads do HTTP
+parse / JSON / base64 / JPEG decode concurrently, then hand device work to
+two single-threaded MicroBatchers (microbatch.py):
+
+  - the DEVICE worker coalesces concurrent text/image encodes + top-k
+    scans into single batched dispatches (the gallery scan is HBM-bound,
+    so queries that arrive together ride one kernel launch — this is how
+    the 43.5k QPS library number becomes an HTTP property);
+  - the VLM worker packs gate survivors from ALL in-flight /v1/verify
+    requests into fixed-size verify packs and pipelines them through
+    verify_batch_async/collect, so search requests never wait on a host
+    thread holding a lock through a multi-hundred-ms 7B decode.
+
+All device result FETCHES stay serialized across the two workers via one
+fetch lock (concurrent fetches from multiple threads can deadlock
+remote-runtime transports — observed through this environment's tunneled
+TPU); dispatches are async and overlap freely.
 
 Start via `mmrs serve --index DIR --port 8080 [--merges bpe.txt]`.
 """
@@ -37,6 +49,7 @@ Start via `mmrs serve --index DIR --port 8080 [--merges bpe.txt]`.
 from __future__ import annotations
 
 import base64
+import inspect
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -44,9 +57,11 @@ from typing import List, Optional
 
 import numpy as np
 
+from mmrs_tpu.microbatch import MicroBatcher
+
 
 class SearchService:
-    """Engine + towers behind simple text / image-bytes query methods.
+    """Engine + towers behind micro-batched text / image / verify methods.
 
     `verifier` (optional) is any cascade Verifier (cascade/verifier.py) —
     a TPULLaVAVerifier, an HTTP-backed CallableVerifier, or a stub; it
@@ -55,64 +70,65 @@ class SearchService:
     size (padded), so a TPU-hosted 7B compiles exactly one decode shape
     instead of one per distinct survivor count. `logit_scale` is the gate
     score multiplier (the reference's 100·cosine; keep it equal to
-    config.search.logit_scale so CLI and HTTP thresholds agree)."""
+    config.search.logit_scale so CLI and HTTP thresholds agree).
+
+    `batch_window` is the micro-batcher linger (seconds) — how long the
+    device worker waits for concurrent requests to join a batch.
+    `verify_pipeline_depth` caps in-flight async verify packs."""
 
     def __init__(self, engine, towers, image_size: int = 224, verifier=None,
-                 verify_batch: int = 8, logit_scale: float = 100.0):
+                 verify_batch: int = 8, logit_scale: float = 100.0,
+                 max_batch: int = 64, batch_window: float = 0.002,
+                 verify_pipeline_depth: int = 2,
+                 serialize_fetch: bool = True):
         self.engine = engine
         self.towers = towers
         self.image_size = image_size
         self.verifier = verifier
         self.verify_batch = verify_batch
         self.logit_scale = logit_scale
-        # per-stage serving counters (GET /v1/stats). Updates are a few
-        # GIL-atomic float adds; good enough for observability.
+        self.verify_pipeline_depth = verify_pipeline_depth
+        # per-stage serving counters (GET /v1/stats); `calls` counts device
+        # DISPATCHES, `count` items — items/call is the batching factor.
         from mmrs_tpu.utils.stats import StageStats
 
         self.stats = StageStats()
-        # ONE in-flight device operation (encode/query/VLM) at a time:
-        # on a single chip the device serializes them anyway, and
-        # concurrent result fetches from multiple server threads can
-        # deadlock remote-runtime transports (observed through this
-        # environment's tunneled TPU). HTTP parse/JSON/decode still
-        # overlap across threads.
-        self._device_lock = threading.Lock()
+        # ONE result fetch in flight at a time across both workers (see
+        # module docstring); dispatches are not serialized. On a
+        # PCIe/ICI-attached host pass serialize_fetch=False: the search
+        # worker then fetches concurrently with a VLM collect (device-level
+        # overlap decides latency, not a host lock).
+        import contextlib
+
+        self._fetch_lock = (threading.Lock() if serialize_fetch
+                            else contextlib.nullcontext())
+        self._device = MicroBatcher(self._device_handler, max_batch=max_batch,
+                                    batch_window=batch_window,
+                                    name="mmrs-device-batcher")
+        self._vlm = MicroBatcher(self._vlm_handler, max_batch=max_batch,
+                                 batch_window=batch_window,
+                                 name="mmrs-vlm-batcher")
+
+    def close(self) -> None:
+        """Stop the worker threads (in-flight requests finish first)."""
+        self._device.close()
+        self._vlm.close()
 
     def healthz(self) -> dict:
         return {"ok": True, "rows": len(self.engine.index),
                 "dim": self.engine.index.dim}
 
+    # -- request-thread entry points ------------------------------------------
+
     def search_texts(self, texts: List[str], k: Optional[int]) -> list:
         if self.towers.text_encode is None:
             raise ValueError("server started without a tokenizer; "
                              "text search unavailable")
-        with self._device_lock:
-            with self.stats.timed("text_encode", count=len(texts)):
-                vecs = self.towers.text_encode(texts)
-            with self.stats.timed("query", count=len(texts)):
-                hits = self.engine.query_text(vecs, top_k=k)
-        return self._hits(hits)
+        return self._device.submit(("text", k), list(texts))
 
     def search_images(self, blobs: List[bytes], k: Optional[int]) -> list:
-        from mmrs_tpu.io.images import pil_loader
-        from mmrs_tpu.ops.preprocess import resize_center_crop
-
-        with self.stats.timed("decode", count=len(blobs)):
-            pixels = np.stack([
-                resize_center_crop(pil_loader(b), self.image_size)
-                for b in blobs
-            ])
-        with self._device_lock:
-            with self.stats.timed("image_encode", count=len(blobs)):
-                vecs = self.towers.image_encode(pixels)
-            with self.stats.timed("query", count=len(blobs)):
-                hits = self.engine.query_image(vecs, top_k=k)
-        return self._hits(hits)
-
-    @staticmethod
-    def _hits(per_query) -> list:
-        return [[{"path": h.path, "score": h.score, "rank": h.rank,
-                  "cls": h.cls} for h in hits] for hits in per_query]
+        pixels = self._decode(blobs)
+        return self._device.submit(("image", k), pixels)
 
     def verify_images(self, blobs: List[bytes], category: str,
                       threshold: float,
@@ -123,21 +139,12 @@ class SearchService:
         import os
         import tempfile
 
-        from mmrs_tpu.io.images import pil_loader
-        from mmrs_tpu.ops.preprocess import resize_center_crop
-
         if self.towers.text_encode is None:
             raise ValueError("server started without a tokenizer; "
                              "verify unavailable")
-        with self.stats.timed("decode", count=len(blobs)):
-            pixels = np.stack([
-                resize_center_crop(pil_loader(b), self.image_size)
-                for b in blobs
-            ])
-        with self.stats.timed("gate", count=len(blobs)), self._device_lock:
-            img = self.towers.image_encode(pixels)                  # [N, D]
-            txt = self.towers.text_encode([prompt.format(category=category)])
-        scores = self.logit_scale * (img @ np.asarray(txt)[0])
+        pixels = self._decode(blobs)
+        scores = self._device.submit(
+            ("gate",), (pixels, prompt.format(category=category)))
         passed = scores >= threshold
         verified: List[Optional[bool]] = [None] * len(blobs)
         if self.verifier is not None and passed.any():
@@ -152,21 +159,10 @@ class SearchService:
                     f.write(blobs[i])
                     f.close()
                     tmps.append(f.name)
-                with self.stats.timed("verifier", count=len(tmps)), \
-                        self._device_lock:
-                    if hasattr(self.verifier, "verify_batch"):
-                        # FIXED-size packs: one compiled VLM decode shape
-                        # for any survivor count (a fresh 7B compile per
-                        # distinct batch takes minutes through a remote
-                        # compiler)
-                        vb = self.verify_batch
-                        answers = []
-                        for j in range(0, len(tmps), vb):
-                            answers.extend(self.verifier.verify_batch(
-                                tmps[j:j + vb], category, fixed_batch=vb))
-                    else:
-                        answers = [self.verifier.verify(p, category)
-                                   for p in tmps]
+                # one item per survivor image: the VLM worker packs
+                # survivors from ALL concurrent requests (same category)
+                # into fixed-size packs
+                answers = self._vlm.submit_many(category, tmps)
                 for i, ok in zip(survivors, answers):
                     verified[i] = bool(ok)
             finally:
@@ -178,6 +174,141 @@ class SearchService:
         return [{"gate_score": float(s), "gate_passed": bool(p),
                  "verified": v}
                 for s, p, v in zip(scores, passed, verified)]
+
+    # -- helpers --------------------------------------------------------------
+
+    def _decode(self, blobs: List[bytes]) -> np.ndarray:
+        """JPEG/PNG decode + resize on the REQUEST thread: decode is pure
+        host CPU, so concurrent requests overlap it while the device
+        worker crunches."""
+        from mmrs_tpu.io.images import pil_loader
+        from mmrs_tpu.ops.preprocess import resize_center_crop
+
+        with self.stats.timed("decode", count=len(blobs)):
+            return np.stack([
+                resize_center_crop(pil_loader(b), self.image_size)
+                for b in blobs
+            ])
+
+    @staticmethod
+    def _hits(per_query) -> list:
+        return [[{"path": h.path, "score": h.score, "rank": h.rank,
+                  "cls": h.cls} for h in hits] for hits in per_query]
+
+    @staticmethod
+    def _split(flat: list, sizes: List[int]) -> list:
+        out, i = [], 0
+        for n in sizes:
+            out.append(flat[i:i + n])
+            i += n
+        return out
+
+    # -- device worker (single thread; one dispatch per request GROUP) --------
+
+    def _device_handler(self, key, payloads):
+        kind = key[0]
+        with self._fetch_lock:
+            if kind == "text":
+                k = key[1]
+                sizes = [len(p) for p in payloads]
+                texts = [t for p in payloads for t in p]
+                with self.stats.timed("text_encode", count=len(texts)):
+                    vecs = self.towers.text_encode(texts)
+                with self.stats.timed("query", count=len(texts)):
+                    hits = self._hits(self.engine.query_text(vecs, top_k=k))
+                return self._split(hits, sizes)
+            if kind == "image":
+                k = key[1]
+                sizes = [len(p) for p in payloads]
+                pixels = np.concatenate(payloads, axis=0)
+                with self.stats.timed("image_encode", count=len(pixels)):
+                    vecs = self.towers.image_encode(pixels)
+                with self.stats.timed("query", count=len(pixels)):
+                    hits = self._hits(self.engine.query_image(vecs, top_k=k))
+                return self._split(hits, sizes)
+            if kind == "gate":
+                # payloads: [(pixels [n,H,W,3], prompt_str), ...] — images
+                # from every in-flight verify request share one encode;
+                # distinct prompts share one text dispatch
+                sizes = [len(px) for px, _ in payloads]
+                pixels = np.concatenate([px for px, _ in payloads], axis=0)
+                prompts = []
+                prompt_idx = []
+                for _, pr in payloads:
+                    if pr not in prompts:
+                        prompts.append(pr)
+                    prompt_idx.append(prompts.index(pr))
+                with self.stats.timed("image_encode", count=len(pixels)):
+                    img = np.asarray(self.towers.image_encode(pixels))
+                with self.stats.timed("text_encode", count=len(prompts)):
+                    txt = np.asarray(self.towers.text_encode(prompts))
+                out, i = [], 0
+                for n, pi in zip(sizes, prompt_idx):
+                    out.append(self.logit_scale * (img[i:i + n] @ txt[pi]))
+                    i += n
+                return out
+            raise ValueError(f"unknown device work kind {kind!r}")
+
+    # -- VLM worker (single thread; fixed packs, pipelined dispatch) ----------
+
+    def _vlm_handler(self, category, paths):
+        """All pending survivor images for `category` -> fixed-size verify
+        packs. Async-capable verifiers keep `verify_pipeline_depth` packs
+        in flight (dispatch pack i+1 while the device decodes pack i)."""
+        v = self.verifier
+        vb = self.verify_batch
+        async_ok = (hasattr(v, "verify_batch_async")
+                    and hasattr(v, "collect"))
+        if async_ok:
+            answers: list = []
+            in_flight: list = []
+
+            def drain_one():
+                n, handle = in_flight.pop(0)
+                with self._fetch_lock, \
+                        self.stats.timed("verifier_wait", count=n):
+                    answers.extend(v.collect(handle))
+
+            for j in range(0, len(paths), vb):
+                pack = paths[j:j + vb]
+                with self.stats.timed("verifier", count=len(pack)):
+                    handle = v.verify_batch_async(pack, category,
+                                                  fixed_batch=vb)
+                in_flight.append((len(pack), handle))
+                while len(in_flight) > self.verify_pipeline_depth:
+                    drain_one()
+            while in_flight:
+                drain_one()
+            return answers
+        batch_fn = getattr(v, "verify_batch", None)
+        if batch_fn is not None:
+            # pass fixed_batch only to verifiers that accept it (any
+            # cascade Verifier slots in, mirroring pipeline._verify_paths)
+            takes_fixed = "fixed_batch" in inspect.signature(
+                batch_fn).parameters
+            answers = []
+            for j in range(0, len(paths), vb):
+                pack = paths[j:j + vb]
+                with self._fetch_lock, \
+                        self.stats.timed("verifier", count=len(pack)):
+                    answers.extend(
+                        batch_fn(pack, category, fixed_batch=vb)
+                        if takes_fixed else batch_fn(pack, category))
+            return answers
+        out = []
+        with self._fetch_lock:
+            for p in paths:
+                with self.stats.timed("verifier", count=1):
+                    out.append(bool(v.verify(p, category)))
+        return out
+
+
+def _blob_list(req: dict) -> List[bytes]:
+    """Decode image_b64/images_b64 from a request body. An explicit empty
+    `images_b64` list means "no images" (not "fall back to image_b64")."""
+    if "images_b64" in req:
+        return [base64.b64decode(s) for s in req["images_b64"]]
+    return [base64.b64decode(req["image_b64"])]
 
 
 def _make_handler(service: SearchService):
@@ -196,11 +327,15 @@ def _make_handler(service: SearchService):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/healthz":
-                return self._reply(200, service.healthz())
-            if self.path == "/v1/stats":
-                return self._reply(200, {"stages": service.stats.as_dict()})
-            return self._reply(404, {"error": "unknown path"})
+            try:
+                if self.path == "/healthz":
+                    return self._reply(200, service.healthz())
+                if self.path == "/v1/stats":
+                    return self._reply(
+                        200, {"stages": service.stats.as_dict()})
+                return self._reply(404, {"error": "unknown path"})
+            except Exception as e:  # noqa: BLE001 — keep serving
+                return self._reply(500, {"error": repr(e)})
 
         def do_POST(self):
             if self.path not in ("/v1/search", "/v1/verify"):
@@ -209,8 +344,9 @@ def _make_handler(service: SearchService):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/v1/verify":
-                    blobs = [base64.b64decode(s) for s in
-                             (req.get("images_b64") or [req["image_b64"]])]
+                    blobs = _blob_list(req)
+                    if not blobs:  # explicit empty images_b64 -> no work
+                        return self._reply(200, {"results": []})
                     results = service.verify_images(
                         blobs, req["category"],
                         float(req.get("threshold", 0.0)),
@@ -218,11 +354,15 @@ def _make_handler(service: SearchService):
                     return self._reply(200, {"results": results})
                 k = req.get("k")
                 if "text" in req or "texts" in req:
-                    texts = req.get("texts") or [req["text"]]
+                    texts = (req["texts"] if "texts" in req
+                             else [req["text"]])
+                    if not texts:
+                        return self._reply(200, {"hits": []})
                     hits = service.search_texts(list(texts), k)
                 elif "image_b64" in req or "images_b64" in req:
-                    blobs = [base64.b64decode(s) for s in
-                             (req.get("images_b64") or [req["image_b64"]])]
+                    blobs = _blob_list(req)
+                    if not blobs:
+                        return self._reply(200, {"hits": []})
                     hits = service.search_images(blobs, k)
                 else:
                     return self._reply(

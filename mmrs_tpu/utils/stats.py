@@ -8,6 +8,7 @@ derived rates per named stage, and renders the same style of summary.
 
 from __future__ import annotations
 
+import threading
 import time
 from collections import deque
 from contextlib import contextmanager
@@ -26,6 +27,10 @@ class StageRecord:
     calls: int = 0
     recent: "deque[float]" = field(
         default_factory=lambda: deque(maxlen=_WINDOW))
+    # guards `recent` snapshot vs concurrent appends: ThreadingHTTPServer
+    # handler threads record() while a /v1/stats poll sorts the window
+    # (deque raises "mutated during iteration" otherwise)
+    lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     @property
     def items_per_sec(self) -> float:
@@ -35,12 +40,19 @@ class StageRecord:
     def mean_seconds(self) -> float:
         return self.seconds / self.calls if self.calls > 0 else 0.0
 
+    @property
+    def items_per_call(self) -> float:
+        """Batch utilization: items per device dispatch (>1 means the
+        serving micro-batcher coalesced concurrent requests)."""
+        return self.count / self.calls if self.calls > 0 else 0.0
+
     def percentile_seconds(self, q: float) -> float:
         """q-th percentile (0..100) over the recent-call window (nearest
         rank, the conservative convention for tail SLOs)."""
-        if not self.recent:
+        with self.lock:
+            xs = sorted(self.recent)
+        if not xs:
             return 0.0
-        xs = sorted(self.recent)
         rank = max(0, min(len(xs) - 1,
                           int(round(q / 100.0 * (len(xs) - 1)))))
         return xs[rank]
@@ -55,7 +67,8 @@ class StageStats:
         rec.seconds += seconds
         rec.count += count
         rec.calls += 1
-        rec.recent.append(seconds)
+        with rec.lock:
+            rec.recent.append(seconds)
 
     @contextmanager
     def timed(self, stage: str, count: int = 1) -> Iterator[None]:
@@ -82,6 +95,7 @@ class StageStats:
                 "count": rec.count,
                 "calls": rec.calls,
                 "items_per_sec": rec.items_per_sec,
+                "items_per_call": rec.items_per_call,
                 "mean_seconds": rec.mean_seconds,
                 "p50_seconds": rec.percentile_seconds(50),
                 "p99_seconds": rec.percentile_seconds(99),

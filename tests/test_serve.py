@@ -58,7 +58,8 @@ def server():
             return bool(arr[..., 0].mean() > arr[..., 2].mean())
 
     verifier = ColorVerifier()
-    srv = make_server(SearchService(engine, towers, verifier=verifier),
+    srv = make_server(SearchService(engine, towers, verifier=verifier,
+                                    batch_window=0.05),
                       port=0)  # ephemeral port
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -195,3 +196,170 @@ def test_stats_endpoint(server):
     st = out["stages"]
     for stage in ("decode", "image_encode", "query"):
         assert stage in st and st[stage]["count"] >= 1, st
+        assert "items_per_call" in st[stage]
+
+
+def test_empty_batch_requests(server):
+    """Explicit empty texts/images_b64 lists return empty results, not 400."""
+    base, *_ = server
+    assert _post(base + "/v1/search", {"texts": []}) == {"hits": []}
+    assert _post(base + "/v1/search", {"images_b64": []}) == {"hits": []}
+    assert _post(base + "/v1/verify",
+                 {"images_b64": [], "category": "red"}) == {"results": []}
+
+
+def test_http_concurrent_requests_batch(server):
+    """≥8 concurrent HTTP searches coalesce: device dispatches < requests
+    (observed via /v1/stats call counts), and nothing deadlocks."""
+    base, *_ = server
+    st0 = _get(base + "/v1/stats")["stages"].get("query", {})
+    calls0, count0 = st0.get("calls", 0), st0.get("count", 0)
+
+    n = 10
+    barrier = threading.Barrier(n)
+    errors = []
+
+    def one(i):
+        try:
+            barrier.wait(timeout=30)
+            out = _post(base + "/v1/search", {"text": f"thing {i}", "k": 2})
+            assert len(out["hits"]) == 1 and len(out["hits"][0]) == 2
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    st1 = _get(base + "/v1/stats")["stages"]["query"]
+    assert st1["count"] - count0 == n
+    # the barrier releases all 10 at once; with a 50 ms batch window the
+    # single device worker must fold them into fewer dispatches
+    assert st1["calls"] - calls0 < n, (st1, calls0)
+
+
+# ---- service-level micro-batching tests (stub towers/engine) ---------------
+
+from types import SimpleNamespace  # noqa: E402
+
+
+def _stub_towers(dim=8):
+    def text_encode(texts):
+        out = np.zeros((len(texts), dim), np.float32)
+        out[:, 0] = 1.0
+        return out
+
+    def image_encode(pixels):
+        out = np.zeros((len(pixels), dim), np.float32)
+        # score = mean red intensity (deterministic gate scores)
+        out[:, 0] = np.asarray(pixels)[..., 0].mean(axis=(1, 2)) / 255.0
+        return out
+
+    return SimpleNamespace(text_encode=text_encode,
+                           image_encode=image_encode)
+
+
+class _FakeEngine:
+    """query_* returns one hit per query row; index is unused."""
+
+    index = SimpleNamespace(dim=8, paths=[], classes=[])
+
+    def query_text(self, vecs, top_k=None):
+        return [[SimpleNamespace(path=f"t{i}", score=1.0, rank=0, cls="c")]
+                for i in range(len(vecs))]
+
+    query_image = query_text
+
+
+def _jpeg_blob(value):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((8, 8, 3), value, np.uint8)).save(buf, "JPEG")
+    return buf.getvalue()
+
+
+def test_vlm_packs_across_requests():
+    """Survivors from CONCURRENT /v1/verify requests share fixed verify
+    packs: 2 requests x 3 survivors -> packs [4, 2], not [3], [3]."""
+    from mmrs_tpu.serve import SearchService
+
+    class AsyncPackVerifier:
+        def __init__(self):
+            self.packs = []
+
+        def verify_batch_async(self, paths, category, fixed_batch=None):
+            self.packs.append(len(paths))
+            return [True] * len(paths)
+
+        def collect(self, handle):
+            return handle
+
+    pv = AsyncPackVerifier()
+    svc = SearchService(engine=None, towers=_stub_towers(), verifier=pv,
+                        verify_batch=4, logit_scale=1.0, batch_window=0.25)
+    blobs = [_jpeg_blob(200)] * 3  # all pass a low threshold
+    barrier = threading.Barrier(2)
+    results = [None, None]
+
+    def one(slot):
+        barrier.wait(timeout=30)
+        results[slot] = svc.verify_images(blobs, "cat", threshold=0.0)
+
+    threads = [threading.Thread(target=one, args=(s,)) for s in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    svc.close()
+    for res in results:
+        assert res is not None
+        assert [r["verified"] for r in res] == [True, True, True]
+    # 6 survivors packed into fixed packs of 4: at least one pack larger
+    # than any single request's survivor count proves cross-request packing
+    assert sum(pv.packs) == 6 and max(pv.packs) == 4, pv.packs
+    st = svc.stats.as_dict()["verifier"]
+    assert st["count"] == 6 and st["calls"] == 2  # packed, not per-request
+
+
+def test_search_not_blocked_by_slow_verify():
+    """With concurrent fetches allowed (PCIe-host mode), a search completes
+    while a verify's VLM collect is still in flight — the 7B decode no
+    longer blocks every search request behind a global lock."""
+    from mmrs_tpu.serve import SearchService
+
+    dispatched = threading.Event()
+    release = threading.Event()
+
+    class SlowVerifier:
+        def verify_batch_async(self, paths, category, fixed_batch=None):
+            dispatched.set()
+            return [True] * len(paths)
+
+        def collect(self, handle):
+            assert release.wait(timeout=60), "never released"
+            return handle
+
+    svc = SearchService(engine=_FakeEngine(), towers=_stub_towers(),
+                        verifier=SlowVerifier(), verify_batch=2,
+                        logit_scale=1.0, batch_window=0.005,
+                        serialize_fetch=False)
+    verify_result = []
+
+    def do_verify():
+        verify_result.append(
+            svc.verify_images([_jpeg_blob(200)], "cat", threshold=0.0))
+
+    t = threading.Thread(target=do_verify)
+    t.start()
+    assert dispatched.wait(timeout=60)
+    # VLM collect is now blocked; searches must still be served
+    hits = svc.search_texts(["a query"], k=1)
+    assert len(hits) == 1 and hits[0][0]["path"] == "t0"
+    assert not verify_result  # verify genuinely still in flight
+    release.set()
+    t.join(timeout=60)
+    svc.close()
+    assert verify_result and verify_result[0][0]["verified"] is True
