@@ -523,6 +523,15 @@ def cmd_parity(args) -> int:
     report = {}
     ok = True
 
+    if args.release:
+        rep = parity.release_gate(
+            args.release, image=args.image, pos_dir=args.pos_dir,
+            neg_dir=args.neg_dir, prompt=args.prompt, golden=args.golden,
+            logit_scale=_load_config(args.config).search.logit_scale,
+            llava_smoke=args.llava_smoke)
+        report["release"] = rep
+        ok &= rep["ok"]
+
     if args.rank_gate:
         r = parity.rank_parity_report(n=args.rows, queries=args.queries,
                                       k=args.k)
@@ -624,8 +633,8 @@ def cmd_parity(args) -> int:
             ok &= t["threshold_ok"] and t["f1_ok"]
 
     if not report:
-        print("nothing to check: pass --rank-gate, --int8-tower, and/or --checkpoint",
-              file=sys.stderr)
+        print("nothing to check: pass --release, --rank-gate, --int8-tower, "
+              "and/or --checkpoint", file=sys.stderr)
         return 2
     report["ok"] = ok
     print(json.dumps(report))
@@ -895,6 +904,15 @@ def build_parser() -> argparse.ArgumentParser:
     wc.set_defaults(fn=cmd_weights_convert)
 
     pa = sub.add_parser("parity")
+    pa.add_argument("--release", metavar="DIR",
+                    help="drop-in gate over a directory of DOWNLOADED "
+                         "release artifacts (OpenAI ViT-B-32.pt, HF model "
+                         "dirs, llava, tokenizer files) — detects layouts, "
+                         "derives configs, runs every check the pack "
+                         "allows (see models/release.py)")
+    pa.add_argument("--llava-smoke", action="store_true",
+                    help="with --release + --image: run a real llava "
+                         "greedy decode smoke (slow on first compile)")
     pa.add_argument("--rank-gate", action="store_true",
                     help="bf16-vs-f32 top-k rank parity (no weights needed)")
     pa.add_argument("--int8-tower", metavar="TOWER",

@@ -24,6 +24,7 @@ match exactly.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
@@ -87,6 +88,386 @@ def threshold_parity(result, golden: dict, thr_atol: float = 0.05,
         "golden_f1": golden["f1"],
         "f1_ok": abs(result.best_f1 - golden["f1"]) <= f1_atol,
     }
+
+
+# --------------------------------------------------------------------------
+# release drop-in gate: the whole parity suite over downloaded artifacts
+# --------------------------------------------------------------------------
+
+# texts exercised by the tokenizer differentials: the golden smoke captions,
+# the reference's prompt templates, and the llava template chunks
+DIFFERENTIAL_TEXTS = [
+    "a diagram", "a dog", "a cat",
+    "a photo of lychee", "a photo of a T-shirt",
+    "a photo that is not a guitar",
+    "Does this image contain a cat?",
+    "Answer with ONLY a single word: 'yes' or 'no'.",
+    "hello world!", "  spaced   out  ", "café 中文",
+]
+DIFFERENTIAL_TEXTS_CN = [
+    "一张荔枝的图片", "一张T恤的图片", "一张吉他的图片",
+    "一张羽毛球拍的图片", "一张包子的图片", "中文 mixed english 123",
+]
+
+
+def _compute_dtype():
+    import jax
+    import jax.numpy as jnp
+
+    # bf16 is the serving dtype on TPU; CPU (tests) verifies in f32
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+def build_release_towers(rm, tokenizer=None):
+    """Encode callables from a loaded openai_clip / hf_clip ReleaseModel
+    (the pipeline.build_towers shape, but params come from the release)."""
+    import jax.numpy as jnp
+
+    from mmrs_tpu.models import clip as clip_mod
+    from mmrs_tpu.ops.preprocess import normalize_images
+    from mmrs_tpu.pipeline import Towers
+
+    dtype = _compute_dtype()
+    params, ccfg = rm.params, rm.config
+
+    def image_encode(pixels_u8):
+        x = normalize_images(jnp.asarray(pixels_u8), dtype=dtype, impl="xla")
+        return np.asarray(clip_mod.encode_image(
+            params, x, ccfg, compute_dtype=dtype), np.float32)
+
+    text_encode = None
+    if tokenizer is not None:
+        def text_encode(texts):
+            ids = tokenizer(texts)
+            return np.asarray(clip_mod.encode_text(
+                params, jnp.asarray(ids), ccfg, compute_dtype=dtype),
+                np.float32)
+
+    return Towers(image_encode=image_encode, text_encode=text_encode,
+                  params=params, clip_config=ccfg, tokenizer=tokenizer)
+
+
+def build_cn_towers(clip_rm, bert_rm, bert_tokenizer=None):
+    """The Chinese pair: HF CLIP image tower x Taiyi text tower
+    (code/test_taiyi.py:9-27 — text features are the classifier logits)."""
+    import jax.numpy as jnp
+
+    from mmrs_tpu.models import clip as clip_mod
+    from mmrs_tpu.models.clip import TaiyiCLIPConfig
+    from mmrs_tpu.ops.preprocess import normalize_images
+    from mmrs_tpu.pipeline import Towers
+
+    dtype = _compute_dtype()
+    vcfg = (clip_rm.config.vision if hasattr(clip_rm.config, "vision")
+            else clip_rm.config)
+    visual = (clip_rm.params["visual"] if "visual" in clip_rm.params
+              else clip_rm.params)
+    ccfg = TaiyiCLIPConfig(vision=vcfg, text=bert_rm.config)
+    params = {"visual": visual, "text": bert_rm.params,
+              "logit_scale": jnp.asarray(ccfg.logit_scale_init, jnp.float32)}
+
+    def image_encode(pixels_u8):
+        x = normalize_images(jnp.asarray(pixels_u8), dtype=dtype, impl="xla")
+        return np.asarray(clip_mod.encode_image(
+            params, x, ccfg, compute_dtype=dtype), np.float32)
+
+    text_encode = None
+    if bert_tokenizer is not None:
+        def text_encode(texts):
+            ids, mask = bert_tokenizer(texts)
+            return np.asarray(clip_mod.taiyi_encode_text(
+                params, jnp.asarray(ids), jnp.asarray(mask), ccfg,
+                compute_dtype=dtype), np.float32)
+
+    return Towers(image_encode=image_encode, text_encode=text_encode,
+                  params=params, clip_config=ccfg, tokenizer=bert_tokenizer)
+
+
+def clip_bpe_differential(merges_path: str, texts=None) -> dict:
+    """Our CLIP BPE over the REAL merges file vs transformers'
+    CLIPTokenizer (independent merge application; shared standard vocab
+    construction). One wrong merge rule = a token-id mismatch here."""
+    import gzip
+    import tempfile
+
+    from mmrs_tpu.models.tokenizer import CLIPTokenizer
+
+    texts = texts or DIFFERENTIAL_TEXTS
+    ours = CLIPTokenizer.from_file(merges_path)
+    try:
+        import json as _json
+
+        from transformers import CLIPTokenizer as HFTok
+    except Exception as e:  # noqa: BLE001
+        return {"checked": 0, "ok": True, "skipped": f"no oracle: {e!r}"}
+    note = None
+    try:
+        import ftfy  # noqa: F401 — the oracle's openai-faithful text cleaner
+    except ImportError:
+        # Without ftfy, HF's fallback cleaner space-splits CJK chars — a
+        # known divergence from OpenAI's clip.tokenize (which requires
+        # ftfy and keeps CJK runs intact, as we do). Compare on the texts
+        # both normalize identically.
+        texts = [t for t in texts
+                 if not any(0x4E00 <= ord(c) <= 0x9FFF for c in t)]
+        note = "no ftfy: CJK texts excluded from the HF comparison"
+    with tempfile.TemporaryDirectory() as td:
+        opener = gzip.open if merges_path.endswith(".gz") else open
+        with opener(merges_path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        merges_txt = "\n".join(
+            [lines[0]] + [m for m in lines[1:49152 - 256 - 2 + 1]
+                          if len(m.split()) == 2])
+        mp = f"{td}/merges.txt"
+        with open(mp, "w", encoding="utf-8") as f:
+            f.write(merges_txt)
+        vp = f"{td}/vocab.json"
+        with open(vp, "w", encoding="utf-8") as f:
+            _json.dump(ours.encoder, f, ensure_ascii=False)
+        hf = HFTok(vocab_file=vp, merges_file=mp)
+        mism = []
+        for t in texts:
+            mine = ours.encode(t)  # raw BPE ids (no sot/eot framing)
+            theirs = hf(t, add_special_tokens=False)["input_ids"]
+            if mine != theirs:
+                mism.append({"text": t, "ours": mine, "hf": theirs})
+    out = {"checked": len(texts), "mismatches": mism, "ok": not mism}
+    if note:
+        out["note"] = note
+    return out
+
+
+def sp_differential(model_path: str, texts=None) -> dict:
+    """Our SentencePiece BPE over the REAL tokenizer.model vs an HF
+    `tokenizers` BPE assembled exactly the way transformers'
+    LlamaConverter converts it (the test_sentencepiece_hf.py recipe, now
+    pointed at the shipped artifact)."""
+    from mmrs_tpu.cascade.verifier import llava_v1_prompt_parts
+    from mmrs_tpu.models.sentencepiece import SentencePieceBPE
+
+    pre, post = llava_v1_prompt_parts("Does this image contain a cat?")
+    texts = texts or (DIFFERENTIAL_TEXTS + [pre, post, "yes", "no"])
+    ours = SentencePieceBPE.from_file(model_path, add_bos=False)
+    try:
+        from tokenizers import AddedToken, Tokenizer, normalizers
+        from tokenizers.models import BPE
+        from transformers.convert_slow_tokenizer import generate_merges
+        from transformers.utils import sentencepiece_model_pb2_new as pb2
+    except Exception as e:  # noqa: BLE001
+        return {"checked": 0, "ok": True, "skipped": f"no oracle: {e!r}"}
+    proto = pb2.ModelProto()
+    with open(model_path, "rb") as f:
+        proto.ParseFromString(f.read())
+    vocab_scores = [(p.piece, p.score) for p in proto.pieces]
+    vocab = {w: i for i, (w, _) in enumerate(vocab_scores)}
+    merges = generate_merges(vocab, vocab_scores)
+    unk = proto.pieces[proto.trainer_spec.unk_id].piece \
+        if proto.pieces else "<unk>"
+    hf = Tokenizer(BPE(vocab, merges, unk_token=unk, fuse_unk=True,
+                       byte_fallback=True, dropout=None))
+    specials = [p.piece for p in proto.pieces if p.type == 3]  # CONTROL
+    hf.add_tokens([AddedToken(s, normalized=False, special=True)
+                   for s in specials])
+    hf.normalizer = normalizers.Sequence(
+        [normalizers.Prepend(prepend="▁"),
+         normalizers.Replace(pattern=" ", content="▁")])
+    mism = []
+    for t in texts:
+        if not t:
+            continue
+        mine = ours.encode(t, add_bos=False)
+        theirs = hf.encode(t, add_special_tokens=False).ids
+        if mine != theirs:
+            mism.append({"text": t, "ours": mine, "hf": theirs})
+    return {"checked": len(texts), "mismatches": mism, "ok": not mism}
+
+
+def bert_vocab_differential(vocab_path: str, texts=None) -> dict:
+    """Our WordPiece over the REAL vocab.txt vs transformers' BertTokenizer
+    (the Taiyi text path, code/test_taiyi.py:20)."""
+    from mmrs_tpu.models.tokenizer import BertWordPieceTokenizer
+
+    texts = texts or DIFFERENTIAL_TEXTS_CN
+    ours = BertWordPieceTokenizer.from_vocab_file(vocab_path)
+    try:
+        from transformers import BertTokenizer
+    except Exception as e:  # noqa: BLE001
+        return {"checked": 0, "ok": True, "skipped": f"no oracle: {e!r}"}
+    hf = BertTokenizer(vocab_file=vocab_path)
+    mism = []
+    for t in texts:
+        ids, mask = ours([t])
+        mine = ids[0][mask[0] == 1].tolist()
+        theirs = hf(t)["input_ids"]
+        if mine != theirs:
+            mism.append({"text": t, "ours": mine, "hf": theirs})
+    return {"checked": len(texts), "mismatches": mism, "ok": not mism}
+
+
+def int8_geometry_gate(params, ccfg, n_images: int = 16) -> dict:
+    """int8 serving-tower gate on GIVEN params: embedding cosine vs the
+    f32 tower and top-1 retrieval agreement (on TPU this runs the real
+    MXU int8 path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmrs_tpu.models import clip as clip_mod
+    from mmrs_tpu.models.quantize import quantize_clip_visual
+
+    size = ccfg.vision.image_size
+    imgs = jax.random.normal(jax.random.key(1), (n_images, size, size, 3)) * 0.5
+    f32 = np.asarray(clip_mod.encode_image(
+        params, imgs, ccfg, compute_dtype=jnp.float32), np.float32)
+    q8 = np.asarray(clip_mod.encode_image(
+        quantize_clip_visual(params), imgs, ccfg), np.float32)
+    cos = np.sum(f32 * q8, axis=1)
+    gal = np.concatenate([f32, np.asarray(jax.random.normal(
+        jax.random.key(2), (1000, f32.shape[1])), np.float32)])
+    gal /= np.linalg.norm(gal, axis=1, keepdims=True)
+    top1 = (np.argmax(q8 @ gal.T, 1) == np.argmax(f32 @ gal.T, 1))
+    return {"min_cosine_vs_f32": float(cos.min()),
+            "top1_agreement": float(top1.mean()),
+            "ok": bool(cos.min() > 0.995 and top1.all())}
+
+
+def _embed_folder(towers, folder: str, image_size: int) -> np.ndarray:
+    from mmrs_tpu.io.dataset import FolderDataset
+
+    exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tiff", ".gif")
+    paths = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(folder) for f in fs
+        if f.lower().endswith(exts))
+    ds = FolderDataset([(p, "x") for p in paths], image_size=image_size)
+    return np.concatenate(
+        [towers.image_encode(b.pixels)[b.ok] for b in ds.batches(64)], axis=0)
+
+
+def release_gate(root: str, image: Optional[str] = None,
+                 pos_dir: Optional[str] = None,
+                 neg_dir: Optional[str] = None,
+                 prompt: Optional[str] = None,
+                 golden: str = "en",
+                 logit_scale: float = 100.0,
+                 llava_smoke: bool = False) -> dict:
+    """The whole drop-in gate over a directory of downloaded releases.
+
+    Runs every check the discovered artifacts allow: smoke probs
+    (openai_clip + --image, code/test_clip.py:18), notebook threshold
+    reproduction (tower pair + --pos-dir/--neg-dir/--prompt), int8
+    geometry, and the three tokenizer differentials. Sections report
+    ok=True/False; missing inputs are recorded as "skipped", never
+    silently dropped."""
+    from mmrs_tpu.models.release import load_release_model, scan_pack
+    from mmrs_tpu.models.tokenizer import (BertWordPieceTokenizer,
+                                           CLIPTokenizer)
+    from mmrs_tpu.search.calibrate import find_thresholds
+
+    pack = scan_pack(root)
+    report: dict = {
+        "found_models": dict(pack["models"]),
+        "found_tokenizers": dict(pack["tokenizers"]),
+    }
+    models = {}
+    for kind, path in pack["models"].items():
+        models[kind] = load_release_model(path)
+        report.setdefault("loaded", {})[kind] = {
+            "path": path,
+            "config": repr(models[kind].config),
+        }
+    toks = pack["tokenizers"]
+
+    # tokenizer differentials (independent of weights)
+    if "clip_bpe" in toks:
+        report["clip_bpe_differential"] = clip_bpe_differential(
+            toks["clip_bpe"])
+    if "sp_model" in toks:
+        report["sp_differential"] = sp_differential(toks["sp_model"])
+    if "bert_vocab" in toks:
+        report["bert_vocab_differential"] = bert_vocab_differential(
+            toks["bert_vocab"])
+
+    # EN towers (openai archive preferred — the reference's clip.load path)
+    en_rm = models.get("openai_clip") or (
+        models.get("hf_clip") if "taiyi_bert" not in models else None)
+    en_towers = None
+    if en_rm is not None:
+        tok = (CLIPTokenizer.from_file(toks["clip_bpe"])
+               if "clip_bpe" in toks else None)
+        en_towers = build_release_towers(en_rm, tokenizer=tok)
+        if image and tok is not None:
+            probs = smoke_probs(en_towers, image,
+                                image_size=en_rm.config.vision.image_size)
+            s = check_smoke(probs)
+            report["smoke"] = {"probs": [float(p) for p in s.probs],
+                               "golden": list(s.golden),
+                               "max_abs_diff": s.max_abs_diff, "ok": s.ok}
+        elif image:
+            report["smoke"] = {"skipped": "no bpe merges file in pack"}
+        report["int8_tower"] = int8_geometry_gate(en_rm.params, en_rm.config)
+
+    # CN pair (HF CLIP image tower x Taiyi text tower)
+    cn_towers = None
+    if "hf_clip" in models and "taiyi_bert" in models:
+        btok = (BertWordPieceTokenizer.from_vocab_file(toks["bert_vocab"])
+                if "bert_vocab" in toks else None)
+        cn_towers = build_cn_towers(models["hf_clip"], models["taiyi_bert"],
+                                    bert_tokenizer=btok)
+        report.setdefault("loaded", {})["cn_pair"] = {
+            "image_tower": models["hf_clip"].path,
+            "text_tower": models["taiyi_bert"].path}
+
+    # notebook threshold reproduction
+    if pos_dir and neg_dir and prompt:
+        towers = cn_towers if golden == "cn" else en_towers
+        if towers is None or towers.text_encode is None:
+            report["threshold"] = {
+                "skipped": f"no usable {golden} tower pair/tokenizer"}
+        else:
+            size = towers.clip_config.vision.image_size
+            txt = towers.text_encode([prompt])[0]
+            txt /= np.linalg.norm(txt)
+            pos = _embed_folder(towers, pos_dir, size)
+            neg = _embed_folder(towers, neg_dir, size)
+            res = find_thresholds(pos @ txt * logit_scale,
+                                  neg @ txt * logit_scale)
+            gold = GOLDEN_CN_LYCHEE if golden == "cn" else GOLDEN_EN_LYCHEE
+            report["threshold"] = threshold_parity(res, gold)
+
+    # llava: structural load + optional smoke decode
+    if "llava" in models:
+        rm = models["llava"]
+        n_params = int(sum(np.prod(x.shape) for x in
+                           _iter_arrays(rm.params)))
+        sec = {"path": rm.path, "n_params": n_params,
+               "lm_dim": rm.config.lm.dim, "lm_layers": rm.config.lm.layers,
+               "vision_size": rm.config.vision.image_size, "ok": True}
+        if llava_smoke and image and "sp_model" in toks:
+            from mmrs_tpu.cascade.verifier import TPULLaVAVerifier
+            from mmrs_tpu.models.sentencepiece import SentencePieceBPE
+
+            ver = TPULLaVAVerifier(
+                rm.params, rm.config,
+                SentencePieceBPE.from_file(toks["sp_model"]),
+                max_new_tokens=8, image_size=rm.config.vision.image_size,
+                layers="scan", early_stop=True)
+            out = ver.generate_text(image, "Does this image contain a dog?")
+            sec["smoke_answer"] = out
+            sec["smoke_parsed_yes"] = "yes" in out.lower()
+        report["llava"] = sec
+
+    oks = [sec["ok"] for sec in report.values()
+           if isinstance(sec, dict) and "ok" in sec]
+    report["ok"] = bool(oks) and all(oks)
+    return report
+
+
+def _iter_arrays(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _iter_arrays(v)
+    elif hasattr(tree, "shape"):
+        yield tree
 
 
 # --------------------------------------------------------------------------

@@ -1,5 +1,6 @@
 """Fused short-seq MHA kernel vs the einsum oracle (interpret mode on CPU)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +36,7 @@ def test_block_b_divides_batch():
     assert _pick_block_b(1, 257, 1024) == 1
 
 
+@pytest.mark.slow
 def test_tower_with_pallas_attention_matches_xla():
     """Full ViT forward: pallas-attention unrolled loop vs lax.scan path."""
     from mmrs_tpu.models import clip

@@ -52,6 +52,7 @@ def test_cli_help():
         assert cmd in r.stdout
 
 
+@pytest.mark.slow
 def test_cli_index_search_calibrate(tree, tmp_path):
     cfgp = str(tmp_path / "tiny.yaml")
     open(cfgp, "w").write(TINY_CFG)
@@ -95,6 +96,7 @@ def test_cli_dataset_make(tree, tmp_path):
     assert recs and all("conversations" in x for x in recs)
 
 
+@pytest.mark.slow
 def test_cli_cascade_gate(tree, tmp_path):
     cfgp = str(tmp_path / "tiny.yaml")
     open(cfgp, "w").write(TINY_CFG)
@@ -146,6 +148,7 @@ def test_cli_adapter_train(tmp_path):
     assert res["best_f1"] > 0.5
 
 
+@pytest.mark.slow
 def test_cli_union_with_prompts(tree, tmp_path):
     """mmrs union computes class text embeddings from --prompt/--cn-prompt
     through the towers (VERDICT r1 Weak #8) — no precomputed npy needed."""
@@ -184,6 +187,7 @@ def test_cli_union_with_prompts(tree, tmp_path):
     assert "prompt" in r2.stderr
 
 
+@pytest.mark.slow
 def test_cli_cascade_with_prompt(tree, tmp_path):
     from mmrs_tpu.models.tokenizer import CLIPTokenizer
 
@@ -202,6 +206,7 @@ def test_cli_cascade_with_prompt(tree, tmp_path):
     assert "gate passed: 7" in r.stdout
 
 
+@pytest.mark.slow
 def test_parity_int8_tower_gate(tmp_path):
     out = _run(["parity", "--int8-tower", "vit_tiny"])
     assert out.returncode == 0, out.stderr

@@ -35,6 +35,7 @@ def _run(args, extra_env=None):
                           capture_output=True, text=True, env=env)
 
 
+@pytest.mark.slow
 def test_sharded_index_build_matches(tree, tmp_path):
     cfg = tmp_path / "cfg.yaml"
     cfg.write_text("model:\n  image_tower: vit_tiny\n  dtype: float32\n"

@@ -150,6 +150,7 @@ def test_greedy_generate_int8_kv_matches_greedy(hf_llama_pair):
     assert (ref == q).mean() >= 0.85, (ref, q)
 
 
+@pytest.mark.slow
 def test_greedy_generate_unrolled_layers_matches_scan(hf_llama_pair):
     """layers="unroll" (per-layer cache buffers, in-place decode updates)
     is numerically identical to the stacked-cache lax.scan form."""
@@ -167,6 +168,7 @@ def test_greedy_generate_unrolled_layers_matches_scan(hf_llama_pair):
         np.testing.assert_array_equal(unr, ref)
 
 
+@pytest.mark.slow
 def test_greedy_generate_chunked_prefill_matches_full(hf_llama_pair):
     """prefill_chunk=C (statically kv-sliced chunked prefill) reproduces the
     one-shot prefill exactly, for both cache forms and int8 KV, including a
@@ -196,6 +198,7 @@ def test_greedy_generate_chunked_prefill_matches_full(hf_llama_pair):
             np.testing.assert_array_equal(got, want, err_msg=f"{kv_dtype} {lyr}")
 
 
+@pytest.mark.slow
 def test_greedy_generate_decode_window_matches_full(hf_llama_pair):
     """decode_window=W (segment-sliced decode cache reads) reproduces the
     full-cache decode scan exactly for scan/unroll layers and bf16/int8 KV,
@@ -223,6 +226,7 @@ def test_greedy_generate_decode_window_matches_full(hf_llama_pair):
                                           err_msg=f"{kv_dtype} {lyr}")
 
 
+@pytest.mark.slow
 def test_greedy_generate_early_stop_matches_scan(hf_llama_pair):
     """early_stop=True (while_loop halting when all rows hit EOS) is
     bit-identical to the scan decode, both when EOS never fires (eos=-1)
@@ -258,6 +262,7 @@ def test_greedy_generate_early_stop_matches_scan(hf_llama_pair):
                                            f"eos={eos_token}")
 
 
+@pytest.mark.slow
 def test_greedy_generate_eos_padding(hf_llama_pair):
     _, params = hf_llama_pair
     rng = np.random.default_rng(3)
@@ -271,6 +276,7 @@ def test_greedy_generate_eos_padding(hf_llama_pair):
     assert (out == first).all()
 
 
+@pytest.mark.slow
 def test_llava_generate_splices_image():
     vcfg = VITConfig(image_size=32, patch_size=8, width=48, layers=3, heads=4,
                      embed_dim=32)

@@ -171,6 +171,7 @@ def test_bert_taiyi_parity():
     np.testing.assert_allclose(j_out, t_out, atol=3e-4, rtol=3e-4)
 
 
+@pytest.mark.slow
 def test_openai_checkpoint_format_roundtrip():
     """The OpenAI `clip` package layout converts to identical params as HF
     (same math), verified by building an OpenAI-style state dict from the HF

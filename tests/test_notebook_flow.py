@@ -2,12 +2,14 @@
 (examples/notebook_flow.py) — structure gates only; golden numbers await
 real weights via `mmrs parity`."""
 
+import pytest
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+@pytest.mark.slow
 def test_notebook_flow_end_to_end(tmp_path):
     from examples.notebook_flow import main
 

@@ -19,6 +19,7 @@ def strict():
     jax.config.update("jax_enable_checks", False)
 
 
+@pytest.mark.slow
 def test_tower_forward_nan_free(strict):
     from mmrs_tpu.models import clip
     from mmrs_tpu.models.clip import CLIPConfig
@@ -34,6 +35,7 @@ def test_tower_forward_nan_free(strict):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_llama_decode_nan_free(strict):
     from mmrs_tpu.models import llama
     from mmrs_tpu.models.llama import LlamaConfig

@@ -10,6 +10,7 @@ from PIL import Image
 from mmrs_tpu.eval import parity
 
 
+@pytest.mark.slow
 def test_rank_gate_passes_at_scale():
     """100k-row synthetic gallery: every bf16/f32 disagreement is an
     eps-tie, and planted well-separated queries match exactly (VERDICT r1

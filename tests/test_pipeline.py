@@ -40,6 +40,7 @@ def test_text_encode_clip_tokenizer():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_cli_text_search(tmp_path):
     """mmrs search --text with a synthetic merges file end-to-end."""
     from PIL import Image

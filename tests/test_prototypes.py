@@ -84,6 +84,7 @@ def test_kmeans_separates_two_blobs():
     assert assign[0] != assign[50]
 
 
+@pytest.mark.slow
 def test_cluster_scan_prototype():
     rng = np.random.default_rng(6)
     d = 16

@@ -7,6 +7,7 @@ the numerics contract at tiny scale: logits stay close to the f32 decoder
 and a decisively-peaked next-token distribution keeps its argmax.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +22,7 @@ LCFG = LlamaConfig(vocab_size=128, dim=64, layers=2, heads=4, kv_heads=2,
                    mlp_dim=128, max_seq=64)
 
 
+@pytest.mark.slow
 def test_llama_int8_logits_close():
     params = llama.init(jax.random.key(0), LCFG)
     qparams = quantize_llama(params)
@@ -63,6 +65,7 @@ def test_llama_int8_greedy_keeps_decisive_argmax():
     np.testing.assert_array_equal(toks_f32, toks_int8)
 
 
+@pytest.mark.slow
 def test_llava_int8_generate_runs():
     vcfg = VITConfig(image_size=32, patch_size=16, width=64, layers=3,
                      heads=4, embed_dim=32)

@@ -6,6 +6,7 @@ ranking for well-separated galleries — the same bar the bf16 gate in
 eval/parity.py sets for gallery residency.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,6 +63,7 @@ def test_stacked_qtensor_scans():
     np.testing.assert_allclose(np.asarray(h), np.asarray(ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_int8_tower_embedding_geometry():
     params = clip.init(jax.random.key(0), CFG)
     qparams = quantize_clip_visual(params)

@@ -1,5 +1,6 @@
 """Streaming top-k over an on-disk index (bounded-memory capacity mode)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -14,6 +15,7 @@ def _mk(n, d, seed=0):
     return x
 
 
+@pytest.mark.slow
 def test_streaming_matches_oracle(tmp_path):
     n, d, q, k = 30_000, 64, 4, 10
     emb = _mk(n, d)
@@ -57,6 +59,7 @@ def test_streaming_tail_smaller_than_k():
     assert i[0, 0] == 0 and i[1, 0] == 1
 
 
+@pytest.mark.slow
 def test_streaming_on_mesh_matches_oracle():
     """Disk-tier streaming composed with the sharded scan (8-dev CPU mesh)."""
     from mmrs_tpu.config import MeshConfig

@@ -49,6 +49,7 @@ def verifier(tmp_path_factory):
     return v, tok, str(p)
 
 
+@pytest.mark.slow
 def test_verifier_runs_and_parses(verifier):
     v, tok, img = verifier
     out = v.generate_text(img, "Does this image contain a cat?")
@@ -110,6 +111,7 @@ def test_prompt_ids_bos_handling(verifier):
         v.tokenizer = old
 
 
+@pytest.mark.slow
 def test_verify_batch_matches_sequential(verifier, tmp_path):
     v, tok, img = verifier
     img2 = tmp_path / "q2.jpg"

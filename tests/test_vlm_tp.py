@@ -15,6 +15,7 @@ LCFG = LlamaConfig(vocab_size=96, dim=64, layers=2, heads=4, kv_heads=2,
                    mlp_dim=128, max_seq=64)
 
 
+@pytest.mark.slow
 def test_tp_generate_matches_single_device():
     params = llama.init(jax.random.key(0), LCFG)
     rng = np.random.default_rng(0)
@@ -55,6 +56,7 @@ def test_tp_generate_int8_kv_matches_single_device():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_tp_generate_fast_decode_options_compose():
     """unroll + chunked prefill + decode_window + early_stop under TP ==
     the plain single-device decode (the options restructure the position
