@@ -79,7 +79,7 @@ def device_params(cfg: LlamaConfig, int8: bool, seed=0):
 
 def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
                  kv_dtype=None, layers="scan", prefill_chunk=None,
-                 decode_window=None):
+                 decode_window=None, decode_attn="xla"):
     n_bytes = sum(x.nbytes for x in jax.tree.leaves(params))
     log(f"[{label}] params on device: {n_bytes/1e9:.2f} GB")
 
@@ -90,7 +90,8 @@ def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
                                      max_new_tokens=new_tokens, eos_token=-1,
                                      kv_dtype=kv_dtype, layers=layers,
                                      prefill_chunk=prefill_chunk,
-                                     decode_window=decode_window)
+                                     decode_window=decode_window,
+                                     decode_attn=decode_attn)
 
     tokens = jax.random.randint(jax.random.key(1), (batch, prompt_len),
                                 3, 31000, jnp.int32)
@@ -115,7 +116,7 @@ def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
 
 def run(cfg, label, int8, batch, kv_dtype=None, prompt_len=64, params=None,
         keep_params=False, layers="scan", prefill_chunk=None,
-        new_tokens=64, decode_window=None):
+        new_tokens=64, decode_window=None, decode_attn="xla"):
     owns = params is None
     if owns:
         params = device_params(cfg, int8)
@@ -123,7 +124,8 @@ def run(cfg, label, int8, batch, kv_dtype=None, prompt_len=64, params=None,
         tps = round(bench_decode(cfg, params, label, batch, prompt_len,
                                  new_tokens, kv_dtype=kv_dtype, layers=layers,
                                  prefill_chunk=prefill_chunk,
-                                 decode_window=decode_window), 1)
+                                 decode_window=decode_window,
+                                 decode_attn=decode_attn), 1)
         return (tps, params) if keep_params else tps
     except Exception as e:
         log(f"[{label}] failed:", repr(e))

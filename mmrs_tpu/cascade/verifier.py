@@ -114,7 +114,8 @@ class TPULLaVAVerifier:
                  layers: str = "scan",
                  prefill_chunk: int | None = None,
                  decode_window: int | None = None,
-                 early_stop: bool = True):
+                 early_stop: bool = True,
+                 decode_attn: str = "auto"):
         import jax
         import jax.numpy as jnp
 
@@ -124,6 +125,12 @@ class TPULLaVAVerifier:
             attn_impl = ("pallas" if jax.default_backend() == "tpu"
                          else "xla")
         self.attn_impl = attn_impl
+        if decode_attn == "auto":
+            # fused decode-attention cache-read kernel (ops/
+            # decode_attention.py); CPU/tests keep the einsum path
+            decode_attn = ("pallas" if jax.default_backend() == "tpu"
+                           else "xla")
+        self.decode_attn = decode_attn
         # int8 KV cache (llama.QKVCache) halves per-step KV traffic and
         # HBM residency of the ~600-token multimodal prompts; layers=
         # "unroll" + prefill_chunk are the measured-fast decode options at
@@ -187,6 +194,7 @@ class TPULLaVAVerifier:
             prefill_chunk=self.prefill_chunk,
             decode_window=self.decode_window,
             early_stop=self.early_stop,
+            decode_attn=self.decode_attn,
         )
         ids = [int(t) for t in np.asarray(out)[0] if int(t) != self.eos_token]
         return self.tokenizer.decode(ids)
@@ -231,6 +239,7 @@ class TPULLaVAVerifier:
             prefill_chunk=self.prefill_chunk,
             decode_window=self.decode_window,
             early_stop=self.early_stop,
+            decode_attn=self.decode_attn,
         )
         return (out, n_real)
 

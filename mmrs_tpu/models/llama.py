@@ -123,6 +123,7 @@ def _attn_block(
     cfg: LlamaConfig,
     compute_dtype,
     kv_limit: int | None = None,    # STATIC: attend only to cache[:kv_limit]
+    decode_attn: str = "xla",       # "pallas": fused cache-read kernel at T=1
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, t, d = h.shape
     nh, kvh, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
@@ -184,30 +185,45 @@ def _attn_block(
     # crosses HBM as int8.
     group = nh // kvh
     qg = q.reshape(b, t, kvh, group, hd).transpose(0, 2, 3, 1, 4)
-    logits = jnp.einsum("bkgth,bksh->bkgts", qg, ck.astype(cd),
-                        preferred_element_type=jnp.float32)
-    if int8_kv:
-        logits = logits * read_k.s[:, :, None, None, :]
-    logits = logits / jnp.sqrt(jnp.float32(hd))
+    if decode_attn == "pallas" and t == 1:
+        # Fused decode-attention: the kernel streams the raw int8 cache
+        # HBM->VMEM once per step and converts in-VMEM — no int8->bf16
+        # convert fusions materialize (ops/decode_attention.py).
+        from mmrs_tpu.ops.decode_attention import decode_attention
 
-    # causal + validity mask over the cache timeline (cache may be sized
-    # below cfg.max_seq — greedy_generate right-sizes it to the request)
-    key_pos = jnp.arange(cache_slots)[None, :]            # [1, CACHE]
-    query_pos = (pos_offset + jnp.arange(t))[:, None]     # [T, 1]
-    mask = key_pos <= query_pos                           # [T, CACHE]
-    logits = jnp.where(mask[None, None, None, :, :], logits, -jnp.inf)
-
-    probs = jax.nn.softmax(logits, axis=-1)
-    if int8_kv:
-        # fold V's dequant scale into the (small) probs tensor, in f32
-        # straight off the softmax so no extra materialization
-        probs = probs * read_v.s[:, :, None, None, :]
-        cv = read_v.q
+        q1 = qg[:, :, :, 0].astype(jnp.bfloat16)          # [B, KVH, G, HD]
+        if int8_kv:
+            out = decode_attention(q1, read_k.q, read_k.s,
+                                   read_v.q, read_v.s, pos_offset)
+        else:
+            out = decode_attention(q1, read_k, None, read_v, None,
+                                   pos_offset)
+        out = out[:, :, :, None, :].astype(cd)            # [B,KVH,G,1,HD]
     else:
-        cv = read_v
-    probs = probs.astype(cd)
-    out = jnp.einsum("bkgts,bksh->bkgth", probs, cv.astype(cd),
-                     preferred_element_type=jnp.float32).astype(cd)
+        logits = jnp.einsum("bkgth,bksh->bkgts", qg, ck.astype(cd),
+                            preferred_element_type=jnp.float32)
+        if int8_kv:
+            logits = logits * read_k.s[:, :, None, None, :]
+        logits = logits / jnp.sqrt(jnp.float32(hd))
+
+        # causal + validity mask over the cache timeline (cache may be
+        # sized below cfg.max_seq — greedy_generate right-sizes it)
+        key_pos = jnp.arange(cache_slots)[None, :]        # [1, CACHE]
+        query_pos = (pos_offset + jnp.arange(t))[:, None]  # [T, 1]
+        mask = key_pos <= query_pos                       # [T, CACHE]
+        logits = jnp.where(mask[None, None, None, :, :], logits, -jnp.inf)
+
+        probs = jax.nn.softmax(logits, axis=-1)
+        if int8_kv:
+            # fold V's dequant scale into the (small) probs tensor, in f32
+            # straight off the softmax so no extra materialization
+            probs = probs * read_v.s[:, :, None, None, :]
+            cv = read_v.q
+        else:
+            cv = read_v
+        probs = probs.astype(cd)
+        out = jnp.einsum("bkgts,bksh->bkgth", probs, cv.astype(cd),
+                         preferred_element_type=jnp.float32).astype(cd)
     out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, d)
     attn = matmul(out, p["wo"], cd)
     h = h + attn
@@ -281,6 +297,7 @@ def forward(
     compute_dtype=jnp.bfloat16,
     kv_limit: int | None = None,    # static: attend to cache[:kv_limit] only
     last_logit_only: bool = False,  # lm_head on the final position only
+    decode_attn: str = "xla",       # "pallas": fused cache-read at T=1
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Returns (logits [B, T, V], updated cache). Embedding-level input so
     LLaVA can splice image tokens into the sequence.
@@ -299,7 +316,8 @@ def forward(
         for i, (ck, cv) in enumerate(cache):
             layer_p = jax.tree.map(lambda a, i=i: a[i], params["blocks"])
             h, ck, cv = _attn_block(h, layer_p, ck, cv, pos_offset, cfg,
-                                    compute_dtype, kv_limit=kv_limit)
+                                    compute_dtype, kv_limit=kv_limit,
+                                    decode_attn=decode_attn)
             new_cache.append((ck, cv))
     else:
         cache_k, cache_v = cache
@@ -307,7 +325,8 @@ def forward(
         def body(h, xs):
             layer_p, ck, cv = xs
             h, ck, cv = _attn_block(h, layer_p, ck, cv, pos_offset, cfg,
-                                    compute_dtype, kv_limit=kv_limit)
+                                    compute_dtype, kv_limit=kv_limit,
+                                    decode_attn=decode_attn)
             return h, (ck, cv)
 
         h, new_cache = jax.lax.scan(
@@ -338,6 +357,7 @@ def greedy_generate(
     prefill_chunk: int | None = None,
     decode_window: int | None = None,
     early_stop: bool = False,
+    decode_attn: str = "xla",
 ) -> jnp.ndarray:
     """Greedy decode (temperature 0, the reference verifier's config).
     Returns [B, max_new_tokens] int32, EOS-padded after finish.
@@ -356,6 +376,10 @@ def greedy_generate(
     bounded at [B,KVH,G,C,(i+1)C] f32 (triangular total) instead of one
     [.., T, S] tensor, and the LM head runs on the final position only
     instead of all T prompt positions (a [B,T,vocab] f32 save).
+    `decode_attn="pallas"` routes the T=1 decode steps through the fused
+    Pallas cache-read attention kernel (ops/decode_attention.py): the
+    int8 cache streams HBM->VMEM raw with the bf16 convert in-VMEM —
+    prefill and any T>1 forward keep the XLA einsums.
     `decode_window=W` splits the decode scan into segments of W steps;
     segment j reads cache[:round64(t+(j+1)·W)] (STATIC per segment), so
     decode steps early in a long generation (the reference verifier runs
@@ -398,7 +422,8 @@ def greedy_generate(
             tok, cache, pos, finished = carry
             emb = embed_tokens(params, tok[:, None])
             logits, cache = forward(params, emb, cache, pos, cfg,
-                                    compute_dtype, kv_limit=kv_limit)
+                                    compute_dtype, kv_limit=kv_limit,
+                                    decode_attn=decode_attn)
             nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             nxt = jnp.where(finished, eos_token, nxt)
             finished = finished | (nxt == eos_token)

@@ -108,6 +108,7 @@ def generate(
     prefill_chunk: int | None = None,
     decode_window: int | None = None,
     early_stop: bool = False,
+    decode_attn: str = "xla",
 ) -> jnp.ndarray:
     """Greedy VQA decode (temp 0), the cascade verifier's contract.
 
@@ -128,7 +129,8 @@ def generate(
                                  kv_dtype=kv_dtype, layers=layers,
                                  prefill_chunk=prefill_chunk,
                                  decode_window=decode_window,
-                                 early_stop=early_stop)
+                                 early_stop=early_stop,
+                                 decode_attn=decode_attn)
 
 
 def init(key: jax.Array, cfg: LLaVAConfig, dtype=jnp.float32) -> Params:
