@@ -39,45 +39,50 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _decode_attn_kernel(pos_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-                        out_ref, *, hd_scale: float, quantized: bool):
-    """One (batch, kv-head) pair: q [G, HD] vs cache rows [S, HD].
+                        out_ref, *, hd_scale: float, quantized: bool,
+                        kvh_blk: int):
+    """One (batch, kv-head-block) tile: `kvh_blk` heads' q [G, HD] vs
+    their cache rows [S, HD]. Blocking several kv-heads per program makes
+    each grid step's HBM->VMEM DMA kvh_blk x larger (the per-head slice
+    is only S*HD int8 bytes — too small to reach HBM bandwidth alone).
 
     pos_ref: SMEM (1, 1) int32 — the query's position (mask covers
     key_pos <= pos, i.e. the live cache prefix including this step's
     freshly written slot)."""
     g = q_ref.shape[2]
     s = kq_ref.shape[2]
-
-    q = q_ref[0, 0].astype(jnp.bfloat16)                 # [G, HD]
-    k = kq_ref[0, 0].astype(jnp.bfloat16)                # [S, HD] (int8 in)
-    # q @ K^T without materializing a transpose: contract the HD axes
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [G, S]
-    if quantized:
-        logits = logits * ks_ref[0, 0]                   # [1, S] f32 scales
-    logits = logits * hd_scale
-
     pos = pos_ref[0, 0]
     key_pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
-    logits = jnp.where(key_pos <= pos, logits, -jnp.inf)
 
-    # f32 softmax, numerically identical to jax.nn.softmax on the masked
-    # row (max subtraction; the -inf tail contributes exact zeros)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)       # [G, S] f32
+    for h in range(kvh_blk):                             # static unroll
+        q = q_ref[0, h].astype(jnp.bfloat16)             # [G, HD]
+        k = kq_ref[0, h].astype(jnp.bfloat16)            # [S, HD] (int8 in)
+        # q @ K^T without materializing a transpose: contract the HD axes
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [G, S]
+        if quantized:
+            logits = logits * ks_ref[0, h]               # [1, S] f32 scales
+        logits = logits * hd_scale
 
-    if quantized:
-        probs = probs * vs_ref[0, 0]                     # fold V dequant
-    v = vq_ref[0, 0].astype(jnp.bfloat16)                # [S, HD]
-    out = jax.lax.dot_general(
-        probs.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [G, HD]
-    out_ref[0, 0] = out
+        logits = jnp.where(key_pos <= pos, logits, -jnp.inf)
+
+        # f32 softmax, numerically identical to jax.nn.softmax on the
+        # masked row (max subtraction; -inf tail contributes exact zeros)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)   # [G, S] f32
+
+        if quantized:
+            probs = probs * vs_ref[0, h]                 # fold V dequant
+        v = vq_ref[0, h].astype(jnp.bfloat16)            # [S, HD]
+        out = jax.lax.dot_general(
+            probs.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [G, HD]
+        out_ref[0, h] = out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "kvh_block"))
 def decode_attention(
     q: jnp.ndarray,                  # [B, KVH, G, HD] (bf16/f32)
     k_cache: jnp.ndarray,            # [B, KVH, S, HD] int8 or bf16
@@ -86,15 +91,28 @@ def decode_attention(
     v_scales,
     pos,                             # scalar int32: current query position
     interpret: bool = False,
+    kvh_block: int | None = None,
 ) -> jnp.ndarray:
     """Fused single-step attention read over the whole cache.
 
     Returns [B, KVH, G, HD] f32. `k_scales`/`v_scales` None selects the
-    unquantized variant (same fusion, no scale rows)."""
+    unquantized variant (same fusion, no scale rows). `kvh_block` heads
+    share one grid step (default: as many as fit ~2 MB of K-block VMEM —
+    per-head DMAs are too small to reach HBM bandwidth)."""
     b, kvh, g, hd = q.shape
     s = k_cache.shape[2]
     quantized = k_scales is not None
     hd_scale = 1.0 / float(hd) ** 0.5
+
+    if kvh_block is None:
+        # ~768 KB of K per block: measured sweet spot on v5e at the 7B
+        # cache shape (kvh_block 1/2/4/8/16/32 -> 563/674/706/888/360/454
+        # GB/s effective; 8 = 640 KB blocks reaches the HBM roofline,
+        # larger blocks thrash VMEM double-buffering)
+        per_head = s * hd * k_cache.dtype.itemsize
+        kvh_block = max(1, min(kvh, (768 * 1024) // max(per_head, 1)))
+    while kvh % kvh_block:
+        kvh_block -= 1
 
     if quantized:
         ks = k_scales[:, :, None, :]                     # [B, KVH, 1, S]
@@ -108,21 +126,27 @@ def decode_attention(
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1, 1)
 
     kernel = functools.partial(_decode_attn_kernel, hd_scale=hd_scale,
-                               quantized=quantized)
+                               quantized=quantized, kvh_blk=kvh_block)
+    kb = kvh_block
     out = pl.pallas_call(
         kernel,
-        grid=(b, kvh),
+        grid=(b, kvh // kb),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, g, hd), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, s, hd), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, s_blk), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, s, hd), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, s_blk), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, kb, g, hd), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, kb, s, hd), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, kb, 1, s_blk), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, kb, s, hd), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, kb, 1, s_blk), lambda i, j: (i, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, kb, g, hd), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, kvh, g, hd), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * kvh * g * s * hd,
+            bytes_accessed=2 * b * kvh * s * hd * k_cache.dtype.itemsize,
+            transcendentals=b * kvh * g * s,
+        ),
         interpret=interpret,
     )(pos_arr, q, k_cache, ks, v_cache, vs)
     return out
