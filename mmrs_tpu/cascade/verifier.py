@@ -115,7 +115,10 @@ class TPULLaVAVerifier:
                  prefill_chunk: int | None = None,
                  decode_window: int | None = None,
                  early_stop: bool = True,
-                 decode_attn: str = "auto"):
+                 decode_attn: str = "auto",
+                 draft_params=None,
+                 draft_cfg=None,
+                 draft_tokens: int = 4):
         import jax
         import jax.numpy as jnp
 
@@ -150,6 +153,33 @@ class TPULLaVAVerifier:
         self.eos_token = eos_token
         self.image_size = image_size
         self.compute_dtype = compute_dtype or jnp.bfloat16
+        # optional draft VLM: routes decode through models/speculative.py
+        # (same greedy output, the draft only sets speed — the weight
+        # stream is amortized over each accepted draft run). decode_window
+        # does not apply to the speculative path; early-stop is inherent
+        # (the round loop exits when every row has answered).
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.draft_tokens = draft_tokens
+
+    def _generate(self, images, pre, post):
+        from mmrs_tpu.models import llava
+
+        if self.draft_params is not None:
+            return llava.generate_speculative(
+                self.params, self.draft_params, images, pre, post,
+                self.cfg, self.draft_cfg, self.max_new_tokens,
+                self.draft_tokens, self.eos_token, self.compute_dtype,
+                attn_impl=self.attn_impl, kv_dtype=self.kv_dtype,
+                layers=self.layers, prefill_chunk=self.prefill_chunk,
+                decode_attn=self.decode_attn)
+        return llava.generate(
+            self.params, images, pre, post, self.cfg, self.max_new_tokens,
+            self.eos_token, self.compute_dtype, attn_impl=self.attn_impl,
+            kv_dtype=self.kv_dtype, layers=self.layers,
+            prefill_chunk=self.prefill_chunk,
+            decode_window=self.decode_window, early_stop=self.early_stop,
+            decode_attn=self.decode_attn)
 
     def _load_image(self, image_path: str):
         import jax.numpy as jnp
@@ -180,22 +210,11 @@ class TPULLaVAVerifier:
         import jax.numpy as jnp
         import numpy as np
 
-        from mmrs_tpu.models import llava
-
         pre_ids, post_ids = self._prompt_ids(prompt)
         images = self._load_image(image_path)
-        out = llava.generate(
-            self.params, images,
-            jnp.asarray([pre_ids], jnp.int32),
-            jnp.asarray([post_ids], jnp.int32),
-            self.cfg, self.max_new_tokens, self.eos_token,
-            self.compute_dtype, attn_impl=self.attn_impl,
-            kv_dtype=self.kv_dtype, layers=self.layers,
-            prefill_chunk=self.prefill_chunk,
-            decode_window=self.decode_window,
-            early_stop=self.early_stop,
-            decode_attn=self.decode_attn,
-        )
+        out = self._generate(images,
+                             jnp.asarray([pre_ids], jnp.int32),
+                             jnp.asarray([post_ids], jnp.int32))
         ids = [int(t) for t in np.asarray(out)[0] if int(t) != self.eos_token]
         return self.tokenizer.decode(ids)
 
@@ -214,8 +233,6 @@ class TPULLaVAVerifier:
         on this 1-core box) then overlaps it (gate->verify pipelining)."""
         import jax.numpy as jnp
 
-        from mmrs_tpu.models import llava
-
         if not image_paths:
             return ([], 0)
         n_real = len(image_paths)
@@ -229,18 +246,10 @@ class TPULLaVAVerifier:
         images = jnp.concatenate(
             [self._load_image(p) for p in image_paths], axis=0)
         b = images.shape[0]
-        out = llava.generate(
-            self.params, images,
+        out = self._generate(
+            images,
             jnp.tile(jnp.asarray([pre_ids], jnp.int32), (b, 1)),
-            jnp.tile(jnp.asarray([post_ids], jnp.int32), (b, 1)),
-            self.cfg, self.max_new_tokens, self.eos_token,
-            self.compute_dtype, attn_impl=self.attn_impl,
-            kv_dtype=self.kv_dtype, layers=self.layers,
-            prefill_chunk=self.prefill_chunk,
-            decode_window=self.decode_window,
-            early_stop=self.early_stop,
-            decode_attn=self.decode_attn,
-        )
+            jnp.tile(jnp.asarray([post_ids], jnp.int32), (b, 1)))
         return (out, n_real)
 
     def collect(self, handle):

@@ -56,15 +56,32 @@ def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _cache_write(cache, new: jnp.ndarray, pos_offset) :
-    """Insert [B, KVH, T, HD] entries at pos_offset (bf16 or int8 cache)."""
+    """Insert [B, KVH, T, HD] entries at pos_offset (bf16 or int8 cache).
+
+    `pos_offset` may be a scalar (all rows write at the same slot — prefill
+    and plain decode) or a [B] vector (each row writes at its own slot —
+    speculative decode, models/speculative.py, where rows accept different
+    draft lengths and desynchronize)."""
+    per_row = jnp.ndim(pos_offset) == 1
     if isinstance(cache, QKVCache):
         q, s = _quantize_kv(new)
+        if per_row:
+            return QKVCache(
+                jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+                    c, u, (0, p, 0)))(cache.q, q, pos_offset),
+                jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+                    c, u, (0, p)))(cache.s, s, pos_offset),
+            )
         return QKVCache(
             jax.lax.dynamic_update_slice(cache.q, q, (0, 0, pos_offset, 0)),
             jax.lax.dynamic_update_slice(cache.s, s, (0, 0, pos_offset)),
         )
+    new = new.astype(cache.dtype)
+    if per_row:
+        return jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+            c, u, (0, p, 0)))(cache, new, pos_offset)
     return jax.lax.dynamic_update_slice(
-        cache, new.astype(cache.dtype), (0, 0, pos_offset, 0))
+        cache, new, (0, 0, pos_offset, 0))
 
 
 @dataclass(frozen=True)
@@ -145,8 +162,11 @@ def _attn_block(
     k = k.reshape(b, t, kvh, hd)
     v = v.reshape(b, t, kvh, hd)
 
-    pos = pos_offset + jnp.arange(t)[None, :]  # [1, T] broadcast over B
-    pos = jnp.broadcast_to(pos, (b, t))
+    if jnp.ndim(pos_offset) == 1:              # per-row offsets ([B])
+        pos = pos_offset[:, None] + jnp.arange(t)[None, :]
+    else:
+        pos = pos_offset + jnp.arange(t)[None, :]  # [1, T] broadcast over B
+    pos = jnp.broadcast_to(pos, (b, t))        # [B, T] query positions
     q, k = _rope(q, k, pos, cfg.rope_theta)
 
     # head-major cache updates: new keys/values go in as [B, KVH, T, HD]
@@ -207,11 +227,12 @@ def _attn_block(
         logits = logits / jnp.sqrt(jnp.float32(hd))
 
         # causal + validity mask over the cache timeline (cache may be
-        # sized below cfg.max_seq — greedy_generate right-sizes it)
-        key_pos = jnp.arange(cache_slots)[None, :]        # [1, CACHE]
-        query_pos = (pos_offset + jnp.arange(t))[:, None]  # [T, 1]
-        mask = key_pos <= query_pos                       # [T, CACHE]
-        logits = jnp.where(mask[None, None, None, :, :], logits, -jnp.inf)
+        # sized below cfg.max_seq — greedy_generate right-sizes it). `pos`
+        # is the [B, T] query-position grid, so per-row offsets mask
+        # correctly too.
+        key_pos = jnp.arange(cache_slots)[None, None, :]  # [1, 1, CACHE]
+        mask = key_pos <= pos[:, :, None]                 # [B, T, CACHE]
+        logits = jnp.where(mask[:, None, None, :, :], logits, -jnp.inf)
 
         probs = jax.nn.softmax(logits, axis=-1)
         if int8_kv:
@@ -292,7 +313,7 @@ def forward(
     params: Params,
     embeds: jnp.ndarray,            # [B, T, D] already-embedded inputs
     cache: Tuple[jnp.ndarray, jnp.ndarray],
-    pos_offset,                     # scalar int32
+    pos_offset,                     # scalar int32, or [B] per-row offsets
     cfg: LlamaConfig,
     compute_dtype=jnp.bfloat16,
     kv_limit: int | None = None,    # static: attend to cache[:kv_limit] only
@@ -343,6 +364,41 @@ def forward(
 
 def embed_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
     return params["embed"][tokens]
+
+
+def prefill(
+    params: Params,
+    prompt_embeds: jnp.ndarray,     # [B, T, D]
+    cfg: LlamaConfig,
+    cache_len: int,
+    compute_dtype=jnp.bfloat16,
+    kv_dtype=None,
+    layers: str = "scan",
+    prefill_chunk: int | None = None,
+):
+    """Build a right-sized cache and run the prompt through it. Returns
+    (last-position logits [B, 1, V], cache). Shared by greedy_generate and
+    speculative_generate — see greedy_generate for the prefill_chunk
+    semantics."""
+    b, t, _ = prompt_embeds.shape
+    make_cache = init_cache_layers if layers == "unroll" else init_cache
+    cache = make_cache(cfg, b, kv_dtype or compute_dtype, seq_len=cache_len)
+    if prefill_chunk is not None and t > prefill_chunk:
+        c = prefill_chunk
+        for s0 in range(0, t, c):
+            piece = prompt_embeds[:, s0:s0 + c]
+            # round the read window up to the cache's 64-slot granularity
+            # so chunk sizes off the 128-lane grid still tile cleanly
+            lim = min(cache_len, ((s0 + piece.shape[1] + 63) // 64) * 64)
+            # last_logit_only on EVERY chunk: a [B,1,vocab] head per chunk
+            # is noise; only the final chunk's logits are consumed
+            logits, cache = forward(params, piece, cache, s0, cfg,
+                                    compute_dtype, kv_limit=lim,
+                                    last_logit_only=True)
+    else:
+        logits, cache = forward(params, prompt_embeds, cache, 0, cfg,
+                                compute_dtype, last_logit_only=True)
+    return logits, cache
 
 
 def greedy_generate(
@@ -396,24 +452,8 @@ def greedy_generate(
     # number of distinct compiled shapes); decode reads the whole cache
     # every step, so slack slots are pure KV-bandwidth waste
     cache_len = min(cfg.max_seq, ((t + max_new_tokens + 63) // 64) * 64)
-    make_cache = init_cache_layers if layers == "unroll" else init_cache
-    cache = make_cache(cfg, b, kv_dtype or compute_dtype, seq_len=cache_len)
-    if prefill_chunk is not None and t > prefill_chunk:
-        c = prefill_chunk
-        starts = list(range(0, t, c))
-        for s0 in starts:
-            piece = prompt_embeds[:, s0:s0 + c]
-            # round the read window up to the cache's 64-slot granularity
-            # so chunk sizes off the 128-lane grid still tile cleanly
-            lim = min(cache_len, ((s0 + piece.shape[1] + 63) // 64) * 64)
-            # last_logit_only on EVERY chunk: a [B,1,vocab] head per chunk
-            # is noise; only the final chunk's logits are consumed
-            logits, cache = forward(params, piece, cache, s0, cfg,
-                                    compute_dtype, kv_limit=lim,
-                                    last_logit_only=True)
-    else:
-        logits, cache = forward(params, prompt_embeds, cache, 0, cfg,
-                                compute_dtype, last_logit_only=True)
+    logits, cache = prefill(params, prompt_embeds, cfg, cache_len,
+                            compute_dtype, kv_dtype, layers, prefill_chunk)
     next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
     finished = next_tok == eos_token
 

@@ -133,6 +133,52 @@ def generate(
                                  decode_attn=decode_attn)
 
 
+def generate_speculative(
+    params: Params,
+    draft_params: Params,
+    images: jnp.ndarray,
+    pre_tokens: jnp.ndarray,
+    post_tokens: jnp.ndarray,
+    cfg: LLaVAConfig,
+    draft_cfg: LLaVAConfig,
+    max_new_tokens: int = 32,
+    draft_tokens: int = 4,
+    eos_token: int = 2,
+    compute_dtype=jnp.bfloat16,
+    attn_impl: str = "xla",
+    kv_dtype=None,
+    layers: str = "scan",
+    prefill_chunk: int | None = None,
+    decode_attn: str = "xla",
+) -> jnp.ndarray:
+    """Greedy VQA decode accelerated by a smaller draft VLM.
+
+    Both models encode the SAME image and prompt through their own vision
+    tower / projector / embedding table, so the multimodal sequences are
+    position-aligned (the vision grids must produce the same token count
+    — e.g. any 336px/14 pair — and the models must share a tokenizer).
+    The emitted tokens are the TARGET model's exact greedy output
+    (models/speculative.py); the draft only sets the speed, which is what
+    makes a 1B-class draft next to the 7B verifier safe to deploy.
+    """
+    from mmrs_tpu.models.speculative import speculative_generate
+
+    img_t = encode_images(params, images, cfg, compute_dtype,
+                          attn_impl=attn_impl)
+    emb_t = build_multimodal_embeds(params, pre_tokens, img_t, post_tokens,
+                                    compute_dtype)
+    img_d = encode_images(draft_params, images, draft_cfg, compute_dtype,
+                          attn_impl=attn_impl)
+    emb_d = build_multimodal_embeds(draft_params, pre_tokens, img_d,
+                                    post_tokens, compute_dtype)
+    return speculative_generate(
+        params["lm"], draft_params["lm"], emb_t, emb_d, cfg.lm,
+        draft_cfg.lm, max_new_tokens=max_new_tokens,
+        draft_tokens=draft_tokens, eos_token=eos_token,
+        compute_dtype=compute_dtype, kv_dtype=kv_dtype, layers=layers,
+        prefill_chunk=prefill_chunk, decode_attn=decode_attn)
+
+
 def init(key: jax.Array, cfg: LLaVAConfig, dtype=jnp.float32) -> Params:
     kv, kp1, kp2, kl = jax.random.split(key, 4)
     return {

@@ -46,9 +46,9 @@ def _decode_attn_kernel(pos_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
     each grid step's HBM->VMEM DMA kvh_blk x larger (the per-head slice
     is only S*HD int8 bytes — too small to reach HBM bandwidth alone).
 
-    pos_ref: SMEM (1, 1) int32 — the query's position (mask covers
-    key_pos <= pos, i.e. the live cache prefix including this step's
-    freshly written slot)."""
+    pos_ref: SMEM (1, 1) int32 — this batch row's query position (mask
+    covers key_pos <= pos, i.e. the live cache prefix including this
+    step's freshly written slot)."""
     g = q_ref.shape[2]
     s = kq_ref.shape[2]
     pos = pos_ref[0, 0]
@@ -89,7 +89,7 @@ def decode_attention(
     k_scales,                        # [B, KVH, S] f32, or None (bf16 cache)
     v_cache: jnp.ndarray,
     v_scales,
-    pos,                             # scalar int32: current query position
+    pos,                             # int32 query position: scalar or [B]
     interpret: bool = False,
     kvh_block: int | None = None,
 ) -> jnp.ndarray:
@@ -123,7 +123,10 @@ def decode_attention(
         vs = ks
     s_blk = ks.shape[3]
 
-    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1, 1)
+    # scalar pos (plain decode) or per-row [B] pos (speculative decode,
+    # where rows desynchronize): one SMEM cell per batch-row grid step
+    pos_arr = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32).reshape(-1)[:, None], (b, 1))
 
     kernel = functools.partial(_decode_attn_kernel, hd_scale=hd_scale,
                                quantized=quantized, kvh_blk=kvh_block)
@@ -132,7 +135,7 @@ def decode_attention(
         kernel,
         grid=(b, kvh // kb),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, kb, g, hd), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, kb, s, hd), lambda i, j: (i, j, 0, 0)),

@@ -64,6 +64,59 @@ def test_kernel_matches_einsum(quantized, pos):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("quantized", [True, False])
+def test_kernel_per_row_positions(quantized):
+    """[B] pos vector (speculative decode: rows desynchronize) == stacking
+    per-row scalar-pos calls."""
+    rng = np.random.default_rng(5)
+    b, kvh, g, hd, s = 3, 2, 2, 64, 64
+    q = jnp.asarray(rng.normal(size=(b, kvh, g, hd)), jnp.bfloat16)
+    kq, ks, vq, vs = _random_cache(rng, b, kvh, s, hd, quantized)
+    pos = jnp.asarray([2, 31, 63], jnp.int32)
+
+    out = np.asarray(decode_attention(q, kq, ks, vq, vs, pos,
+                                      interpret=True))
+    for i in range(b):
+        sl = lambda x: None if x is None else x[i:i + 1]
+        want = np.asarray(decode_attention(
+            q[i:i + 1], sl(kq), sl(ks), sl(vq), sl(vs), int(pos[i]),
+            interpret=True))
+        np.testing.assert_array_equal(out[i:i + 1], want)
+
+
+def test_speculative_generate_pallas_matches_greedy():
+    """speculative_generate routes its T=1 draft steps through the kernel
+    with per-row positions; output must still equal plain greedy."""
+    import mmrs_tpu.ops.decode_attention as da
+    from mmrs_tpu.models.speculative import speculative_generate
+
+    params = llama.init(jax.random.key(2), CFG)
+    dparams = llama.init(jax.random.key(3), CFG)
+    rng = np.random.default_rng(4)
+    prompt = jnp.asarray(rng.integers(3, 90, (2, 9)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+
+    ref = np.asarray(llama.greedy_generate(
+        params, embeds, CFG, max_new_tokens=8, eos_token=-1,
+        kv_dtype=jnp.int8))
+
+    orig = da.decode_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    da.decode_attention = interp
+    try:
+        out = np.asarray(speculative_generate(
+            params, dparams, embeds, llama.embed_tokens(dparams, prompt),
+            CFG, CFG, max_new_tokens=8, draft_tokens=3, eos_token=-1,
+            kv_dtype=jnp.int8, decode_attn="pallas"))
+    finally:
+        da.decode_attention = orig
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_kernel_masks_dead_tail():
     """Cache slots beyond pos contribute exactly nothing (garbage there)."""
     rng = np.random.default_rng(1)

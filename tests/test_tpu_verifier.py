@@ -145,3 +145,33 @@ def test_cascade_uses_verify_batch():
     assert spy.batch_calls == [["a.jpg", "bad.jpg", "c.jpg"]]
     assert list(res.verified) == [True, False, True]
     assert res.verifier_calls == 3
+
+
+@pytest.mark.slow
+def test_verifier_with_draft_matches_plain(verifier, tmp_path):
+    """A draft VLM routes decode through speculative_generate; the parsed
+    answers and generated text must be identical to the plain verifier
+    (the speculative guarantee, models/speculative.py)."""
+    import jax.numpy as jnp
+
+    v, tok, img = verifier
+    # a smaller draft with the SAME vision grid (32px/8 -> same token count)
+    dlcfg = LlamaConfig(vocab_size=128, dim=32, layers=1, heads=2,
+                        kv_heads=1, mlp_dim=64, max_seq=128)
+    dvcfg = VITConfig(image_size=32, patch_size=8, width=32, layers=1,
+                      heads=2, embed_dim=16)
+    dcfg = llava.LLaVAConfig(vision=dvcfg, lm=dlcfg)
+    dparams = llava.init(jax.random.key(5), dcfg)
+
+    vs = TPULLaVAVerifier(v.params, v.cfg, tok, max_new_tokens=4,
+                          eos_token=-1, image_size=32,
+                          compute_dtype=jnp.float32, draft_params=dparams,
+                          draft_cfg=dcfg, draft_tokens=2)
+    want = v.generate_text(img, "Does this image contain a cat?")
+    got = vs.generate_text(img, "Does this image contain a cat?")
+    assert got == want
+
+    img2 = tmp_path / "d2.jpg"
+    Image.fromarray(np.full((40, 40, 3), 77, np.uint8)).save(img2)
+    paths = [img, str(img2)]
+    assert vs.verify_batch(paths, "cat") == v.verify_batch(paths, "cat")
