@@ -40,7 +40,7 @@ CFG1 = LlamaConfig(vocab_size=32000, dim=2048, layers=22, heads=32,
 def main() -> None:
     k = int(sys.argv[sys.argv.index("--k") + 1]) if "--k" in sys.argv else 4
     batch, prompt_len, new_tokens = 8, 64, 64
-    kw = dict(kv_dtype=jnp.int8, layers="unroll")
+    kw = dict(kv_dtype=jnp.int8, layers="fori")
 
     p7 = device_params(CFG7, True)
     p1 = device_params(CFG1, True, seed=7)
@@ -59,7 +59,7 @@ def main() -> None:
         return speculative_generate(
             pt, pd, llama.embed_tokens(pt, tok), llama.embed_tokens(pd, tok),
             CFG7, CFG1, max_new_tokens=new_tokens, draft_tokens=k,
-            eos_token=-1, **kw)
+            eos_token=-1, return_stats=True, **kw)
 
     def best_seconds(fn, *args, reps=4):
         np.asarray(fn(*args))                     # compile + first
@@ -80,21 +80,27 @@ def main() -> None:
 
     # measured speculative run (random-weight acceptance — a floor)
     t0 = time.perf_counter()
-    out = np.asarray(spec(p7, p1, tok))
+    got, stats = spec(p7, p1, tok)
+    got = np.asarray(got)
     log(f"spec compile+first: {time.perf_counter()-t0:.0f}s")
     ts = []
     for i in range(3):
         t2 = jax.random.randint(jax.random.key(9 + i), (batch, prompt_len),
                                 3, 31000, jnp.int32)
         t0 = time.perf_counter()
-        np.asarray(spec(p7, p1, t2))
+        o2, s2 = spec(p7, p1, t2)
+        np.asarray(o2)
         ts.append(time.perf_counter() - t0)
     spec_s = min(ts) - 0.027
     spec_tps = batch * new_tokens / spec_s
+    rounds = int(np.asarray(s2["rounds"]))
+    emitted = int(np.asarray(s2["emitted"]).sum())
+    tokens_per_round = emitted / max(rounds * batch, 1)
+    log(f"measured: {rounds} rounds, {emitted} tokens -> "
+        f"{tokens_per_round:.2f} tokens/round/row (of max {k+1})")
 
     # exactness gate on chip: same tokens as plain greedy
     want = np.asarray(plain(p7, tok))
-    got = np.asarray(spec(p7, p1, tok))
     agree = float((got == want).mean())
     log(f"on-chip exactness vs plain greedy: {agree:.4f}")
 
@@ -107,14 +113,15 @@ def main() -> None:
     def draft_steps(p, tok):
         lg, cache = llama.prefill(p, llama.embed_tokens(p, tok), CFG1,
                                   cache_len, jnp.bfloat16, jnp.int8,
-                                  "unroll")
+                                  "fori")
         cur = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
         pos = jnp.full((batch,), prompt_len, jnp.int32)
 
         def body(c, j):
             cur, cache = c
             lg, cache = llama.forward(p, llama.embed_tokens(p, cur[:, None]),
-                                      cache, pos + j, CFG1, jnp.bfloat16)
+                                      cache, pos + j, CFG1, jnp.bfloat16,
+                                      layers="fori")
             return (jnp.argmax(lg[:, -1], -1).astype(jnp.int32), cache), cur
 
         (cur, _), toks = jax.lax.scan(body, (cur, cache),
@@ -125,7 +132,7 @@ def main() -> None:
     def verify_steps(p, tok):
         lg, cache = llama.prefill(p, llama.embed_tokens(p, tok), CFG7,
                                   cache_len, jnp.bfloat16, jnp.int8,
-                                  "unroll")
+                                  "fori")
         cur = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
         pos = jnp.full((batch,), prompt_len, jnp.int32)
         seq0 = jnp.broadcast_to(cur[:, None], (batch, k + 1))
@@ -133,7 +140,8 @@ def main() -> None:
         def body(c, j):
             seq, cache = c
             lg, cache = llama.forward(p, llama.embed_tokens(p, seq), cache,
-                                      pos + j, CFG7, jnp.bfloat16)
+                                      pos + j, CFG7, jnp.bfloat16,
+                                      layers="fori")
             return (jnp.argmax(lg, -1).astype(jnp.int32), cache), seq[:, 0]
 
         (_, _), toks = jax.lax.scan(body, (seq0, cache),
@@ -172,6 +180,7 @@ def main() -> None:
         "verify_ms_per_round": round(verify_ms, 2),
         "round_ms": round(round_ms, 2),
         "measured_spec_tokens_per_s": round(spec_tps, 1),
+        "measured_tokens_per_round": round(tokens_per_round, 2),
         "exactness_vs_plain": agree,
         "breakeven_alpha": round(breakeven, 3),
         "tok_per_s_at_alpha": {str(a): round(tps_at(a), 0)

@@ -129,15 +129,17 @@ class TPULLaVAVerifier:
                          else "xla")
         self.attn_impl = attn_impl
         if decode_attn == "auto":
-            # fused decode-attention cache-read kernel (ops/
-            # decode_attention.py); CPU/tests keep the einsum path
-            decode_attn = ("pallas" if jax.default_backend() == "tpu"
-                           else "xla")
+            # measured at the 7B p576/b16 serving shape: XLA's fused
+            # convert+dot epilogues beat the Pallas cache-read kernel
+            # (653 vs 482 tok/s with layers="fori"; the kernel only wins
+            # at ~1B scale — see COVERAGE.md). Keep the einsum path.
+            decode_attn = "xla"
         self.decode_attn = decode_attn
         # int8 KV cache (llama.QKVCache) halves per-step KV traffic and
         # HBM residency of the ~600-token multimodal prompts; layers=
-        # "unroll" + prefill_chunk are the measured-fast decode options at
-        # the 576-token multimodal prompt (see models/llama.greedy_generate)
+        # "fori" (in-place stacked-cache layer loop) + prefill_chunk are
+        # the measured-fast decode options at the 576-token multimodal
+        # prompt (see models/llama.greedy_generate + COVERAGE.md)
         self.kv_dtype = kv_dtype
         self.layers = layers
         self.prefill_chunk = prefill_chunk

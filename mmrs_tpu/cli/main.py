@@ -439,14 +439,15 @@ def _make_verifier(args):
         lm=LLAMA2_7B)
     tok = SentencePieceBPE.from_file(args.tokenizer_model)
     # measured-fast 7B serving config (COVERAGE.md): int8 KV cache
-    # alongside int8 weights, unrolled per-layer cache buffers,
-    # chunked causal prefill (+ the default all-rows-finished early
-    # stop). --simple-decode opts out (much faster cold compile).
+    # alongside int8 weights, the in-place stacked-cache fori layer
+    # loop, chunked causal prefill (+ the default all-rows-finished
+    # early stop) — 653 tok/s at p576/b16 vs 494 unrolled / 341 scan.
+    # --simple-decode opts out (much faster cold compile).
     fast = not args.simple_decode
     return TPULLaVAVerifier(
         vparams, lcfg, tok,
         kv_dtype=(jnp.int8 if args.verifier_int8 and fast else None),
-        layers="unroll" if fast else "scan",
+        layers="fori" if fast else "scan",
         prefill_chunk=128 if fast else None)
 
 

@@ -84,6 +84,48 @@ def _cache_write(cache, new: jnp.ndarray, pos_offset) :
         cache, new, (0, 0, pos_offset, 0))
 
 
+def _cache_write_layer(cache, new: jnp.ndarray, pos_offset, layer_idx):
+    """Insert [B, KVH, T, HD] entries for layer `layer_idx` directly into
+    a STACKED [L, B, KVH, S, HD] cache (the `layers="fori"` decode form):
+    a single-position dynamic_update_slice on the loop carry, which XLA
+    performs in place — no per-layer slice-out/write-back copies."""
+    per_row = jnp.ndim(pos_offset) == 1
+    if isinstance(cache, QKVCache):
+        q, s = _quantize_kv(new)
+        if per_row:
+            return QKVCache(
+                jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+                    c, u[None], (layer_idx, 0, p, 0)),
+                    in_axes=(1, 0, 0), out_axes=1)(cache.q, q, pos_offset),
+                jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+                    c, u[None], (layer_idx, 0, p)),
+                    in_axes=(1, 0, 0), out_axes=1)(cache.s, s, pos_offset),
+            )
+        return QKVCache(
+            jax.lax.dynamic_update_slice(
+                cache.q, q[None], (layer_idx, 0, 0, pos_offset, 0)),
+            jax.lax.dynamic_update_slice(
+                cache.s, s[None], (layer_idx, 0, 0, pos_offset)),
+        )
+    new = new.astype(cache.dtype)
+    if per_row:
+        return jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+            c, u[None], (layer_idx, 0, p, 0)),
+            in_axes=(1, 0, 0), out_axes=1)(cache, new, pos_offset)
+    return jax.lax.dynamic_update_slice(
+        cache, new[None], (layer_idx, 0, 0, pos_offset, 0))
+
+
+def _layer_view(cache, layer_idx):
+    """Layer `layer_idx`'s [B, KVH, S, HD] view of a stacked cache (XLA
+    fuses the dynamic slice into downstream reads)."""
+    idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0,
+                                                 keepdims=False)
+    if isinstance(cache, QKVCache):
+        return QKVCache(idx(cache.q), idx(cache.s))
+    return idx(cache)
+
+
 @dataclass(frozen=True)
 class LlamaConfig:
     vocab_size: int = 32000
@@ -141,6 +183,9 @@ def _attn_block(
     compute_dtype,
     kv_limit: int | None = None,    # STATIC: attend only to cache[:kv_limit]
     decode_attn: str = "xla",       # "pallas": fused cache-read kernel at T=1
+    layer_idx=None,                 # caches are STACKED [L, ...]; this
+                                    # layer's rows are written in place
+                                    # and read through fused slices
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, t, d = h.shape
     nh, kvh, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
@@ -173,8 +218,15 @@ def _attn_block(
     # (the transpose is [B,1,KVH,HD]-tiny at decode, one pass at prefill)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    cache_k = _cache_write(cache_k, k, pos_offset)
-    cache_v = _cache_write(cache_v, v, pos_offset)
+    if layer_idx is None:
+        cache_k = _cache_write(cache_k, k, pos_offset)
+        cache_v = _cache_write(cache_v, v, pos_offset)
+        view_k, view_v = cache_k, cache_v
+    else:
+        cache_k = _cache_write_layer(cache_k, k, pos_offset, layer_idx)
+        cache_v = _cache_write_layer(cache_v, v, pos_offset, layer_idx)
+        view_k = _layer_view(cache_k, layer_idx)
+        view_v = _layer_view(cache_v, layer_idx)
     int8_kv = isinstance(cache_k, QKVCache)
     # Chunked prefill passes a STATIC kv_limit covering positions written so
     # far: reads below are sliced to cache[:kv_limit], so chunk i's attention
@@ -182,15 +234,15 @@ def _attn_block(
     # logits instead of the full [.., T, S_total] tensor.
     if kv_limit is not None:
         if int8_kv:
-            read_k = QKVCache(cache_k.q[:, :, :kv_limit],
-                              cache_k.s[:, :, :kv_limit])
-            read_v = QKVCache(cache_v.q[:, :, :kv_limit],
-                              cache_v.s[:, :, :kv_limit])
+            read_k = QKVCache(view_k.q[:, :, :kv_limit],
+                              view_k.s[:, :, :kv_limit])
+            read_v = QKVCache(view_v.q[:, :, :kv_limit],
+                              view_v.s[:, :, :kv_limit])
         else:
-            read_k = cache_k[:, :, :kv_limit]
-            read_v = cache_v[:, :, :kv_limit]
+            read_k = view_k[:, :, :kv_limit]
+            read_v = view_v[:, :, :kv_limit]
     else:
-        read_k, read_v = cache_k, cache_v
+        read_k, read_v = view_k, view_v
     ck = read_k.q if int8_kv else read_k
     cache_slots = ck.shape[2]
 
@@ -212,7 +264,17 @@ def _attn_block(
         from mmrs_tpu.ops.decode_attention import decode_attention
 
         q1 = qg[:, :, :, 0].astype(jnp.bfloat16)          # [B, KVH, G, HD]
-        if int8_kv:
+        if layer_idx is not None and kv_limit is None:
+            # fori form: the kernel reads THIS layer's rows straight out
+            # of the stacked cache (scalar-prefetch index map, no slice)
+            if int8_kv:
+                out = decode_attention(q1, cache_k.q, cache_k.s,
+                                       cache_v.q, cache_v.s, pos_offset,
+                                       layer=layer_idx)
+            else:
+                out = decode_attention(q1, cache_k, None, cache_v, None,
+                                       pos_offset, layer=layer_idx)
+        elif int8_kv:
             out = decode_attention(q1, read_k.q, read_k.s,
                                    read_v.q, read_v.s, pos_offset)
         else:
@@ -319,6 +381,7 @@ def forward(
     kv_limit: int | None = None,    # static: attend to cache[:kv_limit] only
     last_logit_only: bool = False,  # lm_head on the final position only
     decode_attn: str = "xla",       # "pallas": fused cache-read at T=1
+    layers: str = "auto",           # "fori": in-place stacked-cache loop
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Returns (logits [B, T, V], updated cache). Embedding-level input so
     LLaVA can splice image tokens into the sequence.
@@ -328,10 +391,39 @@ def forward(
     per-layer (k, v) pairs (init_cache_layers) runs an UNROLLED Python
     loop with static weight indexing — bigger HLO, but the per-layer
     cache buffers update in place with no xs->ys copies (see
-    init_cache_layers for the measured cost of the scanned form)."""
+    init_cache_layers for the measured cost of the scanned form).
+    `layers="fori"` (stacked cache only) runs the layer body under
+    lax.fori_loop with the stacked cache in the CARRY, updated by
+    dynamic_update_index_in_dim — in-place like the unrolled form but a
+    single compiled layer body, which matters when the body holds a
+    Pallas call (32 unrolled kernel instances hang the compiler)."""
     pos_offset = jnp.asarray(pos_offset, jnp.int32)
 
-    if isinstance(cache, list):
+    if layers == "fori" and not isinstance(cache, list):
+        cache_k, cache_v = cache
+
+        def body(li, carry):
+            h, ck_all, cv_all = carry
+            layer_p = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, li, 0,
+                                                       keepdims=False),
+                params["blocks"])
+            # the STACKED caches pass straight through: writes are
+            # single-position in-place updates at (li, ..., pos) and
+            # reads go through fused layer slices / the scalar-prefetch
+            # Pallas kernel — no per-layer slice-out/write-back copies
+            # (measured: the copy form loses 12% at the 7B p576 shape)
+            h, ck_all, cv_all = _attn_block(
+                h, layer_p, ck_all, cv_all, pos_offset, cfg,
+                compute_dtype, kv_limit=kv_limit, decode_attn=decode_attn,
+                layer_idx=li)
+            return (h, ck_all, cv_all)
+
+        h, cache_k, cache_v = jax.lax.fori_loop(
+            0, cfg.layers, body,
+            (embeds.astype(compute_dtype), cache_k, cache_v))
+        new_cache = (cache_k, cache_v)
+    elif isinstance(cache, list):
         h = embeds.astype(compute_dtype)
         new_cache = []
         for i, (ck, cv) in enumerate(cache):
@@ -394,10 +486,11 @@ def prefill(
             # is noise; only the final chunk's logits are consumed
             logits, cache = forward(params, piece, cache, s0, cfg,
                                     compute_dtype, kv_limit=lim,
-                                    last_logit_only=True)
+                                    last_logit_only=True, layers=layers)
     else:
         logits, cache = forward(params, prompt_embeds, cache, 0, cfg,
-                                compute_dtype, last_logit_only=True)
+                                compute_dtype, last_logit_only=True,
+                                layers=layers)
     return logits, cache
 
 
@@ -463,7 +556,7 @@ def greedy_generate(
             emb = embed_tokens(params, tok[:, None])
             logits, cache = forward(params, emb, cache, pos, cfg,
                                     compute_dtype, kv_limit=kv_limit,
-                                    decode_attn=decode_attn)
+                                    decode_attn=decode_attn, layers=layers)
             nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             nxt = jnp.where(finished, eos_token, nxt)
             finished = finished | (nxt == eos_token)

@@ -55,6 +55,7 @@ def speculative_generate(
     layers: str = "scan",
     prefill_chunk: int | None = None,
     decode_attn: str = "xla",
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Greedy decode of the TARGET model, accelerated by a draft model.
 
@@ -67,6 +68,12 @@ def speculative_generate(
     row emits between 1 (first draft rejected — the target's own argmax
     is emitted, so progress never stalls) and k+1 tokens (all drafts
     accepted + the verification pass's bonus token).
+
+    `return_stats=True` additionally returns
+    `{"rounds": [] int32, "emitted": [B] int32}` — speculation rounds
+    executed and tokens emitted per row; `emitted / (rounds * (k+1))` is
+    the realized per-round utilization, the number to watch when tuning
+    k against a deployed draft.
     """
     if target_cfg.vocab_size != draft_cfg.vocab_size:
         raise ValueError("target and draft must share a vocabulary")
@@ -100,6 +107,7 @@ def speculative_generate(
         jnp.full((b,), t, jnp.int32),          # next cache slot [B]
         jnp.ones((b,), jnp.int32),             # tokens emitted [B]
         g0 == eos_token,                       # finished [B]
+        jnp.zeros((), jnp.int32),              # rounds executed
         tcache, dcache, out_buf,
     )
 
@@ -107,7 +115,8 @@ def speculative_generate(
         return ~jnp.all(state[3])
 
     def round_body(state):
-        last_tok, pos, n_emitted, finished, tcache, dcache, out_buf = state
+        (last_tok, pos, n_emitted, finished, rounds,
+         tcache, dcache, out_buf) = state
 
         # --- draft: k autoregressive T=1 steps at per-row positions ---
         cur = last_tok
@@ -115,7 +124,8 @@ def speculative_generate(
         for j in range(k):                      # static unroll
             emb = embed_tokens(draft_params, cur[:, None])
             lg, dcache = forward(draft_params, emb, dcache, pos + j,
-                                 draft_cfg, cd, decode_attn=decode_attn)
+                                 draft_cfg, cd, decode_attn=decode_attn,
+                                 layers=layers)
             cur = jnp.argmax(lg[:, -1, :], axis=-1).astype(jnp.int32)
             drafts.append(cur)
         d = jnp.stack(drafts, axis=1)           # [B, k]
@@ -124,7 +134,7 @@ def speculative_generate(
         seq = jnp.concatenate([last_tok[:, None], d], axis=1)  # [B, k+1]
         lg, tcache = forward(target_params, embed_tokens(target_params, seq),
                              tcache, pos, target_cfg, cd,
-                             decode_attn=decode_attn)
+                             decode_attn=decode_attn, layers=layers)
         g = jnp.argmax(lg, axis=-1).astype(jnp.int32)          # [B, k+1]
         # g[:, i] is the target's greedy choice after consuming seq[:, :i+1]
         # — g[:, 0] is what plain greedy would emit after last_tok.
@@ -158,10 +168,15 @@ def speculative_generate(
         pos = pos + n_new
         n_emitted = n_emitted + n_new
         finished = finished | has_eos | (n_emitted >= max_new_tokens)
-        return (last_tok, pos, n_emitted, finished, tcache, dcache, out_buf)
+        return (last_tok, pos, n_emitted, finished, rounds + 1,
+                tcache, dcache, out_buf)
 
     state = jax.lax.while_loop(cond, round_body, state)
-    n_emitted, out_buf = state[2], state[6]
+    n_emitted, rounds, out_buf = state[2], state[4], state[7]
     idx = jnp.arange(buf_len)[None, :]
     out = jnp.where(idx < n_emitted[:, None], out_buf, eos_token)
-    return out[:, :max_new_tokens]
+    out = out[:, :max_new_tokens]
+    if return_stats:
+        return out, {"rounds": rounds, "emitted": jnp.minimum(
+            n_emitted, max_new_tokens)}
+    return out

@@ -10,7 +10,7 @@ COVERAGE.md). The earlier attempt to fix that with int8 x int8 dots was
 quantize passes outweigh the converts).
 
 This kernel takes the third route VERDICT r2 #1 calls for: one fused pass
-per (batch, kv-head) that
+per (batch, kv-head-block) that
 
   - DMAs the raw int8 K and V rows HBM->VMEM once (Pallas double-buffers
     grid blocks, so the streams overlap compute),
@@ -18,6 +18,13 @@ per (batch, kv-head) that
   - applies the per-position dequant scales to the [G, S] logits and
     probs (tiny), masks the dead cache tail, softmaxes in f32, and
   - contracts probs @ V to the [G, HD] output.
+
+The cache rides in STACKED over layers ([L, B, KVH, S, HD]) with the
+layer index as a SCALAR-PREFETCH operand driving the index map, so the
+kernel reads layer li's rows straight out of the full decode-loop cache
+— no per-layer slice is ever materialized, and the `layers="fori"`
+decode loop needs only ONE compiled kernel instance (32 unrolled
+instances hang this platform's compiler; COVERAGE.md).
 
 Decode-only (query length 1; prefill keeps the XLA einsums, which tile
 fine at T=chunk). Matches the einsum path bit-for-bit up to f32 softmax
@@ -38,31 +45,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _decode_attn_kernel(pos_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-                        out_ref, *, hd_scale: float, quantized: bool,
-                        kvh_blk: int):
+def _decode_attn_kernel(lyr_ref, pos_ref, q_ref, kq_ref, ks_ref, vq_ref,
+                        vs_ref, out_ref, *, hd_scale: float,
+                        quantized: bool, kvh_blk: int):
     """One (batch, kv-head-block) tile: `kvh_blk` heads' q [G, HD] vs
     their cache rows [S, HD]. Blocking several kv-heads per program makes
     each grid step's HBM->VMEM DMA kvh_blk x larger (the per-head slice
     is only S*HD int8 bytes — too small to reach HBM bandwidth alone).
 
-    pos_ref: SMEM (1, 1) int32 — this batch row's query position (mask
-    covers key_pos <= pos, i.e. the live cache prefix including this
-    step's freshly written slot)."""
+    lyr_ref/pos_ref: scalar-prefetch int32 — the layer being decoded
+    (consumed by the index maps, unused here) and per-row query positions
+    [B] (the mask covers key_pos <= pos, i.e. the live cache prefix
+    including this step's freshly written slot)."""
+    del lyr_ref
     g = q_ref.shape[2]
-    s = kq_ref.shape[2]
-    pos = pos_ref[0, 0]
+    s = kq_ref.shape[3]
+    pos = pos_ref[pl.program_id(0)]
     key_pos = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
 
     for h in range(kvh_blk):                             # static unroll
         q = q_ref[0, h].astype(jnp.bfloat16)             # [G, HD]
-        k = kq_ref[0, h].astype(jnp.bfloat16)            # [S, HD] (int8 in)
+        k = kq_ref[0, 0, h].astype(jnp.bfloat16)         # [S, HD] (int8 in)
         # q @ K^T without materializing a transpose: contract the HD axes
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [G, S]
         if quantized:
-            logits = logits * ks_ref[0, h]               # [1, S] f32 scales
+            logits = logits * ks_ref[0, 0, h]            # [1, S] f32 scales
         logits = logits * hd_scale
 
         logits = jnp.where(key_pos <= pos, logits, -jnp.inf)
@@ -74,8 +83,8 @@ def _decode_attn_kernel(pos_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         probs = e / jnp.sum(e, axis=-1, keepdims=True)   # [G, S] f32
 
         if quantized:
-            probs = probs * vs_ref[0, h]                 # fold V dequant
-        v = vq_ref[0, h].astype(jnp.bfloat16)            # [S, HD]
+            probs = probs * vs_ref[0, 0, h]              # fold V dequant
+        v = vq_ref[0, 0, h].astype(jnp.bfloat16)         # [S, HD]
         out = jax.lax.dot_general(
             probs.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # [G, HD]
@@ -85,22 +94,34 @@ def _decode_attn_kernel(pos_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 @functools.partial(jax.jit, static_argnames=("interpret", "kvh_block"))
 def decode_attention(
     q: jnp.ndarray,                  # [B, KVH, G, HD] (bf16/f32)
-    k_cache: jnp.ndarray,            # [B, KVH, S, HD] int8 or bf16
-    k_scales,                        # [B, KVH, S] f32, or None (bf16 cache)
+    k_cache: jnp.ndarray,            # [(L,) B, KVH, S, HD] int8 or bf16
+    k_scales,                        # [(L,) B, KVH, S] f32 or None (bf16)
     v_cache: jnp.ndarray,
     v_scales,
     pos,                             # int32 query position: scalar or [B]
+    layer=None,                      # int32 layer index into a stacked
+                                     # [L, ...] cache; None = unstacked
     interpret: bool = False,
     kvh_block: int | None = None,
 ) -> jnp.ndarray:
     """Fused single-step attention read over the whole cache.
 
     Returns [B, KVH, G, HD] f32. `k_scales`/`v_scales` None selects the
-    unquantized variant (same fusion, no scale rows). `kvh_block` heads
-    share one grid step (default: as many as fit ~2 MB of K-block VMEM —
-    per-head DMAs are too small to reach HBM bandwidth)."""
+    unquantized variant (same fusion, no scale rows). With `layer` set the
+    caches are the decode loop's full stacked [L, ...] buffers and the
+    index map DMAs only layer `layer`'s rows (scalar prefetch) — nothing
+    is sliced or copied on the way in. `kvh_block` heads share one grid
+    step (default: ~768 KB of K bytes per block — per-head DMAs are too
+    small to reach HBM bandwidth)."""
+    if layer is None:                # static: None is a Python constant
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        if k_scales is not None:
+            k_scales = k_scales[None]
+            v_scales = v_scales[None]
+        layer = 0
     b, kvh, g, hd = q.shape
-    s = k_cache.shape[2]
+    s = k_cache.shape[3]
     quantized = k_scales is not None
     hd_scale = 1.0 / float(hd) ** 0.5
 
@@ -115,35 +136,49 @@ def decode_attention(
         kvh_block -= 1
 
     if quantized:
-        ks = k_scales[:, :, None, :]                     # [B, KVH, 1, S]
-        vs = v_scales[:, :, None, :]
+        ks = k_scales[:, :, :, None, :]                  # [L, B, KVH, 1, S]
+        vs = v_scales[:, :, :, None, :]
     else:
         # dummy tiny operands keep one kernel signature; never read
-        ks = jnp.zeros((b, kvh, 1, 1), jnp.float32)
+        ks = jnp.zeros((1, b, kvh, 1, 1), jnp.float32)
         vs = ks
-    s_blk = ks.shape[3]
+    s_blk = ks.shape[4]
 
+    lyr_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     # scalar pos (plain decode) or per-row [B] pos (speculative decode,
-    # where rows desynchronize): one SMEM cell per batch-row grid step
-    pos_arr = jnp.broadcast_to(
-        jnp.asarray(pos, jnp.int32).reshape(-1)[:, None], (b, 1))
+    # where rows desynchronize)
+    pos_arr = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1),
+                               (b,))
 
     kernel = functools.partial(_decode_attn_kernel, hd_scale=hd_scale,
                                quantized=quantized, kvh_blk=kvh_block)
     kb = kvh_block
-    out = pl.pallas_call(
-        kernel,
+
+    def lidx(i, j, lyr, pos):
+        del pos
+        return (lyr[0], i, j, 0, 0)
+
+    def lidx_scales(i, j, lyr, pos):
+        del pos
+        # the dummy (unquantized) scales are [1, ...]: always layer 0
+        return (lyr[0] if quantized else 0, i, j, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(b, kvh // kb),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, kb, g, hd), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, kb, s, hd), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, kb, 1, s_blk), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, kb, s, hd), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, kb, 1, s_blk), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, kb, g, hd), lambda i, j, lyr, pos: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, kb, s, hd), lidx),
+            pl.BlockSpec((1, 1, kb, 1, s_blk), lidx_scales),
+            pl.BlockSpec((1, 1, kb, s, hd), lidx),
+            pl.BlockSpec((1, 1, kb, 1, s_blk), lidx_scales),
         ],
-        out_specs=pl.BlockSpec((1, kb, g, hd), lambda i, j: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, kb, g, hd),
+                               lambda i, j, lyr, pos: (i, j, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, g, hd), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * kvh * g * s * hd,
@@ -151,5 +186,5 @@ def decode_attention(
             transcendentals=b * kvh * g * s,
         ),
         interpret=interpret,
-    )(pos_arr, q, k_cache, ks, v_cache, vs)
+    )(lyr_arr, pos_arr, q, k_cache, ks, v_cache, vs)
     return out

@@ -168,6 +168,37 @@ def test_greedy_generate_pallas_decode_matches_xla(kv_dtype):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_greedy_generate_pallas_composes_with_fori_layers():
+    """pallas decode + layers='fori' (in-place stacked-cache loop — the
+    7B serving form, one compiled kernel instance) == plain scan decode."""
+    import mmrs_tpu.ops.decode_attention as da
+
+    params = llama.init(jax.random.key(4), CFG)
+    rng = np.random.default_rng(6)
+    prompt = jnp.asarray(rng.integers(3, 90, (2, 9)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+
+    ref = np.asarray(llama.greedy_generate(
+        params, embeds, CFG, max_new_tokens=6, eos_token=-1,
+        kv_dtype=jnp.int8))
+
+    orig = da.decode_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    da.decode_attention = interp
+    try:
+        out = np.asarray(llama.greedy_generate(
+            params, embeds, CFG, max_new_tokens=6, eos_token=-1,
+            kv_dtype=jnp.int8, decode_attn="pallas", layers="fori",
+            prefill_chunk=4))
+    finally:
+        da.decode_attention = orig
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_greedy_generate_pallas_composes_with_fast_options():
     """pallas decode + unroll + chunked prefill + decode_window +
     early_stop == plain scan decode."""

@@ -162,10 +162,11 @@ def test_greedy_generate_unrolled_layers_matches_scan(hf_llama_pair):
         ref = np.asarray(llama.greedy_generate(
             params, embeds, LCFG, max_new_tokens=6, eos_token=-1,
             compute_dtype=jnp.float32, kv_dtype=kv_dtype))
-        unr = np.asarray(llama.greedy_generate(
-            params, embeds, LCFG, max_new_tokens=6, eos_token=-1,
-            compute_dtype=jnp.float32, kv_dtype=kv_dtype, layers="unroll"))
-        np.testing.assert_array_equal(unr, ref)
+        for lyr in ("unroll", "fori"):
+            got = np.asarray(llama.greedy_generate(
+                params, embeds, LCFG, max_new_tokens=6, eos_token=-1,
+                compute_dtype=jnp.float32, kv_dtype=kv_dtype, layers=lyr))
+            np.testing.assert_array_equal(got, ref, err_msg=lyr)
 
 
 @pytest.mark.slow
@@ -190,7 +191,7 @@ def test_greedy_generate_chunked_prefill_matches_full(hf_llama_pair):
         want = ref if kv_dtype is None else np.asarray(llama.greedy_generate(
             params, embeds, cfg, max_new_tokens=6, eos_token=-1,
             compute_dtype=jnp.float32, kv_dtype=kv_dtype))
-        for lyr in ("scan", "unroll"):
+        for lyr in ("scan", "unroll", "fori"):
             got = np.asarray(llama.greedy_generate(
                 params, embeds, cfg, max_new_tokens=6, eos_token=-1,
                 compute_dtype=jnp.float32, kv_dtype=kv_dtype, layers=lyr,

@@ -111,6 +111,26 @@ def test_whole_generate_jits(models):
     np.testing.assert_array_equal(got, want)
 
 
+def test_return_stats(models):
+    """Stats: identical draft accepts everything (max utilization), and
+    emitted counts match the visible output."""
+    tparams, dparams = models
+    prompt = jax.random.randint(jax.random.key(6), (2, 7), 3, 100,
+                                jnp.int32)
+    k, max_new = 3, 12
+    out, stats = speculative_generate(
+        tparams, tparams, llama.embed_tokens(tparams, prompt),
+        llama.embed_tokens(tparams, prompt), TCFG, TCFG,
+        max_new_tokens=max_new, draft_tokens=k, eos_token=-1,
+        compute_dtype=jnp.float32, return_stats=True)
+    rounds = int(stats["rounds"])
+    emitted = np.asarray(stats["emitted"])
+    # identical draft: every round emits k+1 tokens per row
+    assert rounds == -(-(max_new - 1) // (k + 1))  # ceil after the g0 token
+    assert (emitted == max_new).all()
+    assert out.shape == (2, max_new)
+
+
 def test_per_row_cache_write_matches_scalar():
     """[B] pos_offset writes each row at its own slot (bf16 + int8)."""
     b, kvh, s, hd = 3, 2, 16, 4
