@@ -147,10 +147,12 @@ def generate_params_into_formats(structs, formats):
 def main():
     int8 = "--int8" in sys.argv
     kv8 = "--kv8" in sys.argv          # int8 KV cache (llama.QKVCache)
-    # unrolled per-layer cache buffers + chunked causal prefill: the
+    # in-place layer-loop cache buffers + chunked causal prefill: the
     # measured-fast decode options at this 624-token multimodal prompt
-    # (bench_vlm: scan 327.8 -> unroll 458.1 -> +pc128 491.6 tok/s)
-    unroll = "--unroll" in sys.argv
+    # (bench_vlm: scan 327.8 -> unroll 458.1 -> +pc128 491.6 -> fori
+    # in-place 653 tok/s)
+    layers = ("fori" if "--fori" in sys.argv
+              else "unroll" if "--unroll" in sys.argv else "scan")
     pc = 128 if "--pc128" in sys.argv else None
     verify_batch = VERIFY_BATCH_INT8 if int8 else VERIFY_BATCH
     if kv8:
@@ -160,7 +162,7 @@ def main():
     kv_dtype = jnp.int8 if kv8 else None
     log(f"devices: {jax.devices()}  verifier={'int8' if int8 else 'bf16'} "
         f"kv={'int8' if kv8 else 'bf16'} batch={verify_batch} "
-        f"layers={'unroll' if unroll else 'scan'} prefill_chunk={pc}")
+        f"layers={layers} prefill_chunk={pc}")
     dev = jax.devices()[0]
 
     # ---- stage 1: EN CLIP gate --------------------------------------------
@@ -220,7 +222,7 @@ def main():
         return llava.generate(p, x, pre, post, LLAVA_7B,
                               max_new_tokens=MAX_NEW_TOKENS, eos_token=2,
                               attn_impl="pallas", kv_dtype=kv_dtype,
-                              layers="unroll" if unroll else "scan",
+                              layers=layers,
                               prefill_chunk=pc)
 
     # Compile with AUTO input layouts: the decode scan wants the stacked
@@ -283,7 +285,7 @@ def main():
         "verifier": ("llava-7b-config "
                      + ("int8" if int8 else "bf16")
                      + (" kv-int8" if kv8 else "")
-                     + (" unroll" if unroll else "")
+                     + (f" {layers}" if layers != "scan" else "")
                      + (f" pc{pc}" if pc else "")
                      + f", batch {verify_batch}, single v5e chip"),
     }

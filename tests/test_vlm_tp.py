@@ -103,3 +103,27 @@ def test_tp_generate_fast_decode_options_compose():
                            decode_window=4, early_stop=True)
     out = np.asarray(gen(sharded, embeds))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_tp_generate_fori_layers_compose():
+    """layers="fori" (the measured-fast serving form: stacked cache in the
+    loop carry, in-place (layer, ..., pos) updates) under TP == the plain
+    single-device decode — dynamic_index_in_dim over the replicated L axis
+    and the carry updates leave GSPMD's kv-head/dim shardings untouched."""
+    params = llama.init(jax.random.key(3), LCFG)
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.integers(3, 90, (2, 9)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+
+    ref = np.asarray(llama.greedy_generate(
+        params, embeds, LCFG, max_new_tokens=6, eos_token=-1,
+        compute_dtype=jnp.float32, kv_dtype=jnp.int8))
+
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    sharded = shard_llama_params(params, mesh)
+    gen = make_tp_generate(LCFG, mesh, max_new_tokens=6, eos_token=-1,
+                           compute_dtype=jnp.float32, kv_dtype=jnp.int8,
+                           layers="fori", prefill_chunk=4, early_stop=True)
+    out = np.asarray(gen(sharded, embeds))
+    np.testing.assert_array_equal(out, ref)
