@@ -19,6 +19,7 @@ Run: python bench_spec.py  (one real TPU chip; ~10 min of compiles cold)
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
@@ -33,8 +34,7 @@ from mmrs_tpu.models.llama import LlamaConfig
 from mmrs_tpu.models.speculative import speculative_generate
 
 CFG7 = LlamaConfig(max_seq=1024)
-CFG1 = LlamaConfig(vocab_size=32000, dim=2048, layers=22, heads=32,
-                   kv_heads=4, mlp_dim=5632, max_seq=1024)
+CFG1 = dataclasses.replace(llama.LLAMA_1B, max_seq=1024)
 
 
 def main() -> None:

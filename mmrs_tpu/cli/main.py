@@ -400,6 +400,13 @@ def _add_verifier_flags(parser) -> None:
                         help="int8 serving weights for the verifier (2x "
                              "decode bandwidth; the reference's load_8bit "
                              "equivalent)")
+    parser.add_argument("--draft-checkpoint",
+                        help="converted 1.1B-class draft VLM npz (same "
+                             "336/14 vision grid + llama tokenizer): "
+                             "enables speculative decode with the 7B "
+                             "verifier's exact greedy output")
+    parser.add_argument("--draft-tokens", type=int, default=4,
+                        help="draft tokens proposed per speculation round")
 
 
 def _make_verifier(args):
@@ -433,10 +440,20 @@ def _make_verifier(args):
         from mmrs_tpu.models.quantize import quantize_llava
 
         vparams = quantize_llava(vparams)
-    lcfg = LLaVAConfig(
-        vision=VITConfig(image_size=336, patch_size=14, width=1024,
-                         layers=24, heads=16, embed_dim=768),
-        lm=LLAMA2_7B)
+    tower = VITConfig(image_size=336, patch_size=14, width=1024,
+                      layers=24, heads=16, embed_dim=768)
+    lcfg = LLaVAConfig(vision=tower, lm=LLAMA2_7B)
+    # optional speculative draft: a TinyLlama-1.1B-class VLM sharing the
+    # 336/14 vision grid and tokenizer; output stays the 7B's exact
+    # greedy tokens (models/speculative.py), the draft only sets speed
+    dparams = dcfg = None
+    if args.draft_checkpoint:
+        from mmrs_tpu.models.llama import LLAMA_1B
+
+        dparams = checkpoint.load_npz(args.draft_checkpoint)
+        if args.verifier_int8:
+            dparams = quantize_llava(dparams)
+        dcfg = LLaVAConfig(vision=tower, lm=LLAMA_1B)
     tok = SentencePieceBPE.from_file(args.tokenizer_model)
     # measured-fast 7B serving config (COVERAGE.md): int8 KV cache
     # alongside int8 weights, the in-place stacked-cache fori layer
@@ -448,7 +465,9 @@ def _make_verifier(args):
         vparams, lcfg, tok,
         kv_dtype=(jnp.int8 if args.verifier_int8 and fast else None),
         layers="fori" if fast else "scan",
-        prefill_chunk=128 if fast else None)
+        prefill_chunk=128 if fast else None,
+        draft_params=dparams, draft_cfg=dcfg,
+        draft_tokens=args.draft_tokens)
 
 
 def cmd_index_update(args) -> int:

@@ -146,6 +146,14 @@ class LlamaConfig:
 # 7B config of llava-v1.5 (LLaMA-2-7B)
 LLAMA2_7B = LlamaConfig()
 
+# 1.1B draft-class config (TinyLlama-1.1B layout: same 32k llama tokenizer,
+# GQA 32q/4kv). Used as the speculative draft next to the 7B verifier —
+# bench_spec.py measured 4.08 ms/draft-step vs 11.28 ms/7B-step at b8, so a
+# k=4 round breaks even at per-draft acceptance 0.763 and reaches 1,134
+# tok/s at full acceptance (COVERAGE.md).
+LLAMA_1B = LlamaConfig(vocab_size=32000, dim=2048, layers=22, heads=32,
+                       kv_heads=4, mlp_dim=5632)
+
 
 def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     dtype = x.dtype

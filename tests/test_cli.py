@@ -212,3 +212,22 @@ def test_parity_int8_tower_gate(tmp_path):
     assert out.returncode == 0, out.stderr
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["int8_tower"]["ok"] and rep["int8_tower"]["top1_agreement"] == 1.0
+
+
+def test_verifier_flags_draft_wiring():
+    """--draft-checkpoint/--draft-tokens parse on both cascade and serve,
+    and _make_verifier still fails fast (exit 2) without a checkpoint."""
+    from mmrs_tpu.cli.main import _make_verifier, build_parser
+
+    p = build_parser()
+    for cmd in ("cascade", "serve"):
+        extra = (["--root", "r", "--positive-class", "c",
+                  "--class-embed", "e.npy", "--threshold", "0"]
+                 if cmd == "cascade" else ["--index", "idx"])
+        a = p.parse_args([cmd, *extra, "--verifier", "llava",
+                          "--draft-checkpoint", "d.npz",
+                          "--draft-tokens", "3"])
+        assert a.draft_checkpoint == "d.npz" and a.draft_tokens == 3
+        # usage error path: llava verifier without checkpoint+tokenizer
+        a2 = p.parse_args([cmd, *extra, "--verifier", "llava"])
+        assert _make_verifier(a2) == 2
