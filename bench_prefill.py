@@ -1,0 +1,56 @@
+"""A/B the Pallas causal chunk-attention prefill vs the XLA einsum path.
+
+Isolates prefill cost (max_new_tokens=1: prefill + one decode step) and
+then runs the full 7B serving config (int8+kv8, fori, pc128, b16, p576)
+both ways. The XLA chunked prefill materializes the [B,KVH,G,C,S] f32
+logits/probs plus a per-layer stacked-cache slice-out every layer;
+chunk_attention keeps both in VMEM (ops/decode_attention.py).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax.numpy as jnp
+
+from bench_vlm import device_params, free, run
+from mmrs_tpu.models.llama import LlamaConfig, LLAMA2_7B
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    out = {"metric": "vlm_prefill_ab", "unit": "tokens/sec"}
+    cfg7 = LlamaConfig(max_seq=1024)
+    assert (cfg7.dim, cfg7.layers) == (LLAMA2_7B.dim, LLAMA2_7B.layers)
+    p7 = device_params(cfg7, True)
+
+    common = dict(kv_dtype=jnp.int8, prompt_len=576, params=p7,
+                  layers="fori", prefill_chunk=128)
+    # prefill-dominated: one decode step after the 576-token prompt
+    for pa in ("xla", "pallas"):
+        out[f"prefill_only_{pa}_b16_p576"] = run(
+            cfg7, f"7B prefill-only {pa} b16 p576", True, 16,
+            new_tokens=1, prefill_attn=pa, **common)
+    # the full serving config (new_tokens=64 default)
+    for pa in ("xla", "pallas"):
+        out[f"serving_{pa}_b16_p576"] = run(
+            cfg7, f"7B serving {pa} b16 p576", True, 16,
+            prefill_attn=pa, **common)
+    # unchunked prefill (single 576-row chunk) — the kernel's best case
+    # for DMA amortization, the XLA path's worst f32-materialization case
+    for pa in ("xla", "pallas"):
+        out[f"nochunk_{pa}_b16_p576"] = run(
+            cfg7, f"7B nochunk {pa} b16 p576", True, 16,
+            kv_dtype=jnp.int8, prompt_len=576, params=p7, layers="fori",
+            new_tokens=1, prefill_attn=pa)
+    free(p7)
+    out["value"] = out.get("serving_pallas_b16_p576")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -79,7 +79,7 @@ def device_params(cfg: LlamaConfig, int8: bool, seed=0):
 
 def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
                  kv_dtype=None, layers="scan", prefill_chunk=None,
-                 decode_window=None, decode_attn="xla"):
+                 decode_window=None, decode_attn="xla", prefill_attn="xla"):
     n_bytes = sum(x.nbytes for x in jax.tree.leaves(params))
     log(f"[{label}] params on device: {n_bytes/1e9:.2f} GB")
 
@@ -91,7 +91,8 @@ def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
                                      kv_dtype=kv_dtype, layers=layers,
                                      prefill_chunk=prefill_chunk,
                                      decode_window=decode_window,
-                                     decode_attn=decode_attn)
+                                     decode_attn=decode_attn,
+                                     prefill_attn=prefill_attn)
 
     tokens = jax.random.randint(jax.random.key(1), (batch, prompt_len),
                                 3, 31000, jnp.int32)
@@ -116,7 +117,8 @@ def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
 
 def run(cfg, label, int8, batch, kv_dtype=None, prompt_len=64, params=None,
         keep_params=False, layers="scan", prefill_chunk=None,
-        new_tokens=64, decode_window=None, decode_attn="xla"):
+        new_tokens=64, decode_window=None, decode_attn="xla",
+        prefill_attn="xla"):
     owns = params is None
     if owns:
         params = device_params(cfg, int8)
@@ -125,7 +127,8 @@ def run(cfg, label, int8, batch, kv_dtype=None, prompt_len=64, params=None,
                                  new_tokens, kv_dtype=kv_dtype, layers=layers,
                                  prefill_chunk=prefill_chunk,
                                  decode_window=decode_window,
-                                 decode_attn=decode_attn), 1)
+                                 decode_attn=decode_attn,
+                                 prefill_attn=prefill_attn), 1)
         return (tps, params) if keep_params else tps
     except Exception as e:
         log(f"[{label}] failed:", repr(e))

@@ -116,6 +116,7 @@ class TPULLaVAVerifier:
                  decode_window: int | None = None,
                  early_stop: bool = True,
                  decode_attn: str = "auto",
+                 prefill_attn: str = "auto",
                  draft_params=None,
                  draft_cfg=None,
                  draft_tokens: int = 4):
@@ -135,6 +136,16 @@ class TPULLaVAVerifier:
             # at ~1B scale — see COVERAGE.md). Keep the einsum path.
             decode_attn = "xla"
         self.decode_attn = decode_attn
+        if prefill_attn == "auto":
+            # measured at the 7B p576/b16 chunked-prefill serving shape
+            # (bench_prefill.py): XLA 564 vs 601 ms kernel prefill, E2E
+            # dead even — the chunked path's statically-sliced reads
+            # already avoid the big f32 materializations. The fused
+            # chunk kernel (ops/decode_attention.chunk_attention) wins
+            # 15% only when prefill_chunk is None (725 -> 617 ms).
+            prefill_attn = ("pallas" if prefill_chunk is None
+                            and jax.default_backend() == "tpu" else "xla")
+        self.prefill_attn = prefill_attn
         # int8 KV cache (llama.QKVCache) halves per-step KV traffic and
         # HBM residency of the ~600-token multimodal prompts; layers=
         # "fori" (in-place stacked-cache layer loop) + prefill_chunk are
@@ -174,14 +185,15 @@ class TPULLaVAVerifier:
                 self.draft_tokens, self.eos_token, self.compute_dtype,
                 attn_impl=self.attn_impl, kv_dtype=self.kv_dtype,
                 layers=self.layers, prefill_chunk=self.prefill_chunk,
-                decode_attn=self.decode_attn)
+                decode_attn=self.decode_attn,
+                prefill_attn=self.prefill_attn)
         return llava.generate(
             self.params, images, pre, post, self.cfg, self.max_new_tokens,
             self.eos_token, self.compute_dtype, attn_impl=self.attn_impl,
             kv_dtype=self.kv_dtype, layers=self.layers,
             prefill_chunk=self.prefill_chunk,
             decode_window=self.decode_window, early_stop=self.early_stop,
-            decode_attn=self.decode_attn)
+            decode_attn=self.decode_attn, prefill_attn=self.prefill_attn)
 
     def _load_image(self, image_path: str):
         import jax.numpy as jnp

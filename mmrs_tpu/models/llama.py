@@ -191,6 +191,8 @@ def _attn_block(
     compute_dtype,
     kv_limit: int | None = None,    # STATIC: attend only to cache[:kv_limit]
     decode_attn: str = "xla",       # "pallas": fused cache-read kernel at T=1
+    prefill_attn: str = "xla",      # "pallas": fused causal chunk kernel at
+                                    # T>1 (ops/decode_attention.chunk_attention)
     layer_idx=None,                 # caches are STACKED [L, ...]; this
                                     # layer's rows are written in place
                                     # and read through fused slices
@@ -289,6 +291,30 @@ def _attn_block(
             out = decode_attention(q1, read_k, None, read_v, None,
                                    pos_offset)
         out = out[:, :, :, None, :].astype(cd)            # [B,KVH,G,1,HD]
+    elif prefill_attn == "pallas" and t > 1:
+        # Fused causal chunk attention: scores/probs stay in VMEM and the
+        # stacked cache streams raw (no per-layer slice-out squeeze copy —
+        # 39 ms of the 7B p576 prefill in the XLA form, trace-measured).
+        from mmrs_tpu.ops.decode_attention import chunk_attention
+
+        qb = qg.astype(jnp.bfloat16)                      # [B,KVH,G,T,HD]
+        if layer_idx is not None:
+            if int8_kv:
+                out = chunk_attention(qb, cache_k.q, cache_k.s,
+                                      cache_v.q, cache_v.s, pos_offset,
+                                      layer=layer_idx, kv_limit=kv_limit)
+            else:
+                out = chunk_attention(qb, cache_k, None, cache_v, None,
+                                      pos_offset, layer=layer_idx,
+                                      kv_limit=kv_limit)
+        elif int8_kv:
+            out = chunk_attention(qb, view_k.q, view_k.s,
+                                  view_v.q, view_v.s, pos_offset,
+                                  kv_limit=kv_limit)
+        else:
+            out = chunk_attention(qb, view_k, None, view_v, None,
+                                  pos_offset, kv_limit=kv_limit)
+        out = out.astype(cd)                              # [B,KVH,G,T,HD]
     else:
         logits = jnp.einsum("bkgth,bksh->bkgts", qg, ck.astype(cd),
                             preferred_element_type=jnp.float32)
@@ -389,6 +415,7 @@ def forward(
     kv_limit: int | None = None,    # static: attend to cache[:kv_limit] only
     last_logit_only: bool = False,  # lm_head on the final position only
     decode_attn: str = "xla",       # "pallas": fused cache-read at T=1
+    prefill_attn: str = "xla",      # "pallas": fused causal chunk at T>1
     layers: str = "auto",           # "fori": in-place stacked-cache loop
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Returns (logits [B, T, V], updated cache). Embedding-level input so
@@ -424,7 +451,7 @@ def forward(
             h, ck_all, cv_all = _attn_block(
                 h, layer_p, ck_all, cv_all, pos_offset, cfg,
                 compute_dtype, kv_limit=kv_limit, decode_attn=decode_attn,
-                layer_idx=li)
+                prefill_attn=prefill_attn, layer_idx=li)
             return (h, ck_all, cv_all)
 
         h, cache_k, cache_v = jax.lax.fori_loop(
@@ -438,7 +465,8 @@ def forward(
             layer_p = jax.tree.map(lambda a, i=i: a[i], params["blocks"])
             h, ck, cv = _attn_block(h, layer_p, ck, cv, pos_offset, cfg,
                                     compute_dtype, kv_limit=kv_limit,
-                                    decode_attn=decode_attn)
+                                    decode_attn=decode_attn,
+                                    prefill_attn=prefill_attn)
             new_cache.append((ck, cv))
     else:
         cache_k, cache_v = cache
@@ -447,7 +475,8 @@ def forward(
             layer_p, ck, cv = xs
             h, ck, cv = _attn_block(h, layer_p, ck, cv, pos_offset, cfg,
                                     compute_dtype, kv_limit=kv_limit,
-                                    decode_attn=decode_attn)
+                                    decode_attn=decode_attn,
+                                    prefill_attn=prefill_attn)
             return h, (ck, cv)
 
         h, new_cache = jax.lax.scan(
@@ -475,6 +504,7 @@ def prefill(
     kv_dtype=None,
     layers: str = "scan",
     prefill_chunk: int | None = None,
+    prefill_attn: str = "xla",
 ):
     """Build a right-sized cache and run the prompt through it. Returns
     (last-position logits [B, 1, V], cache). Shared by greedy_generate and
@@ -494,11 +524,12 @@ def prefill(
             # is noise; only the final chunk's logits are consumed
             logits, cache = forward(params, piece, cache, s0, cfg,
                                     compute_dtype, kv_limit=lim,
-                                    last_logit_only=True, layers=layers)
+                                    last_logit_only=True, layers=layers,
+                                    prefill_attn=prefill_attn)
     else:
         logits, cache = forward(params, prompt_embeds, cache, 0, cfg,
                                 compute_dtype, last_logit_only=True,
-                                layers=layers)
+                                layers=layers, prefill_attn=prefill_attn)
     return logits, cache
 
 
@@ -515,6 +546,7 @@ def greedy_generate(
     decode_window: int | None = None,
     early_stop: bool = False,
     decode_attn: str = "xla",
+    prefill_attn: str = "xla",
 ) -> jnp.ndarray:
     """Greedy decode (temperature 0, the reference verifier's config).
     Returns [B, max_new_tokens] int32, EOS-padded after finish.
@@ -537,6 +569,9 @@ def greedy_generate(
     Pallas cache-read attention kernel (ops/decode_attention.py): the
     int8 cache streams HBM->VMEM raw with the bf16 convert in-VMEM —
     prefill and any T>1 forward keep the XLA einsums.
+    `prefill_attn="pallas"` routes the T>1 prefill chunks through the
+    fused causal chunk-attention kernel (chunk_attention): the [C, S]
+    f32 scores/probs stay in VMEM and the stacked cache streams raw.
     `decode_window=W` splits the decode scan into segments of W steps;
     segment j reads cache[:round64(t+(j+1)·W)] (STATIC per segment), so
     decode steps early in a long generation (the reference verifier runs
@@ -554,7 +589,8 @@ def greedy_generate(
     # every step, so slack slots are pure KV-bandwidth waste
     cache_len = min(cfg.max_seq, ((t + max_new_tokens + 63) // 64) * 64)
     logits, cache = prefill(params, prompt_embeds, cfg, cache_len,
-                            compute_dtype, kv_dtype, layers, prefill_chunk)
+                            compute_dtype, kv_dtype, layers, prefill_chunk,
+                            prefill_attn)
     next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
     finished = next_tok == eos_token
 

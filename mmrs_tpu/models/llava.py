@@ -109,6 +109,7 @@ def generate(
     decode_window: int | None = None,
     early_stop: bool = False,
     decode_attn: str = "xla",
+    prefill_attn: str = "xla",
 ) -> jnp.ndarray:
     """Greedy VQA decode (temp 0), the cascade verifier's contract.
 
@@ -130,7 +131,8 @@ def generate(
                                  prefill_chunk=prefill_chunk,
                                  decode_window=decode_window,
                                  early_stop=early_stop,
-                                 decode_attn=decode_attn)
+                                 decode_attn=decode_attn,
+                                 prefill_attn=prefill_attn)
 
 
 def generate_speculative(
@@ -150,6 +152,7 @@ def generate_speculative(
     layers: str = "scan",
     prefill_chunk: int | None = None,
     decode_attn: str = "xla",
+    prefill_attn: str = "xla",
 ) -> jnp.ndarray:
     """Greedy VQA decode accelerated by a smaller draft VLM.
 
@@ -176,7 +179,8 @@ def generate_speculative(
         draft_cfg.lm, max_new_tokens=max_new_tokens,
         draft_tokens=draft_tokens, eos_token=eos_token,
         compute_dtype=compute_dtype, kv_dtype=kv_dtype, layers=layers,
-        prefill_chunk=prefill_chunk, decode_attn=decode_attn)
+        prefill_chunk=prefill_chunk, decode_attn=decode_attn,
+        prefill_attn=prefill_attn)
 
 
 def init(key: jax.Array, cfg: LLaVAConfig, dtype=jnp.float32) -> Params:

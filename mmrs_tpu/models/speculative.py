@@ -55,6 +55,7 @@ def speculative_generate(
     layers: str = "scan",
     prefill_chunk: int | None = None,
     decode_attn: str = "xla",
+    prefill_attn: str = "xla",
     return_stats: bool = False,
 ) -> jnp.ndarray:
     """Greedy decode of the TARGET model, accelerated by a draft model.
@@ -92,10 +93,10 @@ def speculative_generate(
 
     tl, tcache = prefill(target_params, target_embeds, target_cfg,
                          min(target_cfg.max_seq, cache_len), cd, kv_dtype,
-                         layers, prefill_chunk)
+                         layers, prefill_chunk, prefill_attn)
     _, dcache = prefill(draft_params, draft_embeds, draft_cfg,
                         min(draft_cfg.max_seq, cache_len), cd, kv_dtype,
-                        layers, prefill_chunk)
+                        layers, prefill_chunk, prefill_attn)
     g0 = jnp.argmax(tl[:, -1, :], axis=-1).astype(jnp.int32)
 
     buf_len = max_new_tokens + k + 1
@@ -132,9 +133,12 @@ def speculative_generate(
 
         # --- target: ONE forward over [last_tok, d_1..d_k] ---
         seq = jnp.concatenate([last_tok[:, None], d], axis=1)  # [B, k+1]
+        # T=k+1 verification forward: prefill_attn="pallas" routes it
+        # through the fused chunk kernel (per-row positions supported)
         lg, tcache = forward(target_params, embed_tokens(target_params, seq),
                              tcache, pos, target_cfg, cd,
-                             decode_attn=decode_attn, layers=layers)
+                             decode_attn=decode_attn,
+                             prefill_attn=prefill_attn, layers=layers)
         g = jnp.argmax(lg, axis=-1).astype(jnp.int32)          # [B, k+1]
         # g[:, i] is the target's greedy choice after consuming seq[:, :i+1]
         # — g[:, 0] is what plain greedy would emit after last_tok.

@@ -45,6 +45,52 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _chunk_attn_kernel(lyr_ref, pos_ref, q_ref, kq_ref, ks_ref, vq_ref,
+                       vs_ref, out_ref, *, hd_scale: float,
+                       quantized: bool, kvh_blk: int):
+    """Causal chunk attention for one (batch, kv-head-block) tile: C query
+    rows per head against the cache's first S slots. The [C, S] f32
+    scores/probs live only in VMEM — the XLA prefill path materializes
+    them (plus a per-layer cache slice-out) to HBM every layer. Measured
+    7B b16 p576 (bench_prefill.py): wins 15% over XLA for UNCHUNKED
+    prefill (617 vs 725 ms); loses 6% under chunked pc128 prefill whose
+    statically-sliced reads already bound the materializations — see
+    COVERAGE.md.
+
+    lyr_ref/pos_ref as in _decode_attn_kernel; pos here is each row's
+    CHUNK-START position (query c sits at pos + c, and may attend to
+    keys at positions <= pos + c — including its own freshly written
+    slot)."""
+    del lyr_ref
+    g, c = q_ref.shape[2], q_ref.shape[3]
+    s = kq_ref.shape[3]
+    pos0 = pos_ref[pl.program_id(0)]
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (c, s), 1)
+    q_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (c, s), 0)
+    mask = key_pos <= q_pos
+
+    for h in range(kvh_blk):                             # static unroll
+        k = kq_ref[0, 0, h].astype(jnp.bfloat16)         # [S, HD]
+        v = vq_ref[0, 0, h].astype(jnp.bfloat16)
+        for gi in range(g):
+            q = q_ref[0, h, gi].astype(jnp.bfloat16)     # [C, HD]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [C, S]
+            if quantized:
+                logits = logits * ks_ref[0, 0, h]        # [1, S] f32
+            logits = logits * hd_scale
+            logits = jnp.where(mask, logits, -jnp.inf)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            if quantized:
+                probs = probs * vs_ref[0, 0, h]
+            out_ref[0, h, gi] = jax.lax.dot_general(
+                probs.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [C, HD]
+
+
 def _decode_attn_kernel(lyr_ref, pos_ref, q_ref, kq_ref, ks_ref, vq_ref,
                         vs_ref, out_ref, *, hd_scale: float,
                         quantized: bool, kvh_blk: int):
@@ -89,6 +135,102 @@ def _decode_attn_kernel(lyr_ref, pos_ref, q_ref, kq_ref, ks_ref, vq_ref,
             probs.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # [G, HD]
         out_ref[0, h] = out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "kvh_block",
+                                             "kv_limit"))
+def chunk_attention(
+    q: jnp.ndarray,                  # [B, KVH, G, C, HD] (bf16/f32)
+    k_cache: jnp.ndarray,            # [(L,) B, KVH, S, HD] int8 or bf16
+    k_scales,                        # [(L,) B, KVH, S] f32 or None (bf16)
+    v_cache: jnp.ndarray,
+    v_scales,
+    pos,                             # int32 chunk-start pos: scalar or [B]
+    layer=None,                      # int32 layer index into a stacked
+                                     # [L, ...] cache; None = unstacked
+    kv_limit: int | None = None,     # STATIC: stream cache[:limit] only
+    interpret: bool = False,
+    kvh_block: int | None = None,
+) -> jnp.ndarray:
+    """Fused causal chunk attention over the cache prefix (prefill sibling
+    of decode_attention; same stacked-cache scalar-prefetch contract).
+
+    Returns [B, KVH, G, C, HD] f32. `kv_limit` bounds the DMA to the first
+    `round128(kv_limit)` cache slots (chunk i of a chunked prefill only
+    attends that far — the causal mask makes the 128-alignment slack
+    exact zeros)."""
+    if layer is None:
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        if k_scales is not None:
+            k_scales = k_scales[None]
+            v_scales = v_scales[None]
+        layer = 0
+    b, kvh, g, c, hd = q.shape
+    s = k_cache.shape[3]
+    # block the cache stream at the 128-lane grid; the causal mask zeroes
+    # whatever the round-up reads past kv_limit
+    s_lim = s if kv_limit is None else min(s, ((kv_limit + 127) // 128) * 128)
+    quantized = k_scales is not None
+    hd_scale = 1.0 / float(hd) ** 0.5
+
+    if kvh_block is None:
+        # same ~768 KB-of-K-per-block heuristic as decode_attention
+        per_head = s_lim * hd * k_cache.dtype.itemsize
+        kvh_block = max(1, min(kvh, (768 * 1024) // max(per_head, 1)))
+    while kvh % kvh_block:
+        kvh_block -= 1
+
+    if quantized:
+        ks = k_scales[:, :, :, None, :]                  # [L, B, KVH, 1, S]
+        vs = v_scales[:, :, :, None, :]
+    else:
+        ks = jnp.zeros((1, b, kvh, 1, 1), jnp.float32)
+        vs = ks
+    s_blk = s_lim if quantized else 1
+
+    lyr_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    pos_arr = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1),
+                               (b,))
+
+    kernel = functools.partial(_chunk_attn_kernel, hd_scale=hd_scale,
+                               quantized=quantized, kvh_blk=kvh_block)
+    kb = kvh_block
+
+    def lidx(i, j, lyr, pos):
+        del pos
+        return (lyr[0], i, j, 0, 0)
+
+    def lidx_scales(i, j, lyr, pos):
+        del pos
+        return (lyr[0] if quantized else 0, i, j, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kvh // kb),
+        in_specs=[
+            pl.BlockSpec((1, kb, g, c, hd),
+                         lambda i, j, lyr, pos: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, kb, s_lim, hd), lidx),
+            pl.BlockSpec((1, 1, kb, 1, s_blk), lidx_scales),
+            pl.BlockSpec((1, 1, kb, s_lim, hd), lidx),
+            pl.BlockSpec((1, 1, kb, 1, s_blk), lidx_scales),
+        ],
+        out_specs=pl.BlockSpec((1, kb, g, c, hd),
+                               lambda i, j, lyr, pos: (i, j, 0, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, c, hd), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * kvh * g * c * s_lim * hd,
+            bytes_accessed=2 * b * kvh * s_lim * hd * k_cache.dtype.itemsize,
+            transcendentals=b * kvh * g * c * s_lim,
+        ),
+        interpret=interpret,
+    )(lyr_arr, pos_arr, q, k_cache, ks, v_cache, vs)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "kvh_block"))

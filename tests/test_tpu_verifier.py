@@ -67,13 +67,18 @@ def test_verifier_runs_and_parses(verifier):
 
     cap = Capture()
     v.tokenizer = cap
-    v.generate_text(img, "prompt")
-    assert first_ids is not None
+    try:
+        v.generate_text(img, "prompt")
+        assert first_ids is not None
 
-    cap.decode_map = {i: "yes" for i in first_ids}
-    assert v.verify(img, "cat") is True
-    cap.decode_map = {i: "no" for i in first_ids}
-    assert v.verify(img, "cat") is False
+        cap.decode_map = {i: "yes" for i in first_ids}
+        assert v.verify(img, "cat") is True
+        cap.decode_map = {i: "no" for i in first_ids}
+        assert v.verify(img, "cat") is False
+    finally:
+        # the fixture is module-scoped: later tests compare generate_text
+        # output against this verifier, so the tokenizer must go back
+        v.tokenizer = tok
 
 
 def test_prompt_framing(verifier):
