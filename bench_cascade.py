@@ -153,7 +153,8 @@ def main():
     # in-place 653 tok/s)
     layers = ("fori" if "--fori" in sys.argv
               else "unroll" if "--unroll" in sys.argv else "scan")
-    pc = 128 if "--pc128" in sys.argv else None
+    pc = (64 if "--pc64" in sys.argv
+          else 128 if "--pc128" in sys.argv else None)
     verify_batch = VERIFY_BATCH_INT8 if int8 else VERIFY_BATCH
     if kv8:
         # half the cache bytes -> twice the verify batch fits next to the

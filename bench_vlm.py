@@ -181,11 +181,15 @@ def main() -> None:
     # layer's rows update in place (single-position dynamic_update_slice
     # at (li, ..., pos)) — in-place like unroll but ONE compiled layer
     # body (seconds to compile vs ~3 min unrolled) and no per-layer
-    # buffer list. The measured-fast serving config (653 tok/s r3).
-    out["llama7b_int8_kv8_fori_pc128_bs16_p576"] = run(
-        cfg7, "7B int8+kv8 fori pc128 b16 p576", True, 16,
+    # buffer list. pc64 is the r3 chunk-size sweep optimum (smaller
+    # chunks shrink the materialized f32 attention tensors faster than
+    # they grow the weight re-streaming: prefill-only 516/532/581/603/
+    # 644/720 ms at pc64/96/128/192/288/none). The measured-fast
+    # serving config: 667 tok/s (653 at pc128).
+    out["llama7b_int8_kv8_fori_pc64_bs16_p576"] = run(
+        cfg7, "7B int8+kv8 fori pc64 b16 p576", True, 16,
         kv_dtype=jnp.int8, prompt_len=576, params=p7, layers="fori",
-        prefill_chunk=128)
+        prefill_chunk=64)
     # + segment-sliced decode reads at the reference verifier's long-
     # generation config (max_new_tokens=512, code/test_llava.py:29):
     # early decode segments stream only the live cache prefix. (No

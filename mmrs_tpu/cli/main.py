@@ -458,14 +458,15 @@ def _make_verifier(args):
     # measured-fast 7B serving config (COVERAGE.md): int8 KV cache
     # alongside int8 weights, the in-place stacked-cache fori layer
     # loop, chunked causal prefill (+ the default all-rows-finished
-    # early stop) — 653 tok/s at p576/b16 vs 494 unrolled / 341 scan.
-    # --simple-decode opts out (much faster cold compile).
+    # early stop) — 667 tok/s at p576/b16 with pc64 (the r3 chunk-size
+    # sweep optimum: prefill 516 ms vs 581 at pc128) vs 494 unrolled /
+    # 341 scan. --simple-decode opts out (much faster cold compile).
     fast = not args.simple_decode
     return TPULLaVAVerifier(
         vparams, lcfg, tok,
         kv_dtype=(jnp.int8 if args.verifier_int8 and fast else None),
         layers="fori" if fast else "scan",
-        prefill_chunk=128 if fast else None,
+        prefill_chunk=64 if fast else None,
         draft_params=dparams, draft_cfg=dcfg,
         draft_tokens=args.draft_tokens)
 

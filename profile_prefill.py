@@ -28,6 +28,7 @@ def log(*a):
 
 def main() -> None:
     chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    pa = sys.argv[2] if len(sys.argv) > 2 else "xla"
     cfg = LlamaConfig(max_seq=1024)
     assert cfg.dim == LLAMA2_7B.dim
     params = device_params(cfg, True)
@@ -38,7 +39,7 @@ def main() -> None:
         emb = llama.embed_tokens(params, tokens)
         logits, cache = llama.prefill(
             params, emb, cfg, 640, jnp.bfloat16, jnp.int8, "fori",
-            chunk if chunk > 0 else None)
+            chunk if chunk > 0 else None, prefill_attn=pa)
         return logits
 
     tokens = jax.random.randint(jax.random.key(1), (b, p), 3, 31000,
@@ -50,7 +51,7 @@ def main() -> None:
         out = pf(params, tokens)
     np.asarray(out)
     log(f"prefill wall: {(time.perf_counter() - t0) / 3 * 1e3:.1f} ms "
-        f"(chunk={chunk})")
+        f"(chunk={chunk}, prefill_attn={pa})")
 
     d = tempfile.mkdtemp()
     with profile_to(d):
