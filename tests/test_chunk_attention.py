@@ -160,6 +160,7 @@ def test_greedy_generate_pallas_prefill_matches_xla(monkeypatch, kv_dtype):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_greedy_generate_pallas_prefill_composes_with_serving_form(
         monkeypatch):
     """prefill_attn='pallas' + chunked prefill + fori layers + pallas

@@ -84,6 +84,7 @@ def test_kernel_per_row_positions(quantized):
         np.testing.assert_array_equal(out[i:i + 1], want)
 
 
+@pytest.mark.slow
 def test_speculative_generate_pallas_matches_greedy():
     """speculative_generate routes its T=1 draft steps through the kernel
     with per-row positions; output must still equal plain greedy."""
@@ -168,6 +169,7 @@ def test_greedy_generate_pallas_decode_matches_xla(kv_dtype):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_greedy_generate_pallas_composes_with_fori_layers():
     """pallas decode + layers='fori' (in-place stacked-cache loop — the
     7B serving form, one compiled kernel instance) == plain scan decode."""
@@ -199,6 +201,7 @@ def test_greedy_generate_pallas_composes_with_fori_layers():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_greedy_generate_pallas_composes_with_fast_options():
     """pallas decode + unroll + chunked prefill + decode_window +
     early_stop == plain scan decode."""

@@ -57,7 +57,11 @@ def test_identical_draft_accepts_everything(models):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("k", [1, 3, 5])
+@pytest.mark.parametrize("k", [
+    pytest.param(1, marks=pytest.mark.slow),
+    3,
+    pytest.param(5, marks=pytest.mark.slow),
+])
 def test_any_draft_matches_greedy(models, k):
     """An unrelated random draft model must still yield the target's exact
     greedy output at every speculation depth."""
@@ -82,6 +86,7 @@ def test_eos_desync_rows(models):
     assert (want[0, 4:] == eos).all()     # the early-stop actually fired
 
 
+@pytest.mark.slow
 def test_compose_unroll_int8kv_prefill_chunk(models):
     """Speculation composes with the serving options: unrolled layers,
     int8 KV cache, chunked prefill."""
