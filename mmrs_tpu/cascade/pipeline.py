@@ -16,6 +16,8 @@ Design differences (TPU-first, documented per SURVEY.md §7):
 
 from __future__ import annotations
 
+import csv
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
@@ -24,6 +26,8 @@ import numpy as np
 from mmrs_tpu.cascade.verifier import Verifier
 from mmrs_tpu.search.metrics import PRF1, binary_prf1
 from mmrs_tpu.utils.stats import StageStats
+
+_JOURNAL_FIELDS = ("path", "en_score", "cn_score", "gate", "verified")
 
 
 @dataclass
@@ -51,6 +55,65 @@ class CascadeResult:
             )
         lines.append(self.stats.summary())
         return "\n".join(lines)
+
+    def write_csv(self, out_path: str) -> None:
+        """Per-image audit CSV (path, tower scores, gate, final verdict) —
+        the cascade counterpart of the union report's `_file_details.csv`
+        (reference: CLIP/union_dataset.py's per-file audit)."""
+        with open(out_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(_JOURNAL_FIELDS)
+            for i, p in enumerate(self.paths):
+                w.writerow(_journal_row(p, self.en_scores[i],
+                                        self.cn_scores[i],
+                                        bool(self.gate_passed[i]),
+                                        bool(self.verified[i])))
+
+
+def _journal_row(path, en, cn, gate, verified):
+    return [path, f"{float(en):.6g}", f"{float(cn):.6g}",
+            int(gate), int(verified)]
+
+
+def _load_journal(path: str) -> dict:
+    """path -> (en, cn, gate, verified) for every FINALIZED row."""
+    done = {}
+    if not os.path.exists(path):
+        return done
+    with open(path, newline="") as f:
+        for row in csv.reader(f):
+            if len(row) != len(_JOURNAL_FIELDS) or row[0] == "path":
+                continue  # header / torn tail line
+            try:
+                done[row[0]] = (float(row[1]), float(row[2]),
+                                bool(int(row[3])), bool(int(row[4])))
+            except ValueError:
+                continue  # torn write from a crash — redo that image
+    return done
+
+
+class _JournalWriter:
+    """Append-only finalized-rows journal; fsynced per batch so a crash
+    loses at most the in-flight batch (SURVEY.md §5 checkpoint/resume,
+    same idiom as the index builder's shard-atomic writes)."""
+
+    def __init__(self, path: str, fresh_header: bool):
+        self._f = open(path, "a", newline="")
+        self._w = csv.writer(self._f)
+        if fresh_header:
+            self._w.writerow(_JOURNAL_FIELDS)
+            self._sync()
+
+    def append(self, rows) -> None:
+        self._w.writerows(rows)
+        self._sync()
+
+    def _sync(self) -> None:
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def close(self) -> None:
+        self._f.close()
 
 
 class CascadePipeline:
@@ -148,6 +211,7 @@ class CascadePipeline:
         chunk_size: int = 224,
         verify_batch: int = 8,
         pipeline_depth: int = 2,
+        journal: Optional[str] = None,
     ) -> CascadeResult:
         """Chunked cascade for folders that don't fit one scoring pass.
 
@@ -164,7 +228,15 @@ class CascadePipeline:
         in flight as async device dispatches while the host loads and
         gates the next chunk — the host-side image decode for chunk i+1
         hides behind the device's verify of chunk i's survivors.
-        `pipeline_depth=0` forces the old synchronous flush."""
+        `pipeline_depth=0` forces the old synchronous flush.
+
+        `journal=FILE` makes the run CRASH-RESUMABLE: every image's final
+        row (scores, gate, verdict) is appended + fsynced as it finalizes
+        — gate-failures at chunk end, survivors when their verify pack
+        completes. Re-running with the same journal skips every finalized
+        image (no re-scoring, no re-verifying) and the combined result
+        equals a clean run. A torn tail line from a crash is ignored and
+        that image is redone."""
         stats = StageStats()
         n = len(paths)
         en_all = np.full(n, -np.inf, np.float32)
@@ -173,6 +245,26 @@ class CascadePipeline:
         gate_all = np.zeros(n, bool)
         pending: List[int] = []
         calls = 0
+
+        jw = None
+        todo = list(range(n))
+        if journal is not None:
+            done = _load_journal(journal)
+            if done:
+                todo = []
+                for i, p in enumerate(paths):
+                    row = done.get(p)
+                    if row is None:
+                        todo.append(i)
+                    else:
+                        en_all[i], cn_all[i], gate_all[i], verified[i] = row
+            jw = _JournalWriter(journal, fresh_header=not done)
+
+        def journal_rows(indices) -> None:
+            if jw is not None:
+                jw.append(_journal_row(paths[i], en_all[i], cn_all[i],
+                                       bool(gate_all[i]), bool(verified[i]))
+                          for i in indices)
 
         async_ok = (pipeline_depth > 0
                     and hasattr(self.verifier, "verify_batch_async")
@@ -185,6 +277,7 @@ class CascadePipeline:
                 answers = self.verifier.collect(handle)
             for i, ok in zip(batch, answers):
                 verified[i] = ok
+            journal_rows(batch)
 
         def flush(batch: List[int]):
             nonlocal calls
@@ -204,30 +297,39 @@ class CascadePipeline:
                     fixed_batch=verify_batch)
             for i, ok in zip(batch, answers):
                 verified[i] = ok
+            journal_rows(batch)
 
-        for start in range(0, n, chunk_size):
-            idx = np.arange(start, min(start + chunk_size, n))
-            chunk = [paths[i] for i in idx]
-            if self.en_scorer is not None:
-                with stats.timed("en_clip", count=len(chunk)):
-                    en_all[idx] = np.asarray(self.en_scorer(chunk), np.float32)
-            if self.cn_scorer is not None:
-                with stats.timed("cn_clip", count=len(chunk)):
-                    cn_all[idx] = np.asarray(self.cn_scorer(chunk), np.float32)
-            gate = ((en_all[idx] >= self.en_threshold)
-                    | (cn_all[idx] >= self.cn_threshold))
-            gate_all[idx] = gate
-            if self.verifier is None:
-                verified[idx] = gate
-                continue
-            pending.extend(int(i) for i in idx[gate])
-            while len(pending) >= verify_batch:
-                flush(pending[:verify_batch])
-                pending = pending[verify_batch:]
-        if pending:
-            flush(pending)
-        while in_flight:
-            drain_one()
+        try:
+            for start in range(0, len(todo), chunk_size):
+                idx = np.asarray(todo[start:start + chunk_size], np.int64)
+                chunk = [paths[i] for i in idx]
+                if self.en_scorer is not None:
+                    with stats.timed("en_clip", count=len(chunk)):
+                        en_all[idx] = np.asarray(self.en_scorer(chunk),
+                                                 np.float32)
+                if self.cn_scorer is not None:
+                    with stats.timed("cn_clip", count=len(chunk)):
+                        cn_all[idx] = np.asarray(self.cn_scorer(chunk),
+                                                 np.float32)
+                gate = ((en_all[idx] >= self.en_threshold)
+                        | (cn_all[idx] >= self.cn_threshold))
+                gate_all[idx] = gate
+                if self.verifier is None:
+                    verified[idx] = gate
+                    journal_rows(int(i) for i in idx)
+                    continue
+                journal_rows(int(i) for i in idx[~gate])
+                pending.extend(int(i) for i in idx[gate])
+                while len(pending) >= verify_batch:
+                    flush(pending[:verify_batch])
+                    pending = pending[verify_batch:]
+            if pending:
+                flush(pending)
+            while in_flight:
+                drain_one()
+        finally:
+            if jw is not None:
+                jw.close()
 
         metrics = None
         if labels is not None:

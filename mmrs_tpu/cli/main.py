@@ -370,15 +370,22 @@ def cmd_cascade(args) -> int:
         return 2
     pipe = CascadePipeline(en_scorer=scorer, en_threshold=args.threshold,
                            verifier=verifier)
-    if args.chunk_size:
+    if args.chunk_size or args.journal:
         # bounded-memory streaming with pipelined gate->verify (one
-        # compiled verify shape; async packs in flight)
+        # compiled verify shape; async packs in flight). --journal makes
+        # the run crash-resumable: finalized per-image rows are appended
+        # + fsynced as they complete, and a re-run with the same journal
+        # skips them (pipeline.run_streaming docs).
         res = pipe.run_streaming(paths, args.positive_class, labels=labels,
-                                 chunk_size=args.chunk_size,
-                                 verify_batch=args.verify_batch)
+                                 chunk_size=args.chunk_size or 224,
+                                 verify_batch=args.verify_batch,
+                                 journal=args.journal)
     else:
         res = pipe.run(paths, args.positive_class, labels=labels)
     print(res.summary())
+    if args.out:
+        res.write_csv(args.out)
+        print(f"audit csv: {args.out}")
     return 0
 
 
@@ -912,6 +919,12 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--chunk-size", type=int, default=0,
                     help="stream the folder in chunks of this many images "
                          "(bounded memory, pipelined verify); 0 = one pass")
+    ca.add_argument("--journal",
+                    help="crash-resume journal CSV: finalized rows are "
+                         "appended+fsynced as they complete; re-running "
+                         "with the same file skips them (implies "
+                         "streaming)")
+    ca.add_argument("--out", help="write the per-image audit CSV here")
     ca.add_argument("--config")
     ca.set_defaults(fn=cmd_cascade)
 

@@ -243,3 +243,115 @@ def test_pair_sweep_and_csv(tmp_path):
     assert os.path.exists(str(tmp_path / "sweep_dog.csv"))
     rows = open(summary).read().splitlines()
     assert rows[1].startswith("dog,wolf,")
+
+
+def _journal_fixture(n=23, seed=0):
+    rng = np.random.default_rng(seed)
+    paths = [f"img{i}.jpg" for i in range(n)]
+    en = {p: float(s) for p, s in zip(paths, rng.uniform(0, 30, n))}
+    cn = {p: float(s) for p, s in zip(paths, rng.uniform(0, 15, n))}
+    labels = list(rng.uniform(0, 1, n) > 0.5)
+    answers = {p: bool(rng.integers(0, 2)) for p in paths}
+
+    def build(verifier, count_scores=None):
+        def en_scorer(ps):
+            if count_scores is not None:
+                count_scores.extend(ps)
+            return [en[p] for p in ps]
+
+        return CascadePipeline(
+            en_scorer=en_scorer,
+            cn_scorer=lambda ps: [cn[p] for p in ps],
+            en_threshold=18.0, cn_threshold=9.0, verifier=verifier)
+
+    return paths, labels, answers, build
+
+
+def test_cascade_journal_written_and_csv_roundtrip(tmp_path):
+    """journal=FILE leaves a complete per-image ledger equal to the
+    result; write_csv emits the same rows."""
+    import csv
+
+    paths, labels, answers, build = _journal_fixture()
+    journal = str(tmp_path / "cascade.csv")
+    res = build(StubVerifier(answers=dict(answers))).run_streaming(
+        paths, "cat", labels=labels, chunk_size=7, verify_batch=4,
+        journal=journal)
+
+    def read(p):
+        with open(p, newline="") as f:
+            rows = {r[0]: r[1:] for r in csv.reader(f) if r[0] != "path"}
+        return rows
+
+    jrows = read(journal)
+    assert set(jrows) == set(paths)
+    for i, p in enumerate(paths):
+        assert int(jrows[p][2]) == int(res.gate_passed[i])
+        assert int(jrows[p][3]) == int(res.verified[i])
+
+    out = str(tmp_path / "audit.csv")
+    res.write_csv(out)
+    assert read(out) == jrows
+
+
+def test_cascade_journal_resume_skips_finalized(tmp_path):
+    """A run that dies mid-way resumes from the journal: finalized images
+    are neither re-scored nor re-verified, and the combined result equals
+    a clean run."""
+    paths, labels, answers, build = _journal_fixture()
+    journal = str(tmp_path / "cascade.csv")
+
+    class _DyingVerifier(StubVerifier):
+        def __init__(self, *a, die_after=2, **kw):
+            super().__init__(*a, **kw)
+            self.batches = 0
+            self.die_after = die_after
+
+        def verify_batch(self, image_paths, category, fixed_batch=None):
+            if self.batches >= self.die_after >= 0:
+                raise RuntimeError("simulated crash")
+            self.batches += 1
+            return [self.answers.get(p, self.default)
+                    for p in image_paths]
+
+    dying = _DyingVerifier(answers=dict(answers), die_after=2)
+    with pytest.raises(RuntimeError):
+        build(dying).run_streaming(paths, "cat", chunk_size=7,
+                                   verify_batch=4, journal=journal,
+                                   pipeline_depth=0)
+
+    # resume: the journal already holds every finalized row
+    from mmrs_tpu.cascade.pipeline import _load_journal
+
+    finalized = set(_load_journal(journal))
+    assert finalized  # the crash happened after some rows landed
+
+    scored = []
+    v2 = _DyingVerifier(answers=dict(answers), die_after=-1)
+    res = build(v2, count_scores=scored).run_streaming(
+        paths, "cat", labels=labels, chunk_size=7, verify_batch=4,
+        journal=journal, pipeline_depth=0)
+
+    # finalized images were not re-scored on the resume pass
+    assert not (set(scored) & finalized)
+
+    ref = build(StubVerifier(answers=dict(answers))).run(
+        paths, "cat", labels=labels)
+    np.testing.assert_array_equal(res.verified, ref.verified)
+    np.testing.assert_array_equal(res.gate_passed, ref.gate_passed)
+    assert res.metrics == ref.metrics
+
+
+def test_cascade_journal_ignores_torn_tail(tmp_path):
+    """A torn (partial) last line — the crash case fsync can leave — is
+    ignored and that image is redone."""
+    paths, labels, answers, build = _journal_fixture()
+    journal = str(tmp_path / "cascade.csv")
+    res1 = build(StubVerifier(answers=dict(answers))).run_streaming(
+        paths, "cat", chunk_size=7, verify_batch=4, journal=journal)
+    with open(journal, "a", newline="") as f:
+        f.write("imgX.jpg,12.")           # torn write
+    res = build(StubVerifier(answers=dict(answers))).run_streaming(
+        paths, "cat", labels=labels, chunk_size=7, verify_batch=4,
+        journal=journal)
+    np.testing.assert_array_equal(res.verified, res1.verified)
