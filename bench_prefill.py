@@ -44,18 +44,16 @@ def main() -> None:
     # for DMA amortization, the XLA path's worst f32-materialization case
     for pa in ("xla", "pallas"):
         out[f"nochunk_{pa}_b16_p576"] = run(
-            cfg7, f"7B nochunk {pa} b16 p576", True, 16,
-            kv_dtype=jnp.int8, prompt_len=576, params=p7, layers="fori",
-            new_tokens=1, prefill_attn=pa)
-    # chunk-size sweep (XLA path): smaller chunks re-stream the weights
-    # more times (6.88 GB per pass), larger ones grow the materialized
-    # f32 score tensors — the serving pc128 default came from r2, worth
-    # re-checking now that prefill dominates the cascade's verify cost
-    for pc in (192, 288):
+            cfg7, f"7B nochunk {pa} b16 p576", True, 16, new_tokens=1,
+            prefill_attn=pa, **dict(common, prefill_chunk=None))
+    # chunk-size sweep (XLA path): smaller chunks shrink the materialized
+    # f32 attention tensors, more chunks re-stream the 6.88 GB weights —
+    # pc64 measured optimal (516 ms; see COVERAGE.md for the full sweep)
+    for pc in (64, 192):
         out[f"prefill_only_xla_pc{pc}_b16_p576"] = run(
             cfg7, f"7B prefill-only xla pc{pc} b16 p576", True, 16,
-            kv_dtype=jnp.int8, prompt_len=576, params=p7, layers="fori",
-            prefill_chunk=pc, new_tokens=1, prefill_attn="xla")
+            new_tokens=1, prefill_attn="xla",
+            **dict(common, prefill_chunk=pc))
     free(p7)
     out["value"] = out.get("serving_pallas_b16_p576")
     print(json.dumps(out))

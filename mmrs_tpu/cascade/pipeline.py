@@ -71,7 +71,9 @@ class CascadeResult:
 
 
 def _journal_row(path, en, cn, gate, verified):
-    return [path, f"{float(en):.6g}", f"{float(cn):.6g}",
+    # %.9g round-trips float32 exactly, so a resumed run's scores equal
+    # the clean run's bit for bit
+    return [path, f"{float(en):.9g}", f"{float(cn):.9g}",
             int(gate), int(verified)]
 
 
@@ -98,7 +100,18 @@ class _JournalWriter:
     same idiom as the index builder's shard-atomic writes)."""
 
     def __init__(self, path: str, fresh_header: bool):
+        # a crash can leave a torn tail WITHOUT a trailing newline; make
+        # sure the first appended row starts a fresh line rather than
+        # merging into (and corrupting) the fragment
+        if os.path.exists(path) and os.path.getsize(path):
+            with open(path, "rb") as f:
+                f.seek(-1, os.SEEK_END)
+                needs_nl = f.read(1) != b"\n"
+        else:
+            needs_nl = False
         self._f = open(path, "a", newline="")
+        if needs_nl:
+            self._f.write("\r\n")
         self._w = csv.writer(self._f)
         if fresh_header:
             self._w.writerow(_JOURNAL_FIELDS)
@@ -256,8 +269,24 @@ class CascadePipeline:
                     row = done.get(p)
                     if row is None:
                         todo.append(i)
-                    else:
-                        en_all[i], cn_all[i], gate_all[i], verified[i] = row
+                        continue
+                    en, cn, old_gate, old_verified = row
+                    # the journal may have been written under DIFFERENT
+                    # thresholds — re-gate the stored scores. Same gate:
+                    # reuse the finalized verdict. Now-failing: flip to
+                    # negative (no verify needed). Now-passing but never
+                    # verified: REDO the image — a verdict can't be
+                    # invented (the last journal row per path wins, so
+                    # the redone row supersedes the stale one).
+                    new_gate = ((en >= self.en_threshold)
+                                or (cn >= self.cn_threshold))
+                    if new_gate and not old_gate and self.verifier is not None:
+                        todo.append(i)
+                        continue
+                    en_all[i], cn_all[i] = en, cn
+                    gate_all[i] = new_gate
+                    verified[i] = old_verified if new_gate == old_gate \
+                        else new_gate if self.verifier is None else False
             jw = _JournalWriter(journal, fresh_header=not done)
 
         def journal_rows(indices) -> None:

@@ -143,7 +143,10 @@ class TPULLaVAVerifier:
             # already avoid the big f32 materializations. The fused
             # chunk kernel (ops/decode_attention.chunk_attention) wins
             # 15% only when prefill_chunk is None (725 -> 617 ms).
+            # layers="scan" must stay XLA: a pallas_call inside lax.scan
+            # hangs this platform's compiler (CLAUDE.md).
             prefill_attn = ("pallas" if prefill_chunk is None
+                            and layers in ("fori", "unroll")
                             and jax.default_backend() == "tpu" else "xla")
         self.prefill_attn = prefill_attn
         # int8 KV cache (llama.QKVCache) halves per-step KV traffic and

@@ -355,3 +355,100 @@ def test_cascade_journal_ignores_torn_tail(tmp_path):
         paths, "cat", labels=labels, chunk_size=7, verify_batch=4,
         journal=journal)
     np.testing.assert_array_equal(res.verified, res1.verified)
+
+
+def test_cascade_journal_rethreshold_resume(tmp_path):
+    """Resuming with DIFFERENT thresholds re-gates the stored scores:
+    newly-failing rows flip negative, newly-passing rows are actually
+    re-verified (a verdict is never invented), and the result equals a
+    clean run at the new thresholds."""
+    rng = np.random.default_rng(0)
+    paths = [f"img{i}.jpg" for i in range(23)]
+    en = {p: float(s) for p, s in zip(paths, rng.uniform(0, 30, 23))}
+    cn = {p: float(s) for p, s in zip(paths, rng.uniform(0, 15, 23))}
+    labels = list(rng.uniform(0, 1, 23) > 0.5)
+    answers = {p: bool(rng.integers(0, 2)) for p in paths}
+
+    def build(verifier, en_thr):
+        return CascadePipeline(
+            en_scorer=lambda ps: [en[p] for p in ps],
+            cn_scorer=lambda ps: [cn[p] for p in ps],
+            en_threshold=en_thr, cn_threshold=9.0, verifier=verifier)
+
+    journal = str(tmp_path / "cascade.csv")
+    build(StubVerifier(answers=dict(answers)), 18.0).run_streaming(
+        paths, "cat", chunk_size=7, verify_batch=4, journal=journal)
+    old_gate = build(StubVerifier(answers=dict(answers)), 18.0).run(
+        paths, "cat").gate_passed
+
+    # resume at a LOWER EN threshold: some former gate-failures pass now
+    v = _PackStubVerifier(answers=dict(answers))
+    res = build(v, 10.0).run_streaming(
+        paths, "cat", labels=labels, chunk_size=7, verify_batch=4,
+        journal=journal)
+    clean = build(StubVerifier(answers=dict(answers)), 10.0).run(
+        paths, "cat", labels=labels)
+
+    np.testing.assert_array_equal(res.gate_passed, clean.gate_passed)
+    np.testing.assert_array_equal(res.verified, clean.verified)
+    # scores restored from the journal are bit-exact (%.9g round-trip)
+    np.testing.assert_array_equal(res.en_scores, clean.en_scores)
+    # only the NEWLY-passing images hit the verifier on the resume run
+    expect = {paths[i] for i in range(len(paths))
+              if clean.gate_passed[i] and not old_gate[i]}
+    assert expect  # the threshold change actually exposed new survivors
+    assert {p for p, _ in v.calls} == expect
+
+
+def test_cascade_journal_append_after_torn_tail(tmp_path):
+    """A torn tail WITHOUT a trailing newline must not swallow the first
+    row appended by the resume run."""
+    paths, labels, answers, build = _journal_fixture()
+    journal = str(tmp_path / "cascade.csv")
+    half = paths[:14]
+    build(StubVerifier(answers=dict(answers))).run_streaming(
+        half, "cat", chunk_size=7, verify_batch=4, journal=journal)
+    with open(journal, "a", newline="") as f:
+        f.write("imgTORN.jpg,1")          # torn write, no newline
+    res = build(StubVerifier(answers=dict(answers))).run_streaming(
+        paths, "cat", labels=labels, chunk_size=7, verify_batch=4,
+        journal=journal)
+    from mmrs_tpu.cascade.pipeline import _load_journal
+
+    rows = _load_journal(journal)
+    assert set(rows) == set(paths)        # nothing merged/swallowed
+    ref = build(StubVerifier(answers=dict(answers))).run(
+        paths, "cat", labels=labels)
+    np.testing.assert_array_equal(res.verified, ref.verified)
+
+
+def test_verifier_prefill_attn_auto_respects_scan_layers(monkeypatch):
+    """auto never picks the pallas chunk kernel under layers='scan' (a
+    pallas_call inside lax.scan hangs this platform's compiler)."""
+    import jax as _jax
+    import jax.numpy as jnp
+    from mmrs_tpu.models import llava
+    from mmrs_tpu.models.configs import VITConfig
+    from mmrs_tpu.models.llama import LlamaConfig
+    from mmrs_tpu.cascade.verifier import TPULLaVAVerifier
+
+    lcfg = LlamaConfig(vocab_size=64, dim=32, layers=1, heads=2,
+                       kv_heads=1, mlp_dim=64, max_seq=64)
+    vcfg = VITConfig(image_size=32, patch_size=8, width=32, layers=1,
+                     heads=2, embed_dim=16)
+    cfg = llava.LLaVAConfig(vision=vcfg, lm=lcfg)
+    params = llava.init(_jax.random.key(0), cfg)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+
+    class _Tok:
+        def encode(self, text):
+            return [3 + (ord(c) % 60) for c in text][:8]
+
+        def decode(self, ids):
+            return "x" * len(ids)
+
+    mk = lambda **kw: TPULLaVAVerifier(params, cfg, _Tok(),
+                                       image_size=32, **kw)
+    assert mk(layers="scan").prefill_attn == "xla"
+    assert mk(layers="fori").prefill_attn == "pallas"
+    assert mk(layers="fori", prefill_chunk=64).prefill_attn == "xla"
