@@ -66,11 +66,22 @@ class MicroBatcher:
 
     def submit_many(self, key: Hashable, payloads: Sequence[Any]) -> List[Any]:
         """Enqueue several items (they join the same drain, hence usually
-        the same handler call) and block until all results are ready."""
+        the same handler call) and block until all results are ready.
+
+        Raises RuntimeError once the batcher is closed — including for
+        items that raced close() into the queue (they are failed, never
+        silently dropped, so no caller blocks forever)."""
+        if self._stopped:
+            raise RuntimeError(f"{self.name}: submit after close()")
         self._ensure_worker()
         items = [_Item(key, p) for p in payloads]
         for it in items:
             self._queue.put(it)
+        if self._stopped:
+            # close() raced the enqueue: the worker may already be past
+            # its final cleanup, so fail whatever is still queued (our
+            # items included) rather than leave done.wait() hanging
+            self._fail_pending()
         out = []
         for it in items:
             it.done.wait()
@@ -80,9 +91,28 @@ class MicroBatcher:
         return out
 
     def close(self) -> None:
-        """Stop the worker (idempotent). In-flight items finish first."""
+        """Stop the worker (idempotent). In-flight items finish first;
+        items that race close() into the queue fail with RuntimeError."""
         self._stopped = True
         self._queue.put(None)
+
+    def _fail_pending(self) -> None:
+        """Fail every queued item (post-close cleanup; worker exit and
+        racing submitters may both run this — each item is consumed by
+        exactly one drainer)."""
+        saw_sentinel = False
+        while True:
+            try:
+                it = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if it is None:
+                saw_sentinel = True
+                continue
+            it.error = RuntimeError(f"{self.name}: closed")
+            it.done.set()
+        if saw_sentinel:
+            self._queue.put(None)  # keep the worker's wakeup visible
 
     # -- worker --------------------------------------------------------------
 
@@ -117,6 +147,12 @@ class MicroBatcher:
         return batch
 
     def _loop(self) -> None:
+        try:
+            self._serve()
+        finally:
+            self._fail_pending()
+
+    def _serve(self) -> None:
         while not self._stopped:
             batch = self._drain()
             if not batch:

@@ -130,6 +130,19 @@ def speculative_generate(
             cur = jnp.argmax(lg[:, -1, :], axis=-1).astype(jnp.int32)
             drafts.append(cur)
         d = jnp.stack(drafts, axis=1)           # [B, k]
+        # Backfill the draft cache slot at pos+k with d_k's KV (logits
+        # discarded). Without this, a FULLY-accepted round leaves that
+        # slot at its init zeros forever — the next round starts at
+        # pos+k+1, so every later draft softmax sees a permanent
+        # zero-KV hole and acceptance silently degrades in exactly the
+        # high-alpha regime speculation targets (measured: identical
+        # draft==target needed 14-20 rounds for 60 tokens instead of
+        # the ideal 12). Partial-acceptance rows rewrite this slot on
+        # their next round's first forward anyway.
+        _, dcache = forward(draft_params, embed_tokens(draft_params,
+                                                       cur[:, None]),
+                            dcache, pos + k, draft_cfg, cd,
+                            decode_attn=decode_attn, layers=layers)
 
         # --- target: ONE forward over [last_tok, d_1..d_k] ---
         seq = jnp.concatenate([last_tok[:, None], d], axis=1)  # [B, k+1]

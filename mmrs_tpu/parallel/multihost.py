@@ -46,10 +46,10 @@ def distributed_init(
     """
     # Probe the distributed client WITHOUT touching the XLA backend:
     # jax.process_count() would initialize it, and initialize() must run
-    # before any backend-creating call.
-    from jax._src import distributed as _dist
-
-    if _dist.global_state.client is not None:
+    # before any backend-creating call. Public API since jax 0.4.x; the
+    # private jax._src.distributed.global_state probe was review-flagged
+    # as an upgrade hazard.
+    if jax.distributed.is_initialized():
         return jax.process_count() > 1
     if coordinator_address is None and num_processes is None:
         # nothing requested and nothing detected: single-process run
@@ -122,8 +122,13 @@ def place_global_rows(local_rows: np.ndarray, n: int, mesh: Mesh,
     if local.shape[0] != hi - lo:
         raise ValueError(
             f"process owns rows [{lo}, {hi}) of {n}; got {local.shape[0]}")
-    stop_pad = -(-hi // per) * per if hi > lo else lo
-    pad = (stop_pad - lo) - local.shape[0]
+    # pad to the process's full ADDRESSABLE extent (every shard its
+    # devices touch), not just ceil(hi/per): with a small/awkward n the
+    # trailing shards hold only padding but still need local rows — a
+    # shorter local makes make_array_from_process_local_data raise
+    first, last = _owned_span(mesh, axis)
+    extent = (last + 1 - first) * per if last >= first else 0
+    pad = extent - local.shape[0]
     if pad:
         local = np.pad(local, ((0, pad), (0, 0)))
     sharding = NamedSharding(mesh, P(axis, None))
@@ -137,15 +142,26 @@ def process_local_rows(n: int, mesh: Mesh, axis: str = DATA_AXIS):
     -style index builds where every host reads only its own shard files)."""
     shards = mesh.shape[axis]
     per = -(-n // shards)                       # ceil
-    # data-axis position of this process's devices (DCN-major layout)
+    first, last = _owned_span(mesh, axis)
+    if last < first:
+        return 0, 0
+    # clamp BOTH ends by n: a process whose shards start past the valid
+    # rows owns an empty (well-formed) range, not an inverted one
+    return min(n, first * per), min(n, (last + 1) * per)
+
+
+def _owned_span(mesh: Mesh, axis: str):
+    """(first, last) data-axis shard positions any of THIS process's
+    devices sit on (DCN-major layout); (0, -1) if none."""
     local_ids = {d.id for d in jax.local_devices()}
     rows = []
     axis_idx = list(mesh.axis_names).index(axis)
-    for pos in range(shards):
+    for pos in range(mesh.shape[axis]):
         idx = [slice(None)] * len(mesh.axis_names)
         idx[axis_idx] = pos
-        if any(d.id in local_ids for d in np.asarray(mesh.devices)[tuple(idx)].ravel()):
+        if any(d.id in local_ids
+               for d in np.asarray(mesh.devices)[tuple(idx)].ravel()):
             rows.append(pos)
     if not rows:
-        return 0, 0
-    return min(rows) * per, min(n, (max(rows) + 1) * per)
+        return 0, -1
+    return min(rows), max(rows)

@@ -61,14 +61,27 @@ class StageRecord:
 @dataclass
 class StageStats:
     stages: Dict[str, StageRecord] = field(default_factory=dict)
+    # guards the stages DICT itself (first record() of a new stage from a
+    # handler thread vs a concurrent /v1/stats iteration — the same
+    # mutated-during-iteration race percentile_seconds locks at the
+    # deque level)
+    _dict_lock: threading.Lock = field(default_factory=threading.Lock,
+                                       repr=False)
 
     def record(self, stage: str, seconds: float, count: int = 1) -> None:
-        rec = self.stages.setdefault(stage, StageRecord())
+        rec = self.stages.get(stage)
+        if rec is None:
+            with self._dict_lock:
+                rec = self.stages.setdefault(stage, StageRecord())
         rec.seconds += seconds
         rec.count += count
         rec.calls += 1
         with rec.lock:
             rec.recent.append(seconds)
+
+    def _items(self):
+        with self._dict_lock:
+            return list(self.stages.items())
 
     @contextmanager
     def timed(self, stage: str, count: int = 1) -> Iterator[None]:
@@ -80,7 +93,7 @@ class StageStats:
 
     def summary(self) -> str:
         lines = []
-        for name, rec in self.stages.items():
+        for name, rec in self._items():
             lines.append(
                 f"{name}: {rec.seconds:.4f}s total, {rec.count} items, "
                 f"{rec.calls} calls, {rec.items_per_sec:.1f} items/s, "
@@ -100,7 +113,7 @@ class StageStats:
                 "p50_seconds": rec.percentile_seconds(50),
                 "p99_seconds": rec.percentile_seconds(99),
             }
-            for name, rec in self.stages.items()
+            for name, rec in self._items()
         }
 
 

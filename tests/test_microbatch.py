@@ -91,3 +91,77 @@ def test_close_is_idempotent_and_fast():
     mb.close()
     mb.close()
     assert time.monotonic() - t0 < 1.0
+
+
+def test_submit_after_close_raises():
+    mb = MicroBatcher(lambda k, xs: xs, batch_window=0.001)
+    assert mb.submit("k", 1) == 1
+    mb.close()
+    with pytest.raises(RuntimeError):
+        mb.submit("k", 2)
+
+
+def test_close_never_strands_racing_submitters():
+    """Submitters racing close() must either complete or raise — never
+    hang in done.wait() (review finding: items enqueued after the stop
+    sentinel were silently dropped)."""
+    import threading
+    import time as _time
+
+    mb = MicroBatcher(lambda k, xs: [x * 2 for x in xs],
+                      batch_window=0.001)
+    outcomes = []
+
+    def pound():
+        for i in range(200):
+            try:
+                outcomes.append(mb.submit("k", i))
+            except RuntimeError:
+                outcomes.append("closed")
+                return
+
+    threads = [threading.Thread(target=pound) for _ in range(4)]
+    for t in threads:
+        t.start()
+    _time.sleep(0.01)
+    mb.close()
+    for t in threads:
+        t.join(timeout=10)
+    assert not any(t.is_alive() for t in threads), "submitter stranded"
+
+
+def test_stage_stats_concurrent_new_stages():
+    """as_dict() while other threads create NEW stages must not raise
+    (dictionary-changed-size race; the /v1/stats poll path)."""
+    import threading
+    from mmrs_tpu.utils.stats import StageStats
+
+    stats = StageStats()
+    stop = threading.Event()
+    errors = []
+
+    def writer(wid):
+        i = 0
+        while not stop.is_set():
+            stats.record(f"stage_{wid}_{i}", 0.001)
+            i += 1
+
+    def reader():
+        try:
+            while not stop.is_set():
+                stats.as_dict()
+                stats.summary()
+        except Exception as e:  # pragma: no cover - the regression
+            errors.append(e)
+
+    ts = ([threading.Thread(target=writer, args=(w,)) for w in range(3)]
+          + [threading.Thread(target=reader)])
+    for t in ts:
+        t.start()
+    import time as _time
+
+    _time.sleep(0.4)
+    stop.set()
+    for t in ts:
+        t.join(timeout=5)
+    assert not errors, errors

@@ -152,3 +152,22 @@ def test_search_hp_on_mesh_matches_single_device():
     assert (out.beta, out.alpha) == (ref.beta, ref.alpha)
     # non-divisible beta count exercises the pad path (50 % 8 != 0)
     assert out.grid.shape == (50, 10)
+
+
+def test_place_global_rows_small_awkward_n():
+    """n small enough to leave trailing data-axis shards entirely empty
+    must still place (review repro: n=9/n=5 on 8 shards raised
+    ValueError when padding stopped short of the addressable extent)."""
+    import numpy as np
+    from mmrs_tpu.parallel.multihost import (make_hybrid_mesh,
+                                             place_global_rows,
+                                             process_local_rows)
+
+    mesh = make_hybrid_mesh()
+    for n in (9, 5, 1, 8, 16):
+        lo, hi = process_local_rows(n, mesh)
+        assert 0 <= lo <= hi <= n
+        g = np.arange((hi - lo) * 4, dtype=np.float32).reshape(hi - lo, 4)
+        a = place_global_rows(g, n, mesh)
+        got = np.asarray(a)[:n]
+        np.testing.assert_array_equal(got[lo:hi], g)

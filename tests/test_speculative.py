@@ -173,3 +173,24 @@ def test_guards(models):
                       mlp_dim=64, max_seq=96)
     with pytest.raises(ValueError, match="vocab"):
         speculative_generate(tparams, dparams, te, de, TCFG, bad)
+
+
+def test_full_acceptance_uses_ideal_round_count(models):
+    """With draft == target every proposal must be accepted, so the round
+    count equals ceil((max_new - 1) / (k + 1)). The review reproduced
+    14-20 rounds instead of the ideal 12 before the draft-cache backfill
+    (the slot at pos+k stayed zero-KV after each fully-accepted round,
+    degrading later proposals)."""
+    tparams, _ = models
+    rng = np.random.default_rng(11)
+    prompt = jnp.asarray(rng.integers(3, 90, (2, 7)), jnp.int32)
+    emb = llama.embed_tokens(tparams, prompt)
+    k, max_new = 3, 24
+    out, stats = speculative_generate(
+        tparams, tparams, emb, emb, TCFG, TCFG, max_new_tokens=max_new,
+        draft_tokens=k, eos_token=-1, compute_dtype=jnp.float32,
+        return_stats=True)
+    ref = _greedy(tparams, prompt, max_new)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    ideal = -(-(max_new - 1) // (k + 1))
+    assert int(stats["rounds"]) == ideal, (int(stats["rounds"]), ideal)
