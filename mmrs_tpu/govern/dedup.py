@@ -160,16 +160,35 @@ def perceptual_dedup(
     from mmrs_tpu.govern.native import hamming_first_match
 
     first = hamming_first_match(stacked, threshold=threshold)
-    # first[i] is the earliest (largest-file) match; because the list is
-    # size-ordered and first matches resolve to still-earlier rows, walk the
-    # chain to the ultimate keeper.
-    for i in range(len(names)):
+    # first[i] is the earliest match among ALL predecessors — a parallel
+    # prefilter. The reference compares each file only against KEPT
+    # files (tool/find_repeated_in_same_folder.py:82-90): a row whose
+    # only matches were themselves deleted must be KEPT, so resolve the
+    # flagged candidates sequentially against the kept set. (The old
+    # first-match chain walk over-deleted: A~B, B~C, A!~C kept only A,
+    # while the reference keeps A and C.)
+    kept = first < 0                  # no predecessor match at all: kept
+    for i in np.nonzero(first >= 0)[0]:
         j = int(first[i])
-        if j < 0:
+        if kept[j]:
+            # the first OVERALL match is kept => it is also the first
+            # kept match (nothing matched before it at all)
+            report.duplicates.append((names[i], names[j]))
             continue
-        while int(first[j]) >= 0:
-            j = int(first[j])
-        report.duplicates.append((names[i], names[j]))
+        # first match was itself deleted: scan kept predecessors in
+        # order (vectorized popcount over all 3 hash kinds)
+        prev_kept = np.nonzero(kept[:i])[0]
+        if prev_kept.size:
+            x = stacked[:, prev_kept] ^ stacked[:, i:i + 1]   # [H, P]
+            hit = (np.bitwise_count(x) <= threshold).any(axis=0)
+            hits = np.nonzero(hit)[0]
+        else:
+            hits = np.empty(0, np.int64)
+        if hits.size:
+            report.duplicates.append((names[i],
+                                      names[int(prev_kept[hits[0]])]))
+        else:
+            kept[i] = True
     _apply_removals(report, dry_run)
     return report
 

@@ -63,12 +63,18 @@ def canonical_rename(root: str, dry_run: bool = True, seed: int = 0) -> RenameRe
             tmp = f"__tmp_{rng.getrandbits(64):016x}{ext}"
             os.rename(os.path.join(d, f), os.path.join(d, tmp))
             temp_names.append(tmp)
-        # Phase 2: sequential canonical names (:50-66).
-        for i, tmp in enumerate(sorted(temp_names), 1):
+        # Phase 2: sequential canonical names (:50-66) in the ORIGINAL
+        # files' sorted order — sorting the random temp names would
+        # assign numbers by a random permutation, contradicting the
+        # dry-run plan (the approval artifact) — and the report maps
+        # the ORIGINAL path to its final name so the audit trail is
+        # usable.
+        for i, (orig, tmp) in enumerate(zip(files, temp_names), 1):
             ext = os.path.splitext(tmp)[1]
             dst = f"{sub}{i}{ext}"
             os.rename(os.path.join(d, tmp), os.path.join(d, dst))
-            report.renamed.append((os.path.join(d, tmp), os.path.join(d, dst)))
+            report.renamed.append((os.path.join(d, orig),
+                                   os.path.join(d, dst)))
     return report
 
 
@@ -94,6 +100,10 @@ def merge_folders(
     numbering after the destination's current max index; optionally
     re-sequence the destination afterwards (tool/combine.py:48-140)."""
     report = RenameReport(dry_run=dry_run)
+    # per-destination counters so a dry run predicts the real run when
+    # SEVERAL sources map to one destination (the real run sees earlier
+    # sources' moves via _max_index; the dry run must carry the count)
+    counters: Dict[str, int] = {}
     for src_name, dst_name in mapping.items():
         src = os.path.join(root, src_name)
         dst = os.path.join(root, dst_name)
@@ -101,7 +111,9 @@ def merge_folders(
             continue
         if not dry_run:
             os.makedirs(dst, exist_ok=True)
-        idx = _max_index(dst) if os.path.isdir(dst) else 0
+        idx = counters.get(dst)
+        if idx is None:
+            idx = _max_index(dst) if os.path.isdir(dst) else 0
         for f in _files(src):
             idx += 1
             ext = os.path.splitext(f)[1].lower()
@@ -109,6 +121,7 @@ def merge_folders(
             report.moved.append((os.path.join(src, f), target))
             if not dry_run:
                 shutil.move(os.path.join(src, f), target)
+        counters[dst] = idx
         if not dry_run and not _files(src):
             os.rmdir(src)
     if resequence and not dry_run:

@@ -35,8 +35,12 @@ def load_library() -> Optional[ctypes.CDLL]:
     _TRIED = True
     d = _native_dir()
     so = os.path.join(d, "libmmrs_govern.so")
-    if not os.path.exists(so):
-        src = os.path.join(d, "govern_core.cpp")
+    src = os.path.join(d, "govern_core.cpp")
+    stale = (os.path.exists(so) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(so))
+    if not os.path.exists(so) or stale:
+        # rebuild on source edits too — a lingering .so would silently
+        # keep running old native code
         if not os.path.exists(src):
             return None
         try:
@@ -44,7 +48,8 @@ def load_library() -> Optional[ctypes.CDLL]:
                            capture_output=True)
         except Exception as e:  # noqa: BLE001
             log.warning("native build failed, using numpy fallback: %r", e)
-            return None
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError as e:
@@ -98,12 +103,16 @@ def md5_files(paths: Sequence[str], threads: int = 0
                 hexes.append("")
         return hexes, ok
 
-    blob = b"".join(p.encode() + b"\0" for p in paths)
+    # os.fsencode, not str.encode: non-UTF8 filenames arrive from
+    # os.listdir as surrogate-escaped str and must round-trip to the
+    # original bytes (str.encode raises and would abort the whole batch)
+    encoded = [os.fsencode(p) for p in paths]
+    blob = b"".join(e + b"\0" for e in encoded)
     offsets = np.zeros(len(paths), np.int64)
     pos = 0
-    for i, p in enumerate(paths):
+    for i, e in enumerate(encoded):
         offsets[i] = pos
-        pos += len(p.encode()) + 1
+        pos += len(e) + 1
     out = np.zeros((len(paths), 16), np.uint8)
     ok = np.zeros(len(paths), np.uint8)
     lib.md5_files(

@@ -3,8 +3,10 @@
   - convert_to_jpeg: png/bmp/gif/tiff/webp -> JPEG q95; alpha composited
     onto WHITE; palette/exotic modes -> RGB
     (tool/Image format conversion.py:5-71 incl. :49-53 alpha handling).
-  - delete_non_jpeg: remove every non-.jpg/.jpeg file under a tree
-    (tool/delete.py:4-73), dry-run by default.
+  - delete_non_jpeg: remove every non-.jpg/.jpeg IMAGE file under a
+    tree (tool/delete.py:18-34 matches against its image_extensions
+    list, so .txt/.mp4 and other non-image files are untouched — same
+    here), dry-run by default.
 """
 
 from __future__ import annotations
@@ -43,6 +45,13 @@ def convert_to_jpeg(
                 continue
             src = os.path.join(dirpath, fn)
             dst = os.path.splitext(src)[0] + ".jpg"
+            if os.path.exists(dst):
+                # a DISTINCT photo.jpg already sits next to photo.png —
+                # converting would silently destroy it; skip + report
+                # (the dry-run predicts the same outcome)
+                report.errors.append(
+                    (src, f"target exists, not overwriting: {dst}"))
+                continue
             try:
                 if not dry_run:
                     with Image.open(src) as img:

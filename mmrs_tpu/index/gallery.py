@@ -123,6 +123,15 @@ def _shard_fingerprint(directory: str, shards: List[dict]) -> List[list]:
     return fp
 
 
+def _next_shard_id(shards: List[dict]) -> int:
+    """1 + the max id parsed from existing shard FILENAMES. Positional
+    len(shards) is wrong after a compaction dropped a shard (ids then no
+    longer match positions, and reusing one overwrites a live file)."""
+    return 1 + max(
+        (int(s["data"].split("_")[1].split(".")[0]) for s in shards),
+        default=-1)
+
+
 def _write_shard(directory: str, shard_id: int, rows: np.ndarray,
                  meta: List[Tuple[str, str]]) -> dict:
     data_name = f"shard_{shard_id:05d}.npy"
@@ -166,7 +175,8 @@ def _stream_into(
         if not buf_meta:
             return
         rows = np.concatenate(buf_rows, axis=0)
-        entry = _write_shard(out_dir, len(shards), rows, buf_meta)
+        entry = _write_shard(out_dir, _next_shard_id(shards), rows,
+                             buf_meta)
         entry["samples"] = shard_samples
         shards.append(entry)
         _write_manifest(out_dir, shards, int(rows.shape[1]))
@@ -272,9 +282,7 @@ def compact_index(
     # rewritten shards get FRESH ids past every existing one — reusing
     # positional ids could overwrite a kept shard's file mid-compaction
     # (ids are parsed from names: repeated compactions keep growing them)
-    next_id = 1 + max(
-        (int(s["data"].split("_")[1].split(".")[0]) for s in man["shards"]),
-        default=-1)
+    next_id = _next_shard_id(man["shards"])
     stale_files: List[str] = []
     for s in man["shards"]:
         with open(os.path.join(out_dir, s["meta"]), encoding="utf-8") as f:

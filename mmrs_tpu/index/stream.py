@@ -98,7 +98,10 @@ def streaming_topk(
         if kk < k:                # tiny tail chunk: pad with sentinels
             vals = jnp.pad(vals, ((0, 0), (0, k - kk)),
                            constant_values=-np.inf)
-            idxs = jnp.pad(idxs, ((0, 0), (0, k - kk)), constant_values=-a)
+            # -(a+1) so the +off in drain_one yields a GLOBAL index of
+            # -1 (the unambiguous sentinel); -a would map to row 0
+            idxs = jnp.pad(idxs, ((0, 0), (0, k - kk)),
+                           constant_values=-(a + 1))
         # keep a reference to the chunk until its result is fetched so the
         # allocator cannot recycle it mid-flight, then let it free
         pending.append((a, vals, idxs, chunk))

@@ -23,17 +23,18 @@ IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".gif", ".tiff", ".webp")
 
 
 def has_transparency(img) -> bool:
-    """True if the PIL image carries any alpha information."""
+    """True if the PIL image carries any alpha information.
+
+    P-mode transparency always arrives via img.info['transparency'] (a
+    palette index or per-index bytes), which the first check covers —
+    there is no separate palette scan to do (an earlier index==
+    transparent loop here was unreachable: it only ran when the info
+    key was absent)."""
     if img.info.get("transparency", None) is not None:
         return True
-    if img.mode == "P":
-        transparent = img.info.get("transparency", -1)
-        for _, index in img.getcolors() or []:
-            if index == transparent:
-                return True
-    elif img.mode == "RGBA":
+    if img.mode in ("RGBA", "LA"):
         extrema = img.getextrema()
-        if extrema[3][0] < 255:
+        if extrema[-1][0] < 255:
             return True
     return False
 

@@ -321,3 +321,101 @@ def test_embedding_dedup_ragged_on_mesh():
     rep = embedding_dedup(x, paths, tau=0.999, dry_run=True,
                           mesh=make_mesh(MeshConfig()), impl="xla")
     assert rep.duplicates == [("p300", "p7")]
+
+
+def test_convert_to_jpeg_never_clobbers_existing_jpg(tmp_path):
+    """photo.png next to a DISTINCT photo.jpg: converting must not
+    overwrite the jpg (reported as an error, file untouched)."""
+    from mmrs_tpu.govern.normalize import convert_to_jpeg
+
+    png = tmp_path / "photo.png"
+    jpg = tmp_path / "photo.jpg"
+    Image.fromarray(np.full((8, 8, 3), 10, np.uint8)).save(png)
+    Image.fromarray(np.full((8, 8, 3), 200, np.uint8)).save(jpg)
+    original = jpg.read_bytes()
+
+    rep = convert_to_jpeg(str(tmp_path), dry_run=False)
+    assert jpg.read_bytes() == original
+    assert png.exists()                      # source not removed either
+    assert any("not overwriting" in msg for _, msg in rep.errors)
+    # the dry run predicts the same outcome
+    rep2 = convert_to_jpeg(str(tmp_path), dry_run=True)
+    assert any("not overwriting" in msg for _, msg in rep2.errors)
+
+
+def test_perceptual_dedup_keeps_transitive_nonmatches(tmp_path, monkeypatch):
+    """Reference semantics (find_repeated_in_same_folder.py:82-90): files
+    are compared against KEPT files only. A~B, B~C, A!~C must keep A and
+    C and delete only B (the old first-match chain walk deleted C too)."""
+    import mmrs_tpu.govern.dedup as dd
+    from mmrs_tpu.govern.hashing import PerceptualHashes
+
+    sizes = {"A.jpg": 300, "B.jpg": 200, "C.jpg": 100}
+    for name, size in sizes.items():
+        (tmp_path / name).write_bytes(b"x" * size)
+    hashes = {
+        "A.jpg": np.uint64(0),
+        "B.jpg": np.uint64(0x7),          # d(A,B)=3 <= 5
+        "C.jpg": np.uint64(0xF7),         # d(B,C)=4 <= 5, d(A,C)=7 > 5
+    }
+
+    def fake_hash_one(path, fn):
+        h = hashes[os.path.basename(path)]
+        return PerceptualHashes(phash=h, dhash=h, whash=h)
+
+    monkeypatch.setattr(dd, "_hash_one", fake_hash_one)
+    rep = dd.perceptual_dedup([str(tmp_path / n) for n in sizes],
+                              threshold=5, dry_run=True)
+    dups = {os.path.basename(d): os.path.basename(k)
+            for d, k in rep.duplicates}
+    assert dups == {"B.jpg": "A.jpg"}
+
+
+def test_canonical_rename_real_run_matches_dry_run_plan(tmp_path):
+    """The dry-run mapping is the approval artifact: the real run must
+    assign the SAME final names, and the report must map ORIGINAL paths
+    (not temp names) to finals."""
+    from mmrs_tpu.govern.manifest import canonical_rename
+
+    d = tmp_path / "cat"
+    d.mkdir()
+    contents = {}
+    for name in ("zeta.jpg", "alpha.jpg", "mid.png"):
+        data = name.encode() * 3
+        (d / name).write_bytes(data)
+        contents[name] = data
+
+    plan = canonical_rename(str(tmp_path), dry_run=True)
+    planned = {os.path.basename(s): os.path.basename(t)
+               for s, t in plan.renamed}
+    rep = canonical_rename(str(tmp_path), dry_run=False)
+    got = {os.path.basename(s): os.path.basename(t)
+           for s, t in rep.renamed}
+    assert got == planned
+    # and each renamed file holds its ORIGINAL bytes
+    for src, dst in rep.renamed:
+        assert (d / os.path.basename(dst)).read_bytes() \
+            == contents[os.path.basename(src)]
+
+
+def test_merge_folders_dry_run_predicts_shared_destination(tmp_path):
+    """Two sources mapping to one destination: the dry run must emit the
+    UNIQUE target names the real run produces (no colliding indexes)."""
+    from mmrs_tpu.govern.manifest import merge_folders
+
+    for src in ("m1", "m2"):
+        d = tmp_path / src
+        d.mkdir()
+        for i in range(2):
+            (d / f"{src}_{i}.jpg").write_bytes(b"j" * (i + 1))
+    mapping = {"m1": "cat", "m2": "cat"}
+
+    plan = merge_folders(str(tmp_path), mapping, dry_run=True)
+    targets = [os.path.basename(t) for _, t in plan.moved]
+    assert len(targets) == len(set(targets)) == 4
+
+    real = merge_folders(str(tmp_path), mapping, dry_run=False,
+                         resequence=False)
+    assert [os.path.basename(t) for _, t in real.moved] == targets
+    for _, t in real.moved:
+        assert os.path.exists(t)

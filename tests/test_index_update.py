@@ -80,3 +80,30 @@ def test_compact_drops_missing_and_predicate(index_dir):
     eng = SearchEngine(GalleryIndex.load(out))
     hits = eng.query_vectors(np.asarray(dropped.embeddings)[:1], top_k=2)
     assert hits[0][0].path == dropped.paths[0]
+
+
+def test_update_after_compact_never_overwrites_live_shard(index_dir):
+    """Appending after a compaction must mint FRESH shard ids — the old
+    positional len(shards) id collided with a surviving shard's file and
+    silently destroyed its rows (review repro)."""
+    root, out = index_dir
+    # drop the first class entirely -> shard ids no longer match positions
+    compact_index(out, keep=lambda p, c: c != "blue", drop_missing=False)
+    before = GalleryIndex.load(out, mmap=False)
+    _add_images(root, "green", (30, 200, 30), 4)
+    update_index(FolderDataset.from_root(root), _fake_encode, out)
+    after = GalleryIndex.load(out, mmap=False)
+    # update re-adds the on-disk blue images (no longer indexed)
+    # plus the new green ones
+    assert len(after.paths) == len(before.paths) + 4 + 5
+    # every pre-compaction row survived, bit-exact
+    pos = {p: i for i, p in enumerate(after.paths)}
+    for i, p in enumerate(before.paths):
+        np.testing.assert_array_equal(after.embeddings[pos[p]],
+                                      before.embeddings[i])
+    # and no duplicate shard files in the manifest
+    import json
+
+    with open(os.path.join(out, "manifest.json")) as f:
+        names = [s["data"] for s in json.load(f)["shards"]]
+    assert len(names) == len(set(names))

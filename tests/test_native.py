@@ -76,3 +76,21 @@ def test_hamming_cross_any_matches_oracle():
                 break
     np.testing.assert_array_equal(out, exp)
     assert out[10] == 40
+
+
+def test_md5_files_non_utf8_filename(tmp_path):
+    """Surrogate-escaped (non-UTF8) filenames must hash, not abort the
+    batch (str.encode raised; os.fsencode round-trips)."""
+    import hashlib
+
+    from mmrs_tpu.govern.native import md5_files
+
+    good = tmp_path / "ok.jpg"
+    good.write_bytes(b"hello")
+    weird = os.fsdecode(bytes(tmp_path) + b"/img_\xff.jpg")
+    with open(weird, "wb") as f:
+        f.write(b"world")
+    hexes, ok = md5_files([str(good), weird])
+    assert ok.all()
+    assert hexes[0] == hashlib.md5(b"hello").hexdigest()
+    assert hexes[1] == hashlib.md5(b"world").hexdigest()

@@ -76,3 +76,14 @@ def test_streaming_on_mesh_matches_oracle():
                           device_dtype=jnp.float32, impl="xla", mesh=mesh)
     np.testing.assert_array_equal(i, np.asarray(i_ref))
     np.testing.assert_allclose(v, np.asarray(v_ref), atol=1e-5)
+
+
+def test_streaming_fewer_rows_than_k_uses_minus_one_sentinel():
+    """n < k: the invalid slots must carry the unambiguous -1 index (the
+    old -offset padding mapped them to global row 0)."""
+    emb = _mk(7, 16)
+    v, i = streaming_topk(emb, emb[:2], k=10, chunk_rows=32,
+                          device_dtype=jnp.float32, impl="xla")
+    assert (i[:, :7] >= 0).all()
+    assert (i[:, 7:] == -1).all()
+    assert np.isneginf(np.asarray(v)[:, 7:]).all()
