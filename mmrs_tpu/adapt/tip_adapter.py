@@ -222,11 +222,17 @@ def train_tip_adapter_f(
     params = {"keys": jnp.asarray(keys, jnp.float32)}
     opt_state = tx.init(params)
 
+    # values/clip_weights/test_feats travel as jit ARGUMENTS, not closure
+    # captures (CLAUDE.md: captured arrays are baked into the compiled
+    # graph as constants and blow the remote compiler's request limit)
+    vals_j = jnp.asarray(values)
+    cw_j = jnp.asarray(clip_weights)
+    test_j = jnp.asarray(test_feats)
+
     @jax.jit
-    def step(params, opt_state, feats, labels):
+    def step(params, opt_state, feats, labels, vals, cw):
         def loss_fn(p):
-            logits = tip_logits(feats, p["keys"], values, clip_weights,
-                                alpha, beta)
+            logits = tip_logits(feats, p["keys"], vals, cw, alpha, beta)
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels
             ).mean()
@@ -236,9 +242,8 @@ def train_tip_adapter_f(
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def eval_preds(params):
-        logits = tip_logits(test_feats, params["keys"], values, clip_weights,
-                            alpha, beta)
+    def eval_preds(params, feats, vals, cw):
+        logits = tip_logits(feats, params["keys"], vals, cw, alpha, beta)
         return jnp.argmax(logits, axis=-1)
 
     rng = np.random.default_rng(seed)
@@ -252,9 +257,11 @@ def train_tip_adapter_f(
         for s in range(steps_per_epoch):
             idx = order[s * batch_size:(s + 1) * batch_size]
             params, opt_state, _ = step(
-                params, opt_state, feats_e[idx], train_labels[idx]
+                params, opt_state, feats_e[idx], train_labels[idx],
+                vals_j, cw_j
             )
-        f1 = macro_f1(eval_preds(params), test_labels, num_classes)
+        f1 = macro_f1(eval_preds(params, test_j, vals_j, cw_j),
+                      test_labels, num_classes)
         history.append(f1)
         if f1 > best_f1:
             best_f1, best_epoch = f1, epoch

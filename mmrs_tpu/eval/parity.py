@@ -79,14 +79,18 @@ def check_smoke(probs: np.ndarray, atol: float = 5e-3) -> SmokeResult:
 def threshold_parity(result, golden: dict, thr_atol: float = 0.05,
                      f1_atol: float = 0.01) -> dict:
     """Compare a SweepResult against a recorded notebook threshold."""
+    thr_ok = abs(result.best_threshold - golden["threshold"]) <= thr_atol
+    f1_ok = abs(result.best_f1 - golden["f1"]) <= f1_atol
     return {
         "best_threshold": result.best_threshold,
         "golden_threshold": golden["threshold"],
-        "threshold_ok": abs(result.best_threshold - golden["threshold"])
-        <= thr_atol,
+        "threshold_ok": thr_ok,
         "best_f1": result.best_f1,
         "golden_f1": golden["f1"],
-        "f1_ok": abs(result.best_f1 - golden["f1"]) <= f1_atol,
+        "f1_ok": f1_ok,
+        # the aggregated gate keys on "ok" — without it a failed
+        # headline threshold parity would not fail the release gate
+        "ok": bool(thr_ok and f1_ok),
     }
 
 
@@ -405,6 +409,11 @@ def release_gate(root: str, image: Optional[str] = None,
         elif image:
             report["smoke"] = {"skipped": "no bpe merges file in pack"}
         report["int8_tower"] = int8_geometry_gate(en_rm.params, en_rm.config)
+    elif image:
+        # --image was asked for but no EN tower resolves (e.g. the pack
+        # pairs hf_clip with taiyi_bert): record the skip, never drop
+        # the section silently (the gate's documented contract)
+        report["smoke"] = {"skipped": "no EN CLIP tower in pack"}
 
     # CN pair (HF CLIP image tower x Taiyi text tower)
     cn_towers = None
@@ -522,9 +531,14 @@ def rank_parity_report(
     qs /= np.linalg.norm(qs, axis=1, keepdims=True)
 
     # plant well-separated neighborhoods for the first `planted` queries:
-    # k rows at descending, well-spaced cosines to query i
-    for i in range(min(planted, queries)):
-        rows = rng.choice(n, size=k, replace=False)
+    # k rows at descending, well-spaced cosines to query i. Rows are
+    # drawn WITHOUT replacement across ALL planted queries — a shared
+    # row would let query i+1 overwrite query i's planted neighbor and
+    # fail the exact-match assertion with no real bf16 violation
+    n_planted = min(planted, queries)
+    all_rows = rng.choice(n, size=n_planted * k, replace=False)
+    for i in range(n_planted):
+        rows = all_rows[i * k:(i + 1) * k]
         for j, r in enumerate(rows):
             target = 0.95 - 0.03 * j          # gaps 10x the tie tolerance
             orth = rng.normal(size=d).astype(np.float32)

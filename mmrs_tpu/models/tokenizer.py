@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import gzip
 import html
+import unicodedata
 from functools import lru_cache
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -221,8 +222,6 @@ def _is_punct(ch: str) -> bool:
     cp = ord(ch)
     if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
         return True
-    import unicodedata
-
     return unicodedata.category(ch).startswith("P")
 
 
@@ -251,8 +250,24 @@ class BertWordPieceTokenizer:
         return cls(vocab, **kw)
 
     def basic_tokenize(self, text: str) -> List[str]:
+        # HF BasicTokenizer._clean_text: drop NUL/replacement/control
+        # chars; whitespace (incl. \t\n\r, which ARE category Cc) maps
+        # to " " — the isspace test must run before the control filter
+        cleaned: List[str] = []
+        for ch in text:
+            if ch.isspace():
+                cleaned.append(" ")
+            elif (ord(ch) not in (0, 0xFFFD)
+                  and not unicodedata.category(ch).startswith("C")):
+                cleaned.append(ch)
+        text = "".join(cleaned)
         if self.do_lower_case:
-            text = text.lower()
+            # HF: lowercase + strip accents (strip_accents defaults to
+            # None, which means "strip when lowercasing"): NFD then drop
+            # combining marks — "café" must tokenize like "cafe"
+            text = unicodedata.normalize("NFD", text.lower())
+            text = "".join(ch for ch in text
+                           if unicodedata.category(ch) != "Mn")
         out: List[str] = []
         buf: List[str] = []
 
@@ -274,6 +289,9 @@ class BertWordPieceTokenizer:
         return out
 
     def wordpiece(self, word: str) -> List[int]:
+        if len(word) > 100:
+            # HF WordpieceTokenizer.max_input_chars_per_word
+            return [self.unk]
         if word in self.vocab:
             return [self.vocab[word]]
         tokens: List[int] = []

@@ -93,18 +93,30 @@ def sweep(
     sims = np.asarray(sims, dtype=np.float32)
     positives = np.asarray(positives, dtype=bool)
     if thresholds is None:
-        if cfg.mode == "linspace":
-            lo, hi = float(sims.min()), float(sims.max())
-            thresholds = np.linspace(lo, hi, cfg.num_points, dtype=np.float32)
-        elif cfg.mode == "arange":
-            thresholds = np.arange(0.0, cfg.arange_stop, cfg.arange_step, dtype=np.float32)
-        else:
-            raise ValueError(f"unknown calibration mode {cfg.mode!r}")
+        thresholds = grid_thresholds(cfg, float(sims.min()),
+                                     float(sims.max()))
 
     tp, fp, fn = _sweep_counts(
         jnp.asarray(sims), jnp.asarray(positives), jnp.asarray(thresholds)
     )
     return result_from_counts(thresholds, tp, fp, fn)
+
+
+def grid_thresholds(cfg, lo: float, hi: float,
+                    scale: float = 1.0) -> np.ndarray:
+    """Threshold grid for a sweep (single source of truth — engine.
+    sweep_class shares it). linspace spans the observed [lo, hi];
+    arange is the reference's ABSOLUTE raw-cosine 0..1 grid
+    (CLIP/lab3.py), multiplied by `scale` when the sims being swept are
+    logit-scaled (without the scale a 0..1 grid against ~[-100, 100]
+    sims degenerates to predict-everything-positive)."""
+    if cfg.mode == "linspace":
+        return np.linspace(lo, hi, cfg.num_points, dtype=np.float32)
+    if cfg.mode == "arange":
+        grid = np.arange(0.0, cfg.arange_stop, cfg.arange_step,
+                         dtype=np.float32)
+        return (grid * scale).astype(np.float32) if scale != 1.0 else grid
+    raise ValueError(f"unknown calibration mode {cfg.mode!r}")
 
 
 def result_from_counts(thresholds, tp, fp, fn) -> SweepResult:

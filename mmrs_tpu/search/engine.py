@@ -227,22 +227,19 @@ class SearchEngine:
         Thresholds apply to SCALED sims (config.logit_scale), matching the
         reference's logit-scaled threshold tables."""
         from mmrs_tpu.config import CalibrationConfig
-        from mmrs_tpu.search.calibrate import _sweep_counts, result_from_counts
+        from mmrs_tpu.search.calibrate import (_sweep_counts,
+                                               grid_thresholds,
+                                               result_from_counts)
 
         cfg = calib_config or CalibrationConfig()
         sims = self.device_similarities(jnp.asarray(vector)[None, :])[0]
         sims = sims.astype(jnp.float32) * self.config.logit_scale
         pos = jnp.asarray(np.asarray(positives, bool))
         if thresholds is None:
-            if cfg.mode == "linspace":
-                lo = float(jnp.min(sims))
-                hi = float(jnp.max(sims))
-                thresholds = np.linspace(lo, hi, cfg.num_points,
-                                         dtype=np.float32)
-            elif cfg.mode == "arange":
-                thresholds = np.arange(0.0, cfg.arange_stop, cfg.arange_step,
-                                       dtype=np.float32)
-            else:
-                raise ValueError(f"unknown calibration mode {cfg.mode!r}")
+            # sims here are logit-SCALED, so the arange raw-cosine grid
+            # must be scaled too (grid_thresholds docs)
+            thresholds = grid_thresholds(cfg, float(jnp.min(sims)),
+                                         float(jnp.max(sims)),
+                                         scale=self.config.logit_scale)
         tp, fp, fn = _sweep_counts(sims, pos, jnp.asarray(thresholds))
         return result_from_counts(thresholds, tp, fp, fn)

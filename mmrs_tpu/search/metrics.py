@@ -40,10 +40,6 @@ class PRF1:
         }
 
 
-def _safe_div(num, den):
-    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
-
-
 def prf1_from_counts(tp: int, fp: int, fn: int) -> PRF1:
     """Guarded precision/recall/F1 (CLIP/lab1.py:114-117 semantics)."""
     precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0

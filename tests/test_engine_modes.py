@@ -120,3 +120,26 @@ def test_engine_quantized_mesh_composes():
             assert x.score == pytest.approx(y.score, abs=1e-3)
     assert h2[0][0].path == "img3.jpg"
     assert h2[1][0].path == "img999.jpg"
+
+
+def test_engine_sweep_class_arange_mode_scales_grid():
+    """The arange grid is the reference's RAW-cosine 0..1 grid; sims in
+    sweep_class are logit-scaled (x100), so the grid must scale too — an
+    unscaled grid is below every positive sim and degenerates to
+    predict-everything (best threshold ~0 at base-rate precision)."""
+    from mmrs_tpu.config import CalibrationConfig
+
+    idx = _make_index(n=256, d=16)
+    eng = SearchEngine(idx, SearchConfig(), device_dtype=jnp.float32)
+    # a query near the mean of class c0's rows
+    members = [i for i, c in enumerate(idx.classes) if c == "c0"]
+    q = idx.embeddings[members].mean(axis=0)
+    q /= np.linalg.norm(q)
+    positives = [c == "c0" for c in idx.classes]
+    res = eng.sweep_class(q, positives,
+                          calib_config=CalibrationConfig(mode="arange"))
+    # with the scaled grid a discriminative threshold exists well above 0
+    assert res.best_threshold > 1.0
+    # and it matches the linspace sweep's operating point to first order
+    res_lin = eng.sweep_class(q, positives)
+    assert abs(res.best_f1 - res_lin.best_f1) < 0.05

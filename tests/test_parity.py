@@ -73,6 +73,9 @@ def test_threshold_parity_logic():
     assert good["threshold_ok"] and good["f1_ok"]
     bad = parity.threshold_parity(res, parity.GOLDEN_CN_LYCHEE)
     assert not bad["threshold_ok"]
+    # the section carries the "ok" key the release gate aggregates on —
+    # without it a failed headline threshold never failed the gate
+    assert good["ok"] is True and bad["ok"] is False
 
 
 def test_cli_parity_rank_gate(capsys):

@@ -102,7 +102,12 @@ def test_wordpiece_matches_transformers(zh_vocab, tmp_path):
     hf = transformers.BertTokenizer(str(vocab_path))
     ours = BertWordPieceTokenizer(zh_vocab, max_length=32)
     for text in ["一张猫的图片", "photograph", "a photo", "狗猫",
-                 "unknownword 猫"]:
+                 "unknownword 猫",
+                 # accent stripping (HF lowercases + NFD-drops Mn),
+                 # control-char cleanup, tab/newline whitespace, and the
+                 # 100-char wordpiece cap — all review-flagged gaps
+                 "phötó", "a\tphoto\nof \x00猫", "PHOTO",
+                 "w" * 150 + " 猫"]:
         theirs = hf(text)["input_ids"]
         ids, mask = ours(text)
         n = mask[0].sum()
