@@ -147,7 +147,16 @@ def _from_dict(cls: Any, data: Dict[str, Any]) -> Any:
         if key not in fields:
             raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
         ftype = fields[key].type
-        default = fields[key].default_factory() if fields[key].default_factory is not dataclasses.MISSING else None  # type: ignore[misc]
+        # plain defaults AND default_factory defaults both drive the
+        # dataclass/tuple coercions (tuple-typed fields here all use
+        # plain defaults — factory-only sniffing left yaml round-trips
+        # returning lists for Tuple fields)
+        if fields[key].default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+            default = fields[key].default_factory()  # type: ignore[misc]
+        elif fields[key].default is not dataclasses.MISSING:
+            default = fields[key].default
+        else:
+            default = None
         if dataclasses.is_dataclass(default) and isinstance(value, dict):
             kwargs[key] = _from_dict(type(default), value)
         elif isinstance(value, list) and isinstance(default, tuple):

@@ -181,14 +181,16 @@ def mha_short_seq(
 
     NOTE for callers: on this platform a `pallas_call` inside `lax.scan`
     hangs compilation — use a Python-unrolled layer loop when impl is
-    "pallas" (see layers.run_blocks).
+    "pallas" (see layers.scan_blocks).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         return _mha_xla(q, k, v, heads)
     interpret = impl.endswith("_interpret")
-    block_b = _pick_block_b(*q.shape)
+    # pass the real itemsize: an f32 run budgeted at bf16's 2 bytes
+    # doubles the live-block VMEM footprint the heuristic bounds
+    block_b = _pick_block_b(*q.shape, q.dtype.itemsize)
     if impl.startswith("pallas_bd"):
         return _mha_pallas_bd(q, k, v, heads, block_b, interpret)
     return _mha_pallas(q, k, v, heads, block_b, interpret)

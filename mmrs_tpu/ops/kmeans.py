@@ -75,13 +75,15 @@ def silhouette_score(x: jnp.ndarray, assign: jnp.ndarray, k: int) -> jnp.ndarray
     counts = jnp.sum(onehot, axis=0)  # [k]
     # Mean distance from each point to each cluster: [N, k]
     sums = d @ onehot
-    same = onehot[jnp.arange(n), assign]  # always 1
-    del same
     own_count = counts[assign]
     # a: mean intra-cluster distance excluding self
     a = (sums[jnp.arange(n), assign]) / jnp.maximum(own_count - 1.0, 1.0)
-    # b: min mean distance to other clusters
-    mean_to = sums / jnp.maximum(counts[None, :], 1.0)
+    # b: min mean distance to other clusters. EMPTY clusters must read
+    # +inf, not 0 (their sums column is exactly 0, which would force
+    # b=0 and s=-1 for every point — sklearn errors on empty clusters;
+    # we exclude them so the k-scan sees the true silhouette)
+    mean_to = jnp.where(counts[None, :] > 0,
+                        sums / jnp.maximum(counts[None, :], 1.0), jnp.inf)
     mask = jax.nn.one_hot(assign, k, dtype=jnp.bool_)
     b = jnp.min(jnp.where(mask, jnp.inf, mean_to), axis=1)
     s = jnp.where(own_count > 1, (b - a) / jnp.maximum(jnp.maximum(a, b), 1e-12), 0.0)

@@ -61,21 +61,13 @@ def resize_center_crop(img, size: int = 224):
 
 def hf_resize_center_crop(img, size: int = 224):
     """HF CLIPImageProcessor path (used by the Chinese tower,
-    CLIP-Chinese/lab_chinese.py:29): shortest-edge resize WITHOUT the
-    round-to-int aspect quirk differences, then center crop. PIL bicubic as
-    well; kept as a separate function so each tower gets its exact stack."""
-    from PIL import Image
-
-    w, h = img.size
-    short, long = (w, h) if w <= h else (h, w)
-    new_short = size
-    new_long = int(size * long / short)
-    nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
-    img = img.resize((nw, nh), Image.BICUBIC)
-    left = (nw - size) // 2
-    top = (nh - size) // 2
-    img = img.crop((left, top, left + size, top + size))
-    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    CLIP-Chinese/lab_chinese.py:29). Differentially verified byte-
+    identical to resize_center_crop against the real transformers
+    CLIPImageProcessor across aspect ratios (tests/test_bilingual_
+    augment.py) — HF's shortest-edge resize + center crop coincides
+    with the torchvision stack, so this is an alias, not a duplicate
+    implementation."""
+    return resize_center_crop(img, size)
 
 
 # --------------------------------------------------------------------------

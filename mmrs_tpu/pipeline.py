@@ -66,6 +66,15 @@ def build_towers(cfg: Config, tokenizer=None) -> Towers:
         # tiny pair exists for CI/smoke runs
         taiyi = (TAIYI_TINY if cfg.model.image_tower == "vit_tiny"
                  else TAIYI_ROBERTA_LARGE)
+        if taiyi.num_labels != vision.embed_dim:
+            # fail NOW with a clear message, not later with an opaque
+            # [B,512] @ [C,768].T shape error deep in the search path
+            raise ValueError(
+                f"text tower 'taiyi_roberta' projects to "
+                f"{taiyi.num_labels}-d but image tower "
+                f"{cfg.model.image_tower!r} embeds {vision.embed_dim}-d; "
+                f"pair Taiyi with vit_l14 (the reference's pairing) or "
+                f"vit_tiny")
         ccfg = TaiyiCLIPConfig(vision=vision, text=taiyi)
     else:
         text = {"vit_b32": CLIP_TEXT_B32, "vit_l14": CLIP_TEXT_L14,

@@ -77,3 +77,26 @@ def test_augmented_epochs_deterministic(tmp_path):
     assert len(e1) == 2 and e1[0].shape == (1, 32, 32, 3)
     np.testing.assert_array_equal(e1[0], e2[0])
     assert not np.array_equal(e1[0], e1[1])  # different views per epoch
+
+
+def test_hf_resize_matches_transformers_processor():
+    """hf_resize_center_crop (the Chinese tower's stack) is an alias of
+    resize_center_crop — differentially verified byte-identical to the
+    REAL transformers CLIPImageProcessor across aspect ratios."""
+    transformers = pytest.importorskip("transformers")
+    from mmrs_tpu.ops.preprocess import (hf_resize_center_crop,
+                                         resize_center_crop)
+
+    proc = transformers.CLIPImageProcessor(
+        size={"shortest_edge": 224},
+        crop_size={"height": 224, "width": 224},
+        do_normalize=False, do_rescale=False)
+    rng = np.random.default_rng(0)
+    for shape in [(300, 200), (13, 700), (225, 224), (101, 303)]:
+        arr = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        img = Image.fromarray(arr)
+        hf = np.asarray(proc(img, return_tensors="np")["pixel_values"]
+                        )[0].transpose(1, 2, 0).astype(np.uint8)
+        ours = hf_resize_center_crop(img, 224)
+        np.testing.assert_array_equal(ours, hf)
+        np.testing.assert_array_equal(ours, resize_center_crop(img, 224))

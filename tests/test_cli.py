@@ -231,3 +231,28 @@ def test_verifier_flags_draft_wiring():
         # usage error path: llava verifier without checkpoint+tokenizer
         a2 = p.parse_args([cmd, *extra, "--verifier", "llava"])
         assert _make_verifier(a2) == 2
+
+
+def test_config_roundtrip_preserves_tuple_fields(tmp_path):
+    """yaml round-trips must restore Tuple-typed fields as tuples (lists
+    broke str.endswith(cfg.gallery.extensions) and config equality)."""
+    from mmrs_tpu.config import Config, dump, load
+
+    cfg = Config()
+    p = tmp_path / "cfg.yaml"
+    dump(cfg, str(p))
+    back = load(str(p))
+    assert isinstance(back.gallery.extensions, tuple)
+    assert isinstance(back.adapter.search_scale, tuple)
+    assert back == cfg
+    "x.jpg".endswith(back.gallery.extensions)   # must not raise
+
+
+def test_build_towers_rejects_mismatched_taiyi_pairing():
+    from mmrs_tpu.config import Config, ModelConfig
+    from mmrs_tpu.pipeline import build_towers
+
+    cfg = Config(model=ModelConfig(image_tower="vit_b32",
+                                   text_tower="taiyi_roberta"))
+    with pytest.raises(ValueError, match="768-d"):
+        build_towers(cfg)

@@ -115,3 +115,22 @@ def test_build_prototype_dispatch():
         prototypes.build_prototype(feats, strategy="nope")
     with pytest.raises(ValueError):
         prototypes.build_prototype(feats, strategy="image_text_mean")
+
+
+def test_silhouette_ignores_empty_clusters():
+    """An empty cluster's mean-distance column must read +inf, not 0 —
+    the 0 forced b=0 and s=-1 for every point (sklearn errors on empty
+    clusters; we exclude them so the k-scan sees the true score)."""
+    import jax.numpy as jnp
+    from mmrs_tpu.ops.kmeans import silhouette_score
+
+    rng = np.random.default_rng(0)
+    a = rng.normal((0, 0), 0.05, (8, 2))
+    b = rng.normal((5, 5), 0.05, (8, 2))
+    x = jnp.asarray(np.concatenate([a, b]), jnp.float32)
+    assign = jnp.asarray([0] * 8 + [1] * 8)
+    s2 = float(silhouette_score(x, assign, 2))
+    # same assignment under k=3: cluster 2 is EMPTY; score must match
+    s3 = float(silhouette_score(x, assign, 3))
+    assert s2 > 0.9                      # well-separated blobs
+    assert abs(s3 - s2) < 1e-6
