@@ -100,14 +100,25 @@ def save_union_samples(
         writer.writerow([
             "basename", "en_sim", "cn_sim", "en_pass", "cn_pass", "source_path",
         ])
-        seen = set()
+        # several samples can share a basename (pos + neg dirs): the
+        # audited/copied one must be a sample that itself PASSES — the
+        # union sets are basename-level, so taking the first occurrence
+        # could write a row whose own sims contradict its pass flags
+        # and copy the non-passing file
+        union_set = en_set | cn_set
+        best = {}
         for s in samples:
-            if s.basename not in union or s.basename in seen:
+            if s.basename not in union_set:
                 continue
-            seen.add(s.basename)
+            passes = (s.en_sim >= en_threshold or s.cn_sim >= cn_threshold)
+            cur = best.get(s.basename)
+            if cur is None or (passes and not cur[0]):
+                best[s.basename] = (passes, s)
+        for s in (v[1] for v in best.values()):
             writer.writerow([
                 s.basename, f"{s.en_sim:.6f}", f"{s.cn_sim:.6f}",
-                int(s.basename in en_set), int(s.basename in cn_set), s.path,
+                int(s.en_sim >= en_threshold), int(s.cn_sim >= cn_threshold),
+                s.path,
             ])
             if copy_files:
                 try:

@@ -37,6 +37,10 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from mmrs_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
 PROMPT = "Does this image contain a {category}?"
 STRICT_PROMPT = (
     "Does this image contain a {category}? "
@@ -198,6 +202,12 @@ def build_v3(
     # easy negatives: same count as cross, per target class round-robin
     easy = list(easy_negatives)
     rng.shuffle(easy)
+    if len(easy) < len(cross):
+        # truncated like the reference, but LOUDLY (create_jsonl_
+        # dataset3.py:226-227 prints the same shortfall warning) — the
+        # Yes/No balance the dataset exists for is skewed
+        log.warning("easy-negative pool short: %d/%d — dataset balance "
+                    "is skewed", len(easy), len(cross))
     targets = sorted(images_by_class)
     for i, rec in enumerate(cross):
         if i >= len(easy):
@@ -252,6 +262,10 @@ def build_v4(
     simple: List[dict] = []
     easy = list(easy_negatives)
     rng.shuffle(easy)
+    need_simple = sum(int(n_neg_per_class * ratios[1]) for _ in balanced)
+    if len(easy) < need_simple:
+        log.warning("simple-negative pool short: %d/%d — v4 ratios are "
+                    "skewed", len(easy), need_simple)
     ei = 0
     for cls in sorted(balanced):
         take = int(n_neg_per_class * ratios[1])

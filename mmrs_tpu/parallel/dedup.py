@@ -39,11 +39,12 @@ def sharded_first_match(
     Ragged N is zero-padded to the next shard multiple; padding columns sit
     after every real column, are excluded by the `< n` mask, and padding
     rows are sliced off the output."""
+    from mmrs_tpu.parallel.topk import _pad_rows, padded_rows
+
     n = x.shape[0]
     s = mesh.shape[axis]
-    n_pad = ((n + s - 1) // s) * s
-    if n_pad != n:
-        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    n_pad = padded_rows(n, s)
+    x = _pad_rows(x, n_pad)
     rows_per = n_pad // s
 
     def local(x_shard):

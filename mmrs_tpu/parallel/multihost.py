@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
@@ -52,6 +54,12 @@ def distributed_init(
     if jax.distributed.is_initialized():
         return jax.process_count() > 1
     if coordinator_address is None and num_processes is None:
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            # env-var-configured cluster (the docstring's auto-detect
+            # path): initialize() must actually run, or every process
+            # silently stays single-host with its own private mesh
+            jax.distributed.initialize()
+            return jax.process_count() > 1
         # nothing requested and nothing detected: single-process run
         return jax.process_count() > 1
     jax.distributed.initialize(

@@ -49,6 +49,7 @@ Start via `mmrs serve --index DIR --port 8080 [--merges bpe.txt]`.
 from __future__ import annotations
 
 import base64
+import binascii
 import inspect
 import json
 import threading
@@ -368,8 +369,14 @@ def _make_handler(service: SearchService):
                     return self._reply(
                         400, {"error": "need text(s) or image(s)_b64"})
                 return self._reply(200, {"hits": hits})
-            except Exception as e:  # noqa: BLE001 — surface as 400, keep serving
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError, binascii.Error) as e:
+                # malformed request payloads are the CLIENT's fault
                 return self._reply(400, {"error": repr(e)})
+            except Exception as e:  # noqa: BLE001 — keep serving
+                # device/runtime/batcher faults are SERVER errors: a 400
+                # here miscounts monitoring and stops clients retrying
+                return self._reply(500, {"error": repr(e)})
 
     return Handler
 

@@ -73,10 +73,13 @@ class StageStats:
         if rec is None:
             with self._dict_lock:
                 rec = self.stages.setdefault(stage, StageRecord())
-        rec.seconds += seconds
-        rec.count += count
-        rec.calls += 1
+        # the scalar accumulators are read-modify-write: without the
+        # lock two handler threads interleave and drop increments,
+        # drifting the /v1/stats batching-factor numbers
         with rec.lock:
+            rec.seconds += seconds
+            rec.count += count
+            rec.calls += 1
             rec.recent.append(seconds)
 
     def _items(self):

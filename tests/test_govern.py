@@ -419,3 +419,30 @@ def test_merge_folders_dry_run_predicts_shared_destination(tmp_path):
     assert [os.path.basename(t) for _, t in real.moved] == targets
     for _, t in real.moved:
         assert os.path.exists(t)
+
+
+def test_union_samples_basename_collision_picks_passing_file(tmp_path):
+    """pos and neg dirs can share a basename: the audit row and the
+    copied file must be the sample that itself PASSES, not whichever
+    came first (whose flags would contradict its own sims)."""
+    pos = tmp_path / "pos"; pos.mkdir()
+    neg = tmp_path / "neg"; neg.mkdir()
+    p1 = pos / "0001.jpg"; _gradient_img(1).save(p1)
+    p2 = neg / "0001.jpg"; _gradient_img(2).save(p2)
+    samples = [
+        UnionSample(path=str(p1), basename="0001.jpg", is_positive=True,
+                    en_sim=10.0, cn_sim=5.0),          # fails both
+        UnionSample(path=str(p2), basename="0001.jpg", is_positive=False,
+                    en_sim=40.0, cn_sim=5.0),          # passes EN
+    ]
+    rep = save_union_samples(samples, "lychee", en_threshold=25.0,
+                             cn_threshold=11.0,
+                             out_root=str(tmp_path / "out"))
+    with open(rep.audit_csv) as f:
+        rows = f.read().strip().splitlines()
+    assert len(rows) == 2
+    base, en_sim, cn_sim, en_pass, cn_pass, src_path = rows[1].split(",")
+    assert float(en_sim) == 40.0 and en_pass == "1"    # self-consistent
+    assert src_path == str(p2)                         # the PASSING file
+    copied = (tmp_path / "out" / "lychee" / "0001.jpg").read_bytes()
+    assert copied == p2.read_bytes()
