@@ -31,6 +31,10 @@ from typing import List, Optional
 
 import numpy as np
 
+from mmrs_tpu.utils.logging import get_logger
+
+log_cli = get_logger(__name__)
+
 
 def _load_config(path: Optional[str]):
     from mmrs_tpu import config as config_mod
@@ -97,10 +101,19 @@ def cmd_search(args) -> int:
     towers = build_towers(cfg, tokenizer=_make_tokenizer(args, cfg))
 
     if args.image:
-        pixels = np.stack([load_image(p).pixels for p in args.image])
+        loaded = [load_image(p) for p in args.image]
+        bad = [p for p, r in zip(args.image, loaded) if not r.ok]
+        if bad:
+            # a quarantined (corrupt) query would embed as zeros and
+            # rank the gallery against a black image with exit 0
+            print("could not decode query image(s): " + ", ".join(bad),
+                  file=sys.stderr)
+            return 2
+        pixels = np.stack([r.pixels for r in loaded])
         vecs = towers.image_encode(pixels)
         if args.prototype and len(args.image) > 1:
-            hits = engine.query_prototype(vecs, strategy=args.prototype)
+            hits = engine.query_prototype(vecs, strategy=args.prototype,
+                                          top_k=args.k)
         else:
             hits = engine.query_image(vecs, top_k=args.k)
     elif args.text:
@@ -158,6 +171,13 @@ def _collect(root: str) -> List[str]:
 def cmd_dedup(args) -> int:
     from mmrs_tpu.govern import dedup as dd
 
+    need = {"exact": ("reference", "target"), "perceptual": ("target",),
+            "embedding": ("index",)}.get(args.mode, ())
+    missing = [f"--{n}" for n in need if not getattr(args, n, None)]
+    if missing:
+        print(f"dedup --mode {args.mode} needs {' and '.join(missing)}",
+              file=sys.stderr)
+        return 2
     dry = not args.no_dry_run
     if args.mode == "exact":
         rep = dd.exact_dedup(_collect(args.reference), _collect(args.target),
@@ -362,7 +382,17 @@ def cmd_cascade(args) -> int:
         for batch in sub.batches(128):
             e = towers.image_encode(batch.pixels)
             e = e / np.linalg.norm(e, axis=1, keepdims=True)
-            sims.extend((e @ embed) * cfg.search.logit_scale)
+            s = np.asarray((e @ embed) * cfg.search.logit_scale, np.float32)
+            # quarantined (corrupt) images decode to zero pixels; score
+            # them -inf so they can never pass the gate or reach the
+            # verifier/audit as normal rows
+            if not batch.ok.all():
+                for p, o in zip(batch.paths, batch.ok):
+                    if not o:
+                        log_cli.warning("corrupt image excluded from "
+                                        "cascade gate: %s", p)
+                s = np.where(batch.ok, s, -np.inf)
+            sims.extend(s)
         return sims
 
     verifier = _make_verifier(args)
@@ -619,7 +649,11 @@ def cmd_parity(args) -> int:
         }
         ok &= g_ok
 
-    if args.checkpoint:
+    # tokenizer-dependent checkpoint gates (smoke/threshold). When the
+    # checkpoint was only feeding --int8-tower, a missing tokenizer must
+    # not discard the gate report already computed above.
+    if args.checkpoint and (args.image or args.pos_dir or args.neg_dir
+                            or not report):
         cfg = _load_config(args.config)
         cfg.model.checkpoint_path = args.checkpoint
         from mmrs_tpu.pipeline import build_towers

@@ -8,6 +8,7 @@ CLIP/union_dataset.py:13 `combined_image_processing.log`).
 from __future__ import annotations
 
 import logging
+import os
 import sys
 from typing import Optional
 
@@ -21,8 +22,13 @@ def get_logger(name: str, logfile: Optional[str] = None) -> logging.Logger:
         logging.basicConfig(level=logging.INFO, format=_FORMAT, stream=sys.stderr)
         _configured = True
     logger = logging.getLogger(name)
+    # exact-path compare: endswith() let a logfile that is a SUFFIX of
+    # an attached handler's path (e.g. image_processing.log vs
+    # combined_image_processing.log — the two reference filenames) be
+    # silently skipped
     if logfile is not None and not any(
-        isinstance(h, logging.FileHandler) and h.baseFilename.endswith(logfile)
+        isinstance(h, logging.FileHandler)
+        and h.baseFilename == os.path.abspath(logfile)
         for h in logger.handlers
     ):
         fh = logging.FileHandler(logfile)

@@ -256,3 +256,37 @@ def test_build_towers_rejects_mismatched_taiyi_pairing():
                                    text_tower="taiyi_roberta"))
     with pytest.raises(ValueError, match="768-d"):
         build_towers(cfg)
+
+
+def test_cli_search_rejects_corrupt_query_image(tree, tmp_path):
+    """A corrupt --image query must exit 2, not silently embed zeros."""
+    from mmrs_tpu.index.gallery import build_index
+    from mmrs_tpu.io.dataset import FolderDataset
+
+    cfgp = str(tmp_path / "c.yaml")
+    open(cfgp, "w").write(TINY_CFG)
+    idx = str(tmp_path / "idx")
+    from mmrs_tpu.pipeline import build_towers
+    from mmrs_tpu.config import load as load_cfg
+
+    towers = build_towers(load_cfg(cfgp))
+    build_index(FolderDataset.from_root(tree), towers.image_encode, idx,
+                batch_size=4)
+    bad = tmp_path / "corrupt.jpg"
+    bad.write_bytes(b"not an image at all")
+    r = _run(["search", "--index", idx, "--image", str(bad),
+              "--config", cfgp])
+    assert r.returncode == 2
+    assert "could not decode" in r.stderr
+
+
+def test_cli_dedup_usage_errors_exit_2(capsys):
+    from mmrs_tpu.cli.main import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["dedup", "--mode", "exact", "--target", "/tmp/x"])
+    assert e.value.code == 2
+    assert "reference" in capsys.readouterr().err
+    with pytest.raises(SystemExit) as e:
+        main(["dedup", "--mode", "embedding"])
+    assert e.value.code == 2
