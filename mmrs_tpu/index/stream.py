@@ -39,6 +39,10 @@ def streaming_topk(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (values [Q, k] f32, global indices [Q, k] int64).
 
+    When the index holds fewer than k rows, the surplus slots carry
+    value -inf and index -1 (the unambiguous invalid sentinel) —
+    callers must not feed a negative index into paths[].
+
     Upload of chunk i+1 overlaps the scan of chunk i (JAX dispatch is
     async; results are fetched `prefetch` chunks behind). Peak device
     memory ~= (prefetch + 1) * chunk_rows * D * itemsize(device_dtype).
