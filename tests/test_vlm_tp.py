@@ -127,3 +127,27 @@ def test_tp_generate_fori_layers_compose():
                            layers="fori", prefill_chunk=4, early_stop=True)
     out = np.asarray(gen(sharded, embeds))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_tp8_generate_matches_single_device():
+    """TP=8 (the whole 8-device mesh on the model axis): heads, kv-heads,
+    and MLP split 8 ways — the widest single-host ICI TP a v5e tray
+    serves."""
+    cfg = LlamaConfig(vocab_size=96, dim=128, layers=2, heads=8,
+                      kv_heads=8, mlp_dim=256, max_seq=64)
+    params = llama.init(jax.random.key(5), cfg)
+    rng = np.random.default_rng(5)
+    prompt = jnp.asarray(rng.integers(3, 90, (2, 5)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+
+    ref = np.asarray(llama.greedy_generate(
+        params, embeds, cfg, max_new_tokens=6, eos_token=-1,
+        compute_dtype=jnp.float32, kv_dtype=jnp.int8))
+
+    devices = np.asarray(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    sharded = shard_llama_params(params, mesh)
+    gen = make_tp_generate(cfg, mesh, max_new_tokens=6, eos_token=-1,
+                           compute_dtype=jnp.float32, kv_dtype=jnp.int8)
+    out = np.asarray(gen(sharded, embeds))
+    np.testing.assert_array_equal(out, ref)
