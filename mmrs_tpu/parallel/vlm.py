@@ -56,6 +56,12 @@ def shard_llama_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return jax.device_put(params, sh)
 
 
+def replicate_llama_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Host params replicated on every mesh device (the draft-model layout
+    when its head counts don't divide the model axis)."""
+    return jax.device_put(params, NamedSharding(mesh, P()))
+
+
 def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
                      eos_token: int = 2, compute_dtype=jnp.bfloat16,
                      kv_dtype=None, layers: str = "scan",
@@ -85,3 +91,64 @@ def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
                                      early_stop=early_stop)
 
     return jax.jit(gen, in_shardings=(param_sh, repl), out_shardings=repl)
+
+
+def draft_tp_divisible(draft_cfg: LlamaConfig, mesh: Mesh) -> bool:
+    """True iff the draft model's shapes admit the Megatron layout on
+    `mesh`'s model axis (same divisibility rules as the target)."""
+    tp = mesh.shape[MODEL_AXIS]
+    return (draft_cfg.heads % tp == 0 and draft_cfg.kv_heads % tp == 0
+            and draft_cfg.mlp_dim % tp == 0
+            and draft_cfg.vocab_size % tp == 0)
+
+
+def make_tp_speculative_generate(
+        target_cfg: LlamaConfig, draft_cfg: LlamaConfig, mesh: Mesh,
+        max_new_tokens: int, draft_tokens: int = 4, eos_token: int = 2,
+        compute_dtype=jnp.bfloat16, kv_dtype=None, layers: str = "scan",
+        prefill_chunk: int | None = None, decode_attn: str = "xla",
+        prefill_attn: str = "xla", shard_draft: bool | None = None,
+        return_stats: bool = False):
+    """Speculative greedy decode with the TARGET TP-sharded over `mesh`.
+
+    Output is token-exact vs `make_tp_generate` of the target (the
+    speculative guarantee, models/speculative.py) — the draft only
+    changes speed.
+
+    `shard_draft` picks the draft's hosting:
+      - True: Megatron layout like the target — its weight stream splits
+        TP-ways but every draft layer pays two tiny all-reduce latencies;
+      - False: replicated — each chip redundantly computes the full draft
+        (its weights are ~5% of the target's) with zero collectives;
+      - None (default): shard iff the draft's head/MLP/vocab counts
+        divide the model axis (`draft_tp_divisible`).
+    Which wins is an ICI-latency vs HBM-bandwidth trade — measure on the
+    deployment mesh. Shard the params to match with
+    `shard_llama_params` / `replicate_llama_params`.
+    """
+    if shard_draft is None:
+        shard_draft = draft_tp_divisible(draft_cfg, mesh)
+    from mmrs_tpu.models.speculative import speculative_generate
+
+    tgt_sh = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                          llama_param_specs(),
+                          is_leaf=lambda x: isinstance(x, P))
+    repl = NamedSharding(mesh, P())
+    draft_sh = (jax.tree.map(lambda s: NamedSharding(mesh, s),
+                             llama_param_specs(),
+                             is_leaf=lambda x: isinstance(x, P))
+                if shard_draft else
+                jax.tree.map(lambda _: repl, llama_param_specs(),
+                             is_leaf=lambda x: isinstance(x, P)))
+
+    def gen(tparams, dparams, target_embeds, draft_embeds):
+        return speculative_generate(
+            tparams, dparams, target_embeds, draft_embeds,
+            target_cfg, draft_cfg, max_new_tokens=max_new_tokens,
+            draft_tokens=draft_tokens, eos_token=eos_token,
+            compute_dtype=compute_dtype, kv_dtype=kv_dtype, layers=layers,
+            prefill_chunk=prefill_chunk, decode_attn=decode_attn,
+            prefill_attn=prefill_attn, return_stats=return_stats)
+
+    return jax.jit(gen, in_shardings=(tgt_sh, draft_sh, repl, repl),
+                   out_shardings=repl)

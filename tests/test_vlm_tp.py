@@ -9,7 +9,10 @@ from jax.sharding import Mesh
 from mmrs_tpu.models import llama
 from mmrs_tpu.models.llama import LlamaConfig
 from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from mmrs_tpu.parallel.vlm import make_tp_generate, shard_llama_params
+from mmrs_tpu.parallel.vlm import (
+    draft_tp_divisible, make_tp_generate, make_tp_speculative_generate,
+    replicate_llama_params, shard_llama_params,
+)
 
 LCFG = LlamaConfig(vocab_size=96, dim=64, layers=2, heads=4, kv_heads=2,
                    mlp_dim=128, max_seq=64)
@@ -127,6 +130,60 @@ def test_tp_generate_fori_layers_compose():
                            layers="fori", prefill_chunk=4, early_stop=True)
     out = np.asarray(gen(sharded, embeds))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_tp_speculative_matches_single_device_replicated_draft():
+    """TP-sharded target + REPLICATED draft (its kv_heads=1 can't split
+    the model axis — the auto rule must pick replication): the speculative
+    output equals plain single-device greedy decode of the target."""
+    tparams = llama.init(jax.random.key(4), LCFG)
+    dcfg = LlamaConfig(vocab_size=96, dim=32, layers=1, heads=2, kv_heads=1,
+                       mlp_dim=64, max_seq=64)
+    dparams = llama.init(jax.random.key(5), dcfg)
+    rng = np.random.default_rng(4)
+    prompt = jnp.asarray(rng.integers(3, 90, (2, 5)), jnp.int32)
+    te = llama.embed_tokens(tparams, prompt)
+    de = llama.embed_tokens(dparams, prompt)
+
+    ref = np.asarray(llama.greedy_generate(
+        tparams, te, LCFG, max_new_tokens=8, eos_token=-1,
+        compute_dtype=jnp.float32, kv_dtype=jnp.int8))
+
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    assert not draft_tp_divisible(dcfg, mesh)
+    gen = make_tp_speculative_generate(
+        LCFG, dcfg, mesh, max_new_tokens=8, draft_tokens=3, eos_token=-1,
+        compute_dtype=jnp.float32, kv_dtype=jnp.int8)
+    out = np.asarray(gen(shard_llama_params(tparams, mesh),
+                         replicate_llama_params(dparams, mesh), te, de))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_tp_speculative_sharded_draft_ideal_rounds():
+    """Target and draft both TP-sharded (draft == target, so every
+    proposal is accepted): output matches greedy and the round count is
+    the full-acceptance ideal — the frontier-KV repair works under TP."""
+    params = llama.init(jax.random.key(6), LCFG)
+    rng = np.random.default_rng(6)
+    prompt = jnp.asarray(rng.integers(3, 90, (2, 5)), jnp.int32)
+    emb = llama.embed_tokens(params, prompt)
+    k, max_new = 3, 12
+
+    ref = np.asarray(llama.greedy_generate(
+        params, emb, LCFG, max_new_tokens=max_new, eos_token=-1,
+        compute_dtype=jnp.float32))
+
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    assert draft_tp_divisible(LCFG, mesh)
+    gen = make_tp_speculative_generate(
+        LCFG, LCFG, mesh, max_new_tokens=max_new, draft_tokens=k,
+        eos_token=-1, compute_dtype=jnp.float32, return_stats=True)
+    sharded = shard_llama_params(params, mesh)
+    out, stats = gen(sharded, sharded, emb, emb)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    assert int(stats["rounds"]) == -(-(max_new - 1) // (k + 1))
 
 
 def test_tp8_generate_matches_single_device():
