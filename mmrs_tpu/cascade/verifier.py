@@ -119,7 +119,9 @@ class TPULLaVAVerifier:
                  prefill_attn: str = "auto",
                  draft_params=None,
                  draft_cfg=None,
-                 draft_tokens: int = 4):
+                 draft_tokens: int = 4,
+                 mesh=None,
+                 shard_draft: bool | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -177,10 +179,67 @@ class TPULLaVAVerifier:
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.draft_tokens = draft_tokens
+        # optional TP hosting: a jax.sharding.Mesh with a "model" axis
+        # shards the 7B decoder Megatron-style across its chips (vision
+        # tower/projector replicated — parallel/vlm.py). Params (and the
+        # draft, replicated unless shard_draft) are re-placed here; the
+        # jitted TP generate is built lazily on first use.
+        self.mesh = mesh
+        self.shard_draft = shard_draft
+        self._tp_gen = None
+        if mesh is not None:
+            from mmrs_tpu.parallel.vlm import (
+                draft_tp_divisible, replicate_llama_params,
+                shard_llava_params,
+            )
+
+            self.params = shard_llava_params(params, mesh)
+            if draft_params is not None:
+                if shard_draft is None:
+                    self.shard_draft = draft_tp_divisible(draft_cfg.lm, mesh)
+                if self.shard_draft:
+                    self.draft_params = shard_llava_params(draft_params, mesh)
+                else:  # whole draft VLM replicated
+                    self.draft_params = replicate_llama_params(
+                        draft_params, mesh)
+
+    def _tp_generate(self, images, pre, post):
+        if self._tp_gen is None:
+            from mmrs_tpu.parallel.vlm import (
+                make_tp_llava_generate, make_tp_llava_speculative_generate,
+            )
+
+            if self.draft_params is not None:
+                fn = make_tp_llava_speculative_generate(
+                    self.cfg, self.draft_cfg, self.mesh,
+                    self.max_new_tokens, self.draft_tokens, self.eos_token,
+                    self.compute_dtype, attn_impl=self.attn_impl,
+                    kv_dtype=self.kv_dtype, layers=self.layers,
+                    prefill_chunk=self.prefill_chunk,
+                    decode_attn=self.decode_attn,
+                    prefill_attn=self.prefill_attn,
+                    shard_draft=self.shard_draft)
+                self._tp_gen = lambda im, pr, po: fn(
+                    self.params, self.draft_params, im, pr, po)
+            else:
+                fn = make_tp_llava_generate(
+                    self.cfg, self.mesh, self.max_new_tokens,
+                    self.eos_token, self.compute_dtype,
+                    attn_impl=self.attn_impl, kv_dtype=self.kv_dtype,
+                    layers=self.layers, prefill_chunk=self.prefill_chunk,
+                    decode_window=self.decode_window,
+                    early_stop=self.early_stop,
+                    decode_attn=self.decode_attn,
+                    prefill_attn=self.prefill_attn)
+                self._tp_gen = lambda im, pr, po: fn(
+                    self.params, im, pr, po)
+        return self._tp_gen(images, pre, post)
 
     def _generate(self, images, pre, post):
         from mmrs_tpu.models import llava
 
+        if self.mesh is not None:
+            return self._tp_generate(images, pre, post)
         if self.draft_params is not None:
             return llava.generate_speculative(
                 self.params, self.draft_params, images, pre, post,

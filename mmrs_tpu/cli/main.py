@@ -444,6 +444,10 @@ def _add_verifier_flags(parser) -> None:
                              "verifier's exact greedy output")
     parser.add_argument("--draft-tokens", type=int, default=4,
                         help="draft tokens proposed per speculation round")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="shard the verifier decoder tensor-parallel "
+                             "over the first N local devices (Megatron "
+                             "layout; vision tower replicated)")
 
 
 def _make_verifier(args):
@@ -472,6 +476,24 @@ def _make_verifier(args):
         print("--verifier llava needs --llava-checkpoint and "
               "--tokenizer-model", file=sys.stderr)
         return 2
+    # validate --tp against the device count BEFORE the (multi-GB,
+    # minutes-long) checkpoint load
+    mesh = None
+    tp = getattr(args, "tp", 1)
+    if tp > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        devices = jax.devices()
+        if len(devices) < tp:
+            print(f"--tp {tp} needs {tp} devices; "
+                  f"{len(devices)} available", file=sys.stderr)
+            return 2
+        mesh = Mesh(np.asarray(devices[:tp]).reshape(1, tp),
+                    (DATA_AXIS, MODEL_AXIS))
     vparams = checkpoint.load_npz(args.llava_checkpoint)
     if args.verifier_int8:
         from mmrs_tpu.models.quantize import quantize_llava
@@ -505,7 +527,7 @@ def _make_verifier(args):
         layers="fori" if fast else "scan",
         prefill_chunk=64 if fast else None,
         draft_params=dparams, draft_cfg=dcfg,
-        draft_tokens=args.draft_tokens)
+        draft_tokens=args.draft_tokens, mesh=mesh)
 
 
 def cmd_index_update(args) -> int:

@@ -93,6 +93,92 @@ def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
     return jax.jit(gen, in_shardings=(param_sh, repl), out_shardings=repl)
 
 
+def _llava_shardings(mesh: Mesh) -> Dict[str, Any]:
+    """jit in_shardings pytree-prefix for llava params: vision tower and
+    projector replicated (the 336px tower is ~0.3 GB — TP-sharding it
+    buys little and costs per-layer collectives at T=577), the LM decoder
+    Megatron-sharded."""
+    repl = NamedSharding(mesh, P())
+    lm = jax.tree.map(lambda s: NamedSharding(mesh, s), llama_param_specs(),
+                      is_leaf=lambda x: isinstance(x, P))
+    return {"visual": repl, "proj_w1": repl, "proj_b1": repl,
+            "proj_w2": repl, "proj_b2": repl, "lm": lm}
+
+
+def shard_llava_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place llava params on `mesh`: tower/projector replicated, decoder
+    Megatron-sharded (matches `_llava_shardings`)."""
+    repl = NamedSharding(mesh, P())
+    out = {k: jax.device_put(v, repl) for k, v in params.items()
+           if k != "lm"}
+    out["lm"] = shard_llama_params(params["lm"], mesh)
+    return out
+
+
+def make_tp_llava_generate(cfg, mesh: Mesh, max_new_tokens: int = 32,
+                           eos_token: int = 2, compute_dtype=jnp.bfloat16,
+                           attn_impl: str = "xla", kv_dtype=None,
+                           layers: str = "scan",
+                           prefill_chunk: int | None = None,
+                           decode_window: int | None = None,
+                           early_stop: bool = False,
+                           decode_attn: str = "xla",
+                           prefill_attn: str = "xla"):
+    """jitted llava.generate with the decoder TP-sharded over `mesh`.
+
+    The vision tower + projector run replicated (every chip computes
+    them — they are ~2% of the 7B step); GSPMD inserts the Megatron
+    all-reduces in the decoder. `cfg` is an LLaVAConfig; cfg.lm must
+    satisfy the same divisibility rules as make_tp_generate. Shard the
+    params to match with `shard_llava_params`."""
+    from mmrs_tpu.models import llava
+
+    repl = NamedSharding(mesh, P())
+
+    def gen(params, images, pre_tokens, post_tokens):
+        return llava.generate(
+            params, images, pre_tokens, post_tokens, cfg, max_new_tokens,
+            eos_token, compute_dtype, attn_impl=attn_impl,
+            kv_dtype=kv_dtype, layers=layers, prefill_chunk=prefill_chunk,
+            decode_window=decode_window, early_stop=early_stop,
+            decode_attn=decode_attn, prefill_attn=prefill_attn)
+
+    return jax.jit(gen, in_shardings=(_llava_shardings(mesh),
+                                      repl, repl, repl),
+                   out_shardings=repl)
+
+
+def make_tp_llava_speculative_generate(
+        cfg, draft_cfg, mesh: Mesh, max_new_tokens: int = 32,
+        draft_tokens: int = 4, eos_token: int = 2,
+        compute_dtype=jnp.bfloat16, attn_impl: str = "xla", kv_dtype=None,
+        layers: str = "scan", prefill_chunk: int | None = None,
+        decode_attn: str = "xla", prefill_attn: str = "xla",
+        shard_draft: bool | None = None):
+    """jitted llava.generate_speculative: target decoder TP-sharded,
+    draft VLM replicated (or its decoder TP-sharded when
+    `shard_draft` — see make_tp_speculative_generate's trade-off note).
+    Output is token-exact vs make_tp_llava_generate of the target."""
+    from mmrs_tpu.models import llava
+
+    if shard_draft is None:
+        shard_draft = draft_tp_divisible(draft_cfg.lm, mesh)
+    repl = NamedSharding(mesh, P())
+    draft_sh = _llava_shardings(mesh) if shard_draft else repl
+
+    def gen(params, dparams, images, pre_tokens, post_tokens):
+        return llava.generate_speculative(
+            params, dparams, images, pre_tokens, post_tokens, cfg,
+            draft_cfg, max_new_tokens, draft_tokens, eos_token,
+            compute_dtype, attn_impl=attn_impl, kv_dtype=kv_dtype,
+            layers=layers, prefill_chunk=prefill_chunk,
+            decode_attn=decode_attn, prefill_attn=prefill_attn)
+
+    return jax.jit(gen, in_shardings=(_llava_shardings(mesh), draft_sh,
+                                      repl, repl, repl),
+                   out_shardings=repl)
+
+
 def draft_tp_divisible(draft_cfg: LlamaConfig, mesh: Mesh) -> bool:
     """True iff the draft model's shapes admit the Megatron layout on
     `mesh`'s model axis (same divisibility rules as the target)."""

@@ -180,3 +180,55 @@ def test_verifier_with_draft_matches_plain(verifier, tmp_path):
     Image.fromarray(np.full((40, 40, 3), 77, np.uint8)).save(img2)
     paths = [img, str(img2)]
     assert vs.verify_batch(paths, "cat") == v.verify_batch(paths, "cat")
+
+
+def test_tp_hosted_verifier_matches_single_device(verifier, tmp_path):
+    """mesh= hosts the decoder TP-sharded (tower replicated); generated
+    text and parsed answers must equal the single-device verifier's."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    v, tok, img = verifier
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    vt = TPULLaVAVerifier(v.params, v.cfg, tok, max_new_tokens=4,
+                          eos_token=-1, image_size=32,
+                          compute_dtype=jnp.float32, mesh=mesh)
+    q = "Does this image contain a cat?"
+    assert vt.generate_text(img, q) == v.generate_text(img, q)
+
+    img2 = tmp_path / "tp2.jpg"
+    Image.fromarray(np.full((40, 40, 3), 99, np.uint8)).save(img2)
+    paths = [img, str(img2)]
+    assert vt.verify_batch(paths, "cat") == v.verify_batch(paths, "cat")
+
+
+@pytest.mark.slow
+def test_tp_hosted_verifier_with_draft_matches_single_device(verifier):
+    """TP mesh + draft VLM: the speculative TP path keeps greedy
+    exactness, with the (non-divisible kv_heads=1) draft auto-replicated."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    v, tok, img = verifier
+    dlcfg = LlamaConfig(vocab_size=128, dim=32, layers=1, heads=2,
+                        kv_heads=1, mlp_dim=64, max_seq=128)
+    dvcfg = VITConfig(image_size=32, patch_size=8, width=32, layers=1,
+                      heads=2, embed_dim=16)
+    dcfg = llava.LLaVAConfig(vision=dvcfg, lm=dlcfg)
+    dparams = llava.init(jax.random.key(5), dcfg)
+
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    vt = TPULLaVAVerifier(v.params, v.cfg, tok, max_new_tokens=4,
+                          eos_token=-1, image_size=32,
+                          compute_dtype=jnp.float32, mesh=mesh,
+                          draft_params=dparams, draft_cfg=dcfg,
+                          draft_tokens=2)
+    assert vt.shard_draft is False     # kv_heads=1 can't split the axis
+    q = "Does this image contain a cat?"
+    assert vt.generate_text(img, q) == v.generate_text(img, q)
