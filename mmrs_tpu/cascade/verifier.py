@@ -217,8 +217,7 @@ class TPULLaVAVerifier:
                     kv_dtype=self.kv_dtype, layers=self.layers,
                     prefill_chunk=self.prefill_chunk,
                     decode_attn=self.decode_attn,
-                    prefill_attn=self.prefill_attn,
-                    shard_draft=self.shard_draft)
+                    prefill_attn=self.prefill_attn)
                 self._tp_gen = lambda im, pr, po: fn(
                     self.params, self.draft_params, im, pr, po)
             else:

@@ -49,11 +49,31 @@ def llama_param_specs() -> Dict[str, Any]:
     }
 
 
+def _scale_spec(spec: P) -> P:
+    """Spec for a QTensor's per-output-channel scales: the int8 weight is
+    [..., K, N] and its scale vector [..., N], so drop the spec's K axis."""
+    return P(*spec[:-2], spec[-1]) if len(spec) >= 2 else spec
+
+
 def shard_llama_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place llama params per `llama_param_specs`. int8 serving weights
+    (layers.QTensor, models/quantize.quantize_llama) place their scales
+    with the weight's output-channel sharding (`_scale_spec`), so the
+    int8 path TP-shards exactly like bf16."""
+    from mmrs_tpu.models.layers import QTensor
+
     specs = llama_param_specs()
-    sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                      is_leaf=lambda x: isinstance(x, P))
-    return jax.device_put(params, sh)
+
+    def walk(s, v):
+        if isinstance(v, QTensor):
+            return QTensor(
+                jax.device_put(v.q, NamedSharding(mesh, s)),
+                jax.device_put(v.s, NamedSharding(mesh, _scale_spec(s))))
+        if isinstance(s, P):
+            return jax.device_put(v, NamedSharding(mesh, s))
+        return {k: walk(s[k], v[k]) for k in v}
+
+    return walk(specs, params)
 
 
 def replicate_llama_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
@@ -76,10 +96,11 @@ def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
     values and their scales unchanged. The single-chip decode options
     (`layers`/`prefill_chunk`/`decode_window`/`early_stop`, see
     llama.greedy_generate) compose: they only restructure the loop over
-    positions, never the sharded tensor layouts."""
-    specs = llama_param_specs()
-    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                            is_leaf=lambda x: isinstance(x, P))
+    positions, never the sharded tensor layouts.
+
+    Pass params through `shard_llama_params(params, mesh)` — the jit
+    inherits their committed placement (a static in_shardings tree can't
+    express QTensor int8 weights, whose scale vectors shed the K axis)."""
     repl = NamedSharding(mesh, P())
 
     def gen(params, prompt_embeds):
@@ -90,24 +111,14 @@ def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
                                      decode_window=decode_window,
                                      early_stop=early_stop)
 
-    return jax.jit(gen, in_shardings=(param_sh, repl), out_shardings=repl)
-
-
-def _llava_shardings(mesh: Mesh) -> Dict[str, Any]:
-    """jit in_shardings pytree-prefix for llava params: vision tower and
-    projector replicated (the 336px tower is ~0.3 GB — TP-sharding it
-    buys little and costs per-layer collectives at T=577), the LM decoder
-    Megatron-sharded."""
-    repl = NamedSharding(mesh, P())
-    lm = jax.tree.map(lambda s: NamedSharding(mesh, s), llama_param_specs(),
-                      is_leaf=lambda x: isinstance(x, P))
-    return {"visual": repl, "proj_w1": repl, "proj_b1": repl,
-            "proj_w2": repl, "proj_b2": repl, "lm": lm}
+    return jax.jit(gen, in_shardings=(None, repl), out_shardings=repl)
 
 
 def shard_llava_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place llava params on `mesh`: tower/projector replicated, decoder
-    Megatron-sharded (matches `_llava_shardings`)."""
+    """Place llava params on `mesh`: vision tower and projector replicated
+    (the 336px tower is ~0.3 GB — TP-sharding it buys little and costs
+    per-layer collectives at T=577), the LM decoder Megatron-sharded
+    (int8 QTensor weights included, see shard_llama_params)."""
     repl = NamedSharding(mesh, P())
     out = {k: jax.device_put(v, repl) for k, v in params.items()
            if k != "lm"}
@@ -143,8 +154,7 @@ def make_tp_llava_generate(cfg, mesh: Mesh, max_new_tokens: int = 32,
             decode_window=decode_window, early_stop=early_stop,
             decode_attn=decode_attn, prefill_attn=prefill_attn)
 
-    return jax.jit(gen, in_shardings=(_llava_shardings(mesh),
-                                      repl, repl, repl),
+    return jax.jit(gen, in_shardings=(None, repl, repl, repl),
                    out_shardings=repl)
 
 
@@ -153,18 +163,16 @@ def make_tp_llava_speculative_generate(
         draft_tokens: int = 4, eos_token: int = 2,
         compute_dtype=jnp.bfloat16, attn_impl: str = "xla", kv_dtype=None,
         layers: str = "scan", prefill_chunk: int | None = None,
-        decode_attn: str = "xla", prefill_attn: str = "xla",
-        shard_draft: bool | None = None):
+        decode_attn: str = "xla", prefill_attn: str = "xla"):
     """jitted llava.generate_speculative: target decoder TP-sharded,
-    draft VLM replicated (or its decoder TP-sharded when
-    `shard_draft` — see make_tp_speculative_generate's trade-off note).
-    Output is token-exact vs make_tp_llava_generate of the target."""
+    draft VLM replicated or its decoder TP-sharded — whichever way the
+    caller PLACED the params (shard_llava_params vs
+    replicate_llama_params; see make_tp_speculative_generate's trade-off
+    note). Output is token-exact vs make_tp_llava_generate of the
+    target."""
     from mmrs_tpu.models import llava
 
-    if shard_draft is None:
-        shard_draft = draft_tp_divisible(draft_cfg.lm, mesh)
     repl = NamedSharding(mesh, P())
-    draft_sh = _llava_shardings(mesh) if shard_draft else repl
 
     def gen(params, dparams, images, pre_tokens, post_tokens):
         return llava.generate_speculative(
@@ -174,8 +182,9 @@ def make_tp_llava_speculative_generate(
             layers=layers, prefill_chunk=prefill_chunk,
             decode_attn=decode_attn, prefill_attn=prefill_attn)
 
-    return jax.jit(gen, in_shardings=(_llava_shardings(mesh), draft_sh,
-                                      repl, repl, repl),
+    # target/draft param shardings are inherited from their committed
+    # placement (shard_llava_params / replicate_llama_params)
+    return jax.jit(gen, in_shardings=(None, None, repl, repl, repl),
                    out_shardings=repl)
 
 
@@ -193,39 +202,26 @@ def make_tp_speculative_generate(
         max_new_tokens: int, draft_tokens: int = 4, eos_token: int = 2,
         compute_dtype=jnp.bfloat16, kv_dtype=None, layers: str = "scan",
         prefill_chunk: int | None = None, decode_attn: str = "xla",
-        prefill_attn: str = "xla", shard_draft: bool | None = None,
-        return_stats: bool = False):
+        prefill_attn: str = "xla", return_stats: bool = False):
     """Speculative greedy decode with the TARGET TP-sharded over `mesh`.
 
     Output is token-exact vs `make_tp_generate` of the target (the
     speculative guarantee, models/speculative.py) — the draft only
     changes speed.
 
-    `shard_draft` picks the draft's hosting:
-      - True: Megatron layout like the target — its weight stream splits
-        TP-ways but every draft layer pays two tiny all-reduce latencies;
-      - False: replicated — each chip redundantly computes the full draft
-        (its weights are ~5% of the target's) with zero collectives;
-      - None (default): shard iff the draft's head/MLP/vocab counts
-        divide the model axis (`draft_tp_divisible`).
+    The draft's hosting is chosen by how its params are PLACED:
+      - `shard_llama_params`: Megatron layout like the target — its
+        weight stream splits TP-ways but every draft layer pays two tiny
+        all-reduce latencies (requires `draft_tp_divisible`);
+      - `replicate_llama_params`: each chip redundantly computes the full
+        draft (its weights are ~5% of the target's) with zero
+        collectives.
     Which wins is an ICI-latency vs HBM-bandwidth trade — measure on the
-    deployment mesh. Shard the params to match with
-    `shard_llama_params` / `replicate_llama_params`.
+    deployment mesh.
     """
-    if shard_draft is None:
-        shard_draft = draft_tp_divisible(draft_cfg, mesh)
     from mmrs_tpu.models.speculative import speculative_generate
 
-    tgt_sh = jax.tree.map(lambda s: NamedSharding(mesh, s),
-                          llama_param_specs(),
-                          is_leaf=lambda x: isinstance(x, P))
     repl = NamedSharding(mesh, P())
-    draft_sh = (jax.tree.map(lambda s: NamedSharding(mesh, s),
-                             llama_param_specs(),
-                             is_leaf=lambda x: isinstance(x, P))
-                if shard_draft else
-                jax.tree.map(lambda _: repl, llama_param_specs(),
-                             is_leaf=lambda x: isinstance(x, P)))
 
     def gen(tparams, dparams, target_embeds, draft_embeds):
         return speculative_generate(
@@ -236,5 +232,7 @@ def make_tp_speculative_generate(
             prefill_chunk=prefill_chunk, decode_attn=decode_attn,
             prefill_attn=prefill_attn, return_stats=return_stats)
 
-    return jax.jit(gen, in_shardings=(tgt_sh, draft_sh, repl, repl),
+    # param shardings inherit from their committed placement
+    # (shard_llama_params / replicate_llama_params)
+    return jax.jit(gen, in_shardings=(None, None, repl, repl),
                    out_shardings=repl)

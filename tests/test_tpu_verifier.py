@@ -232,3 +232,24 @@ def test_tp_hosted_verifier_with_draft_matches_single_device(verifier):
     assert vt.shard_draft is False     # kv_heads=1 can't split the axis
     q = "Does this image contain a cat?"
     assert vt.generate_text(img, q) == v.generate_text(img, q)
+
+
+def test_tp_hosted_verifier_int8_weights(verifier):
+    """mesh= + quantize_llava int8 weights (the --verifier-int8 --tp CLI
+    config): answers match the single-device int8 verifier."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mmrs_tpu.models.quantize import quantize_llava
+    from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    v, tok, img = verifier
+    qparams = quantize_llava(v.params)
+    kw = dict(max_new_tokens=4, eos_token=-1, image_size=32,
+              compute_dtype=jnp.float32, kv_dtype=jnp.int8)
+    vq = TPULLaVAVerifier(qparams, v.cfg, tok, **kw)
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    vt = TPULLaVAVerifier(qparams, v.cfg, tok, mesh=mesh, **kw)
+    q = "Does this image contain a cat?"
+    assert vt.generate_text(img, q) == vq.generate_text(img, q)

@@ -132,6 +132,36 @@ def test_tp_generate_fori_layers_compose():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_tp_generate_int8_weights_matches_single_device():
+    """int8 serving WEIGHTS (QTensor leaves) TP-shard like bf16: the
+    per-output-channel scale vectors place with the weight's N-axis
+    sharding (shard_llama_params._scale_spec) — the --verifier-int8 --tp
+    production config."""
+    from mmrs_tpu.models.quantize import quantize_llama
+
+    params = quantize_llama(llama.init(jax.random.key(7), LCFG))
+    rng = np.random.default_rng(7)
+    prompt = jnp.asarray(rng.integers(3, 90, (2, 5)), jnp.int32)
+    embeds = llama.embed_tokens(params, prompt)
+
+    ref = np.asarray(llama.greedy_generate(
+        params, embeds, LCFG, max_new_tokens=6, eos_token=-1,
+        compute_dtype=jnp.float32, kv_dtype=jnp.int8))
+
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    sharded = shard_llama_params(params, mesh)
+    # the Megatron layout actually took: wq int8 values split their
+    # out-channel axis, scales split alongside, wo splits its in axis
+    wq = sharded["blocks"]["wq"]
+    assert not wq.q.sharding.is_fully_replicated
+    assert not wq.s.sharding.is_fully_replicated
+    gen = make_tp_generate(LCFG, mesh, max_new_tokens=6, eos_token=-1,
+                           compute_dtype=jnp.float32, kv_dtype=jnp.int8)
+    out = np.asarray(gen(sharded, embeds))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_tp_speculative_matches_single_device_replicated_draft():
     """TP-sharded target + REPLICATED draft (its kv_heads=1 can't split
     the model axis — the auto rule must pick replication): the speculative
