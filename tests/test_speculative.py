@@ -99,6 +99,20 @@ def test_compose_unroll_int8kv_prefill_chunk(models):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
+def test_compose_fori_int8kv_prefill_chunk(models):
+    """The CLI's measured-fast serving config (layers='fori' + int8 KV +
+    chunked prefill — what --draft-checkpoint actually runs) keeps the
+    exact-greedy guarantee."""
+    tparams, dparams = models
+    prompt = jax.random.randint(jax.random.key(8), (2, 9), 3, 100,
+                                jnp.int32)
+    kw = dict(kv_dtype=jnp.int8, layers="fori", prefill_chunk=4)
+    want = _greedy(tparams, prompt, 12, **kw)
+    got = _spec(tparams, dparams, prompt, 12, 3, **kw)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_whole_generate_jits(models):
     """One jit around the full speculative generate (the serving form)."""
     tparams, dparams = models
