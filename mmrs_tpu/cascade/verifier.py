@@ -195,8 +195,14 @@ class TPULLaVAVerifier:
 
             self.params = shard_llava_params(params, mesh)
             if draft_params is not None:
+                divisible = draft_tp_divisible(draft_cfg.lm, mesh)
                 if shard_draft is None:
-                    self.shard_draft = draft_tp_divisible(draft_cfg.lm, mesh)
+                    self.shard_draft = divisible
+                elif shard_draft and not divisible:
+                    raise ValueError(
+                        "shard_draft=True but the draft's heads/kv-heads/"
+                        "mlp/vocab don't divide the mesh's model axis — "
+                        "use shard_draft=False (replicated draft)")
                 if self.shard_draft:
                     self.draft_params = shard_llava_params(draft_params, mesh)
                 else:  # whole draft VLM replicated

@@ -476,24 +476,30 @@ def _make_verifier(args):
         print("--verifier llava needs --llava-checkpoint and "
               "--tokenizer-model", file=sys.stderr)
         return 2
-    # validate --tp against the device count BEFORE the (multi-GB,
-    # minutes-long) checkpoint load
+    # validate --tp (device count AND Megatron divisibility) BEFORE the
+    # (multi-GB, minutes-long) checkpoint load
     mesh = None
     tp = getattr(args, "tp", 1)
     if tp > 1:
         import jax
-        import numpy as np
-        from jax.sharding import Mesh
 
-        from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+        from mmrs_tpu.parallel.mesh import MeshConfig, make_mesh
+        from mmrs_tpu.parallel.vlm import draft_tp_divisible
 
-        devices = jax.devices()
+        devices = jax.local_devices()   # this process's chips only
         if len(devices) < tp:
-            print(f"--tp {tp} needs {tp} devices; "
+            print(f"--tp {tp} needs {tp} local devices; "
                   f"{len(devices)} available", file=sys.stderr)
             return 2
-        mesh = Mesh(np.asarray(devices[:tp]).reshape(1, tp),
-                    (DATA_AXIS, MODEL_AXIS))
+        mesh = make_mesh(MeshConfig(data_size=1, model_size=tp),
+                         devices[:tp])
+        if not draft_tp_divisible(LLAMA2_7B, mesh):
+            print(f"--tp {tp} does not divide the 7B decoder's "
+                  f"heads/kv-heads/mlp/vocab "
+                  f"({LLAMA2_7B.heads}/{LLAMA2_7B.kv_heads}/"
+                  f"{LLAMA2_7B.mlp_dim}/{LLAMA2_7B.vocab_size})",
+                  file=sys.stderr)
+            return 2
     vparams = checkpoint.load_npz(args.llava_checkpoint)
     if args.verifier_int8:
         from mmrs_tpu.models.quantize import quantize_llava

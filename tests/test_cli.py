@@ -231,15 +231,21 @@ def test_verifier_flags_draft_wiring():
         # usage error path: llava verifier without checkpoint+tokenizer
         a2 = p.parse_args([cmd, *extra, "--verifier", "llava"])
         assert _make_verifier(a2) == 2
-        # --tp parses; asking for more devices than exist is a usage
-        # error (exit 2) reported BEFORE the multi-GB checkpoint load —
-        # the checkpoint path here doesn't exist and must not be touched
+        # --tp parses; asking for more devices than exist, or a width
+        # that doesn't divide the 7B's heads/kv-heads/mlp/vocab, is a
+        # usage error (exit 2) reported BEFORE the multi-GB checkpoint
+        # load — the checkpoint path doesn't exist and must not be touched
         a3 = p.parse_args([cmd, *extra, "--verifier", "llava",
                            "--llava-checkpoint", "missing.npz",
                            "--tokenizer-model", "missing.model",
                            "--tp", "4096"])
         assert a3.tp == 4096
         assert _make_verifier(a3) == 2
+        a4 = p.parse_args([cmd, *extra, "--verifier", "llava",
+                           "--llava-checkpoint", "missing.npz",
+                           "--tokenizer-model", "missing.model",
+                           "--tp", "6"])   # 6 devices exist; 32 % 6 != 0
+        assert _make_verifier(a4) == 2
 
 
 def test_config_roundtrip_preserves_tuple_fields(tmp_path):

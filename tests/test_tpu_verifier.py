@@ -253,3 +253,26 @@ def test_tp_hosted_verifier_int8_weights(verifier):
     vt = TPULLaVAVerifier(qparams, v.cfg, tok, mesh=mesh, **kw)
     q = "Does this image contain a cat?"
     assert vt.generate_text(img, q) == vq.generate_text(img, q)
+
+
+def test_tp_shard_draft_true_rejected_when_not_divisible(verifier):
+    """Explicit shard_draft=True with a non-divisible draft fails with a
+    clear error at construction, not an opaque device_put failure."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    v, tok, _ = verifier
+    dlcfg = LlamaConfig(vocab_size=128, dim=32, layers=1, heads=2,
+                        kv_heads=1, mlp_dim=64, max_seq=128)
+    dvcfg = VITConfig(image_size=32, patch_size=8, width=32, layers=1,
+                      heads=2, embed_dim=16)
+    dcfg = llava.LLaVAConfig(vision=dvcfg, lm=dlcfg)
+    dparams = llava.init(jax.random.key(5), dcfg)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                (DATA_AXIS, MODEL_AXIS))
+    with pytest.raises(ValueError, match="shard_draft"):
+        TPULLaVAVerifier(v.params, v.cfg, tok, compute_dtype=jnp.float32,
+                         image_size=32, mesh=mesh, draft_params=dparams,
+                         draft_cfg=dcfg, shard_draft=True)
