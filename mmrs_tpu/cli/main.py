@@ -500,7 +500,14 @@ def _make_verifier(args):
                   f"{LLAMA2_7B.mlp_dim}/{LLAMA2_7B.vocab_size})",
                   file=sys.stderr)
             return 2
-    vparams = checkpoint.load_npz(args.llava_checkpoint)
+    # with --tp, stream the checkpoint straight into its TP placement
+    # (host peak = one array, no replicate-then-reshard for the 7 GB tree)
+    plc = None
+    if mesh is not None:
+        from mmrs_tpu.parallel.vlm import llava_checkpoint_placement
+
+        plc = llava_checkpoint_placement(mesh)
+    vparams = checkpoint.load_npz(args.llava_checkpoint, placement=plc)
     if args.verifier_int8:
         from mmrs_tpu.models.quantize import quantize_llava
 

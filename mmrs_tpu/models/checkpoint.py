@@ -88,7 +88,18 @@ def save_npz(params: Dict[str, Any], path: str) -> None:
     os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
 
 
-def load_npz(path: str, to_device: bool = True) -> Dict[str, Any]:
+def load_npz(path: str, to_device: bool = True,
+             placement=None) -> Dict[str, Any]:
+    """Load a param tree.
+
+    `placement` (optional): `flat_key -> jax.sharding.Sharding | None`.
+    npz members are lazy, so each array is device_put with its target
+    sharding AS IT IS READ — host peak stays at one leaf and sharded
+    serving (e.g. a TP-placed 7B, parallel/vlm.llava_checkpoint_placement)
+    skips the load-replicated-then-reshard double peak. Keys keep their
+    `@int8q`/`@int8s` QTensor suffixes (scales shard differently from
+    their weights); the `@bf16` storage marker is stripped first.
+    """
     import jax.numpy as jnp
     import ml_dtypes
 
@@ -97,11 +108,14 @@ def load_npz(path: str, to_device: bool = True) -> Dict[str, Any]:
         for k in z.files:
             v = z[k]
             if k.endswith(_BF16_SUFFIX):
-                flat[k[: -len(_BF16_SUFFIX)]] = v.view(ml_dtypes.bfloat16)
-            else:
-                flat[k] = v
+                k = k[: -len(_BF16_SUFFIX)]
+                v = v.view(ml_dtypes.bfloat16)
+            if placement is not None:
+                sh = placement(k)
+                v = jax.device_put(v, sh) if sh is not None else jnp.asarray(v)
+            flat[k] = v
     tree = _unflatten(flat)
-    if to_device:
+    if to_device and placement is None:
         tree = jax.tree.map(jnp.asarray, tree)
     return tree
 

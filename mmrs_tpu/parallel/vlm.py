@@ -126,6 +126,37 @@ def shard_llava_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
+def llava_checkpoint_placement(mesh: Mesh):
+    """`checkpoint.load_npz` placement fn for the TP llava layout.
+
+    Maps flat checkpoint keys (e.g. "lm/blocks/wq", "lm/blocks/wq@int8q",
+    "visual/blocks/w1") to shardings: the decoder Megatron-sharded per
+    `llama_param_specs` (int8 scale vectors via `_scale_spec`), everything
+    else replicated. Loading a 7B checkpoint straight into its TP
+    placement this way keeps host memory at one array instead of the
+    whole tree and skips the replicate-then-reshard step."""
+    specs = llama_param_specs()
+    repl = NamedSharding(mesh, P())
+
+    def place(key: str):
+        if not key.startswith("lm/"):
+            return repl
+        node: Any = specs
+        for part in key[3:].split("/"):
+            name = part.split("@")[0]
+            if isinstance(node, dict) and name in node:
+                node = node[name]
+            else:
+                return repl
+        if not isinstance(node, P):
+            return repl
+        if key.endswith("@int8s"):
+            return NamedSharding(mesh, _scale_spec(node))
+        return NamedSharding(mesh, node)
+
+    return place
+
+
 def make_tp_llava_generate(cfg, mesh: Mesh, max_new_tokens: int = 32,
                            eos_token: int = 2, compute_dtype=jnp.bfloat16,
                            attn_impl: str = "xla", kv_dtype=None,

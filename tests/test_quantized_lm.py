@@ -99,3 +99,50 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
     a, _ = llama.forward(params, emb, cache, 0, LCFG, jnp.float32)
     b, _ = llama.forward(loaded, emb, cache, 0, LCFG, jnp.float32)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_loads_into_tp_placement(tmp_path):
+    """load_npz(placement=llava_checkpoint_placement(mesh)) streams a
+    (quantized) llava checkpoint straight into the Megatron layout: int8
+    weights and their scales land sharded, tower replicated, and the TP
+    generate matches the single-device decode of the same checkpoint."""
+    from jax.sharding import Mesh
+
+    from mmrs_tpu.models import checkpoint
+    from mmrs_tpu.models.quantize import quantize_llava
+    from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from mmrs_tpu.parallel.vlm import (
+        llava_checkpoint_placement, make_tp_llava_generate,
+    )
+
+    lcfg = LlamaConfig(vocab_size=96, dim=64, layers=2, heads=4, kv_heads=4,
+                       mlp_dim=128, max_seq=64)
+    vcfg = VITConfig(image_size=32, patch_size=8, width=48, layers=2,
+                     heads=4, embed_dim=32)
+    cfg = llava.LLaVAConfig(vision=vcfg, lm=lcfg)
+    params = quantize_llava(llava.init(jax.random.key(6), cfg))
+    path = str(tmp_path / "llava_int8.npz")
+    checkpoint.save_npz(params, path)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 4),
+                (DATA_AXIS, MODEL_AXIS))
+    loaded = checkpoint.load_npz(path,
+                                 placement=llava_checkpoint_placement(mesh))
+    wq = loaded["lm"]["blocks"]["wq"]
+    assert isinstance(wq, QTensor)
+    assert not wq.q.sharding.is_fully_replicated          # out-ch split
+    assert not wq.s.sharding.is_fully_replicated          # scales follow
+    assert loaded["lm"]["blocks"]["attn_norm"].sharding.is_fully_replicated
+    assert loaded["proj_w1"].sharding.is_fully_replicated
+
+    imgs = jax.random.normal(jax.random.key(7), (2, 32, 32, 3),
+                             jnp.float32) * 0.5
+    pre = jnp.ones((2, 3), jnp.int32)
+    post = jnp.ones((2, 2), jnp.int32)
+    ref = np.asarray(llava.generate(
+        checkpoint.load_npz(path), imgs, pre, post, cfg, max_new_tokens=3,
+        eos_token=-1, compute_dtype=jnp.float32))
+    gen = make_tp_llava_generate(cfg, mesh, max_new_tokens=3, eos_token=-1,
+                                 compute_dtype=jnp.float32)
+    out = np.asarray(gen(loaded, imgs, pre, post))
+    np.testing.assert_array_equal(out, ref)
