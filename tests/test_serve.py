@@ -363,3 +363,53 @@ def test_search_not_blocked_by_slow_verify():
     t.join(timeout=60)
     svc.close()
     assert verify_result and verify_result[0][0]["verified"] is True
+
+
+@pytest.mark.slow
+def test_verify_with_tp_hosted_verifier_matches_single_device():
+    """SearchService.verify_images with a TP-mesh TPULLaVAVerifier (the
+    --tp serving config): the VLM worker thread drives the TP jit and the
+    verdicts equal the single-device verifier's."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mmrs_tpu.cascade.verifier import TPULLaVAVerifier
+    from mmrs_tpu.models import llava
+    from mmrs_tpu.models.configs import VITConfig
+    from mmrs_tpu.models.llama import LlamaConfig
+    from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from mmrs_tpu.serve import SearchService
+
+    class Tok:
+        def encode(self, t):
+            return [3 + (ord(c) % 60) for c in t][:12]
+
+        def decode(self, ids):
+            # deterministic parse: "yes" iff the first id is even
+            return "yes" if ids and ids[0] % 2 == 0 else "no"
+
+    lcfg = LlamaConfig(vocab_size=128, dim=64, layers=2, heads=4,
+                       kv_heads=2, mlp_dim=128, max_seq=128)
+    vcfg = VITConfig(image_size=32, patch_size=8, width=48, layers=2,
+                     heads=4, embed_dim=32)
+    cfg = llava.LLaVAConfig(vision=vcfg, lm=lcfg)
+    params = llava.init(jax.random.key(0), cfg)
+    kw = dict(max_new_tokens=3, eos_token=-1, image_size=32,
+              compute_dtype=jnp.float32)
+    ref_v = TPULLaVAVerifier(params, cfg, Tok(), **kw)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                (DATA_AXIS, MODEL_AXIS))
+    tp_v = TPULLaVAVerifier(params, cfg, Tok(), mesh=mesh, **kw)
+
+    blobs = [_jpeg_blob(v) for v in (40, 120, 220)]
+    want, got = [], []
+    for verifier, sink in ((ref_v, want), (tp_v, got)):
+        svc = SearchService(engine=None, towers=_stub_towers(),
+                            verifier=verifier, verify_batch=4,
+                            logit_scale=1.0, batch_window=0.05)
+        try:
+            sink.extend(svc.verify_images(blobs, "cat", threshold=0.0))
+        finally:
+            svc.close()
+    assert [r["verified"] for r in got] == [r["verified"] for r in want]
