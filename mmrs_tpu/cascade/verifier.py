@@ -187,6 +187,12 @@ class TPULLaVAVerifier:
         self.mesh = mesh
         self.shard_draft = shard_draft
         self._tp_gen = None
+        # realized speculative acceptance (the number draft_tokens is
+        # tuned against): accumulated at collect() time, exposed via
+        # speculative_stats() and /v1/stats
+        self._spec_rounds = 0
+        self._spec_tokens = 0
+        self._spec_slots = 0
         if mesh is not None:
             from mmrs_tpu.parallel.vlm import (
                 draft_tp_divisible, replicate_llama_params,
@@ -223,7 +229,7 @@ class TPULLaVAVerifier:
                     kv_dtype=self.kv_dtype, layers=self.layers,
                     prefill_chunk=self.prefill_chunk,
                     decode_attn=self.decode_attn,
-                    prefill_attn=self.prefill_attn)
+                    prefill_attn=self.prefill_attn, return_stats=True)
                 self._tp_gen = lambda im, pr, po: fn(
                     self.params, self.draft_params, im, pr, po)
             else:
@@ -241,10 +247,13 @@ class TPULLaVAVerifier:
         return self._tp_gen(images, pre, post)
 
     def _generate(self, images, pre, post):
+        """Returns (tokens, speculative_stats_or_None) — stats are still
+        device-side async values; fetch them where the tokens are fetched."""
         from mmrs_tpu.models import llava
 
         if self.mesh is not None:
-            return self._tp_generate(images, pre, post)
+            out = self._tp_generate(images, pre, post)
+            return out if self.draft_params is not None else (out, None)
         if self.draft_params is not None:
             return llava.generate_speculative(
                 self.params, self.draft_params, images, pre, post,
@@ -253,14 +262,44 @@ class TPULLaVAVerifier:
                 attn_impl=self.attn_impl, kv_dtype=self.kv_dtype,
                 layers=self.layers, prefill_chunk=self.prefill_chunk,
                 decode_attn=self.decode_attn,
-                prefill_attn=self.prefill_attn)
+                prefill_attn=self.prefill_attn, return_stats=True)
         return llava.generate(
             self.params, images, pre, post, self.cfg, self.max_new_tokens,
             self.eos_token, self.compute_dtype, attn_impl=self.attn_impl,
             kv_dtype=self.kv_dtype, layers=self.layers,
             prefill_chunk=self.prefill_chunk,
             decode_window=self.decode_window, early_stop=self.early_stop,
-            decode_attn=self.decode_attn, prefill_attn=self.prefill_attn)
+            decode_attn=self.decode_attn,
+            prefill_attn=self.prefill_attn), None
+
+    def _record_spec(self, stats, batch_rows: int) -> None:
+        """Fold one generate's speculative stats into the realized-
+        acceptance counters (fetches the device values)."""
+        import numpy as np
+
+        if stats is None:
+            return
+        rounds = int(np.asarray(stats["rounds"]))
+        self._spec_rounds += rounds
+        self._spec_tokens += int(np.asarray(stats["emitted"]).sum())
+        self._spec_slots += rounds * batch_rows * (self.draft_tokens + 1)
+
+    def speculative_stats(self):
+        """Realized speculative acceptance, or None when no draft is
+        configured / nothing decoded yet.
+
+        `utilization` = emitted tokens / (rounds × batch × (k+1)) — the
+        fraction of each verification pass's k+1 slots that actually
+        shipped. 1.0 means the draft always agrees (the measured ceiling);
+        tune `draft_tokens` until utilization stops paying for the extra
+        draft steps (see NEXT.md's breakeven-alpha notes)."""
+        if self.draft_params is None or self._spec_rounds == 0:
+            return None
+        return {
+            "rounds": self._spec_rounds,
+            "tokens": self._spec_tokens,
+            "utilization": self._spec_tokens / max(self._spec_slots, 1),
+        }
 
     def _load_image(self, image_path: str):
         import jax.numpy as jnp
@@ -293,10 +332,11 @@ class TPULLaVAVerifier:
 
         pre_ids, post_ids = self._prompt_ids(prompt)
         images = self._load_image(image_path)
-        out = self._generate(images,
-                             jnp.asarray([pre_ids], jnp.int32),
-                             jnp.asarray([post_ids], jnp.int32))
+        out, spec = self._generate(images,
+                                   jnp.asarray([pre_ids], jnp.int32),
+                                   jnp.asarray([post_ids], jnp.int32))
         ids = [int(t) for t in np.asarray(out)[0] if int(t) != self.eos_token]
+        self._record_spec(spec, 1)
         return self.tokenizer.decode(ids)
 
     def verify(self, image_path: str, category: str) -> bool:
@@ -315,7 +355,7 @@ class TPULLaVAVerifier:
         import jax.numpy as jnp
 
         if not image_paths:
-            return ([], 0)
+            return ([], None, 0)
         n_real = len(image_paths)
         if fixed_batch is not None:
             if n_real > fixed_batch:
@@ -327,23 +367,24 @@ class TPULLaVAVerifier:
         images = jnp.concatenate(
             [self._load_image(p) for p in image_paths], axis=0)
         b = images.shape[0]
-        out = self._generate(
+        out, spec = self._generate(
             images,
             jnp.tile(jnp.asarray([pre_ids], jnp.int32), (b, 1)),
             jnp.tile(jnp.asarray([post_ids], jnp.int32), (b, 1)))
-        return (out, n_real)
+        return (out, spec, n_real)
 
     def collect(self, handle):
         """Fetch + parse an async verify dispatch (see verify_batch_async)."""
         import numpy as np
 
-        out, n_real = handle
+        out, spec, n_real = handle
         if n_real == 0:
             return []
         results = []
         for row in np.asarray(out):
             ids = [int(t) for t in row if int(t) != self.eos_token]
             results.append(parse_yes_no(self.tokenizer.decode(ids)))
+        self._record_spec(spec, len(results))
         return results[:n_real]
 
     def verify_batch(self, image_paths, category: str,

@@ -153,6 +153,7 @@ def generate_speculative(
     prefill_chunk: int | None = None,
     decode_attn: str = "xla",
     prefill_attn: str = "xla",
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Greedy VQA decode accelerated by a smaller draft VLM.
 
@@ -180,7 +181,7 @@ def generate_speculative(
         draft_tokens=draft_tokens, eos_token=eos_token,
         compute_dtype=compute_dtype, kv_dtype=kv_dtype, layers=layers,
         prefill_chunk=prefill_chunk, decode_attn=decode_attn,
-        prefill_attn=prefill_attn)
+        prefill_attn=prefill_attn, return_stats=return_stats)
 
 
 def init(key: jax.Array, cfg: LLaVAConfig, dtype=jnp.float32) -> Params:

@@ -194,7 +194,8 @@ def make_tp_llava_speculative_generate(
         draft_tokens: int = 4, eos_token: int = 2,
         compute_dtype=jnp.bfloat16, attn_impl: str = "xla", kv_dtype=None,
         layers: str = "scan", prefill_chunk: int | None = None,
-        decode_attn: str = "xla", prefill_attn: str = "xla"):
+        decode_attn: str = "xla", prefill_attn: str = "xla",
+        return_stats: bool = False):
     """jitted llava.generate_speculative: target decoder TP-sharded,
     draft VLM replicated or its decoder TP-sharded — whichever way the
     caller PLACED the params (shard_llava_params vs
@@ -211,7 +212,8 @@ def make_tp_llava_speculative_generate(
             draft_cfg, max_new_tokens, draft_tokens, eos_token,
             compute_dtype, attn_impl=attn_impl, kv_dtype=kv_dtype,
             layers=layers, prefill_chunk=prefill_chunk,
-            decode_attn=decode_attn, prefill_attn=prefill_attn)
+            decode_attn=decode_attn, prefill_attn=prefill_attn,
+            return_stats=return_stats)
 
     # target/draft param shardings are inherited from their committed
     # placement (shard_llava_params / replicate_llama_params)

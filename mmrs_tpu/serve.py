@@ -6,7 +6,9 @@ the framework is meant to power (stdlib-only, no server dependency):
   GET  /healthz          -> {"ok": true, "rows": N, "dim": D}
   GET  /v1/stats         -> per-stage serving counters (StageStats: total
                             seconds, item counts, calls, items/call —
-                            batch utilization — items/s, p50/p99). The
+                            batch utilization — items/s, p50/p99), plus
+                            "speculative" realized acceptance when the
+                            verifier decodes with a draft model. The
                             cascade's stage-timer observability
                             (union_clip_llava2.py:263-268) for the server.
   POST /v1/search        -> {"hits": [[{path, score, rank, cls}, ...], ...]}
@@ -332,8 +334,16 @@ def _make_handler(service: SearchService):
                 if self.path == "/healthz":
                     return self._reply(200, service.healthz())
                 if self.path == "/v1/stats":
-                    return self._reply(
-                        200, {"stages": service.stats.as_dict()})
+                    body = {"stages": service.stats.as_dict()}
+                    # realized speculative acceptance (rounds, tokens,
+                    # verification-slot utilization) when the verifier
+                    # decodes with a draft model
+                    spec = getattr(service.verifier, "speculative_stats",
+                                   None)
+                    spec = spec() if callable(spec) else None
+                    if spec is not None:
+                        body["speculative"] = spec
+                    return self._reply(200, body)
                 return self._reply(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 — keep serving
                 return self._reply(500, {"error": repr(e)})

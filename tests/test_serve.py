@@ -413,3 +413,29 @@ def test_verify_with_tp_hosted_verifier_matches_single_device():
         finally:
             svc.close()
     assert [r["verified"] for r in got] == [r["verified"] for r in want]
+
+
+def test_stats_surface_speculative_acceptance():
+    """/v1/stats includes the verifier's realized speculative acceptance
+    when it decodes with a draft (and omits the key otherwise)."""
+    from mmrs_tpu.serve import SearchService, make_server
+
+    class SpecVerifier:
+        def verify(self, image_path, category):
+            return True
+
+        def speculative_stats(self):
+            return {"rounds": 7, "tokens": 21, "utilization": 0.75}
+
+    svc = SearchService(engine=None, towers=_stub_towers(),
+                        verifier=SpecVerifier(), batch_window=0.01)
+    srv = make_server(svc, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = _get(f"http://127.0.0.1:{srv.server_address[1]}/v1/stats")
+        assert body["speculative"] == {"rounds": 7, "tokens": 21,
+                                       "utilization": 0.75}
+    finally:
+        srv.shutdown()
+        svc.close()

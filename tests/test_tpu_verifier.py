@@ -181,6 +181,12 @@ def test_verifier_with_draft_matches_plain(verifier, tmp_path):
     paths = [img, str(img2)]
     assert vs.verify_batch(paths, "cat") == v.verify_batch(paths, "cat")
 
+    # realized-acceptance counters accumulated across both decodes
+    st = vs.speculative_stats()
+    assert st is not None and st["rounds"] >= 2
+    assert st["tokens"] >= 2 and 0.0 < st["utilization"] <= 1.0
+    assert v.speculative_stats() is None      # no draft -> no stats
+
 
 def test_tp_hosted_verifier_matches_single_device(verifier, tmp_path):
     """mesh= hosts the decoder TP-sharded (tower replicated); generated
