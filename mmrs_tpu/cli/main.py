@@ -413,6 +413,11 @@ def cmd_cascade(args) -> int:
     else:
         res = pipe.run(paths, args.positive_class, labels=labels)
     print(res.summary())
+    spec = getattr(verifier, "speculative_stats", None)
+    spec = spec() if callable(spec) else None
+    if spec is not None:
+        print(f"speculative: {spec['tokens']} tokens in {spec['rounds']} "
+              f"rounds, slot utilization {spec['utilization']:.2f}")
     if args.out:
         res.write_csv(args.out)
         print(f"audit csv: {args.out}")
