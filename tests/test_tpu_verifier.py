@@ -282,3 +282,49 @@ def test_tp_shard_draft_true_rejected_when_not_divisible(verifier):
         TPULLaVAVerifier(v.params, v.cfg, tok, compute_dtype=jnp.float32,
                          image_size=32, mesh=mesh, draft_params=dparams,
                          draft_cfg=dcfg, shard_draft=True)
+
+
+@pytest.mark.slow
+def test_streaming_cascade_with_draft_verifier_matches_plain(verifier,
+                                                             tmp_path):
+    """CascadePipeline.run_streaming with a speculative-draft verifier
+    (async packs + pipelining + journal) produces the same verdicts as
+    the plain verifier — the full serving composition."""
+    import jax.numpy as jnp
+
+    from mmrs_tpu.cascade.pipeline import CascadePipeline
+
+    v, tok, img = verifier
+    dlcfg = LlamaConfig(vocab_size=128, dim=32, layers=1, heads=2,
+                        kv_heads=1, mlp_dim=64, max_seq=128)
+    dvcfg = VITConfig(image_size=32, patch_size=8, width=32, layers=1,
+                      heads=2, embed_dim=16)
+    dcfg = llava.LLaVAConfig(vision=dvcfg, lm=dlcfg)
+    dparams = llava.init(jax.random.key(5), dcfg)
+    vs = TPULLaVAVerifier(v.params, v.cfg, tok, max_new_tokens=4,
+                          eos_token=-1, image_size=32,
+                          compute_dtype=jnp.float32, draft_params=dparams,
+                          draft_cfg=dcfg, draft_tokens=2)
+
+    paths = []
+    for i, val in enumerate((60, 90, 150, 210)):
+        p = tmp_path / f"s{i}.jpg"
+        Image.fromarray(np.full((40, 40, 3), val, np.uint8)).save(p)
+        paths.append(str(p))
+    scores = {p: float(i * 10) for i, p in enumerate(paths)}
+
+    def build(ver):
+        return CascadePipeline(
+            en_scorer=lambda ps: [scores[p] for p in ps],
+            cn_scorer=lambda ps: [0.0 for _ in ps],
+            en_threshold=5.0, cn_threshold=99.0, verifier=ver)
+
+    want = build(v).run_streaming(paths, "cat", chunk_size=2,
+                                  verify_batch=2)
+    got = build(vs).run_streaming(paths, "cat", chunk_size=2,
+                                  verify_batch=2, pipeline_depth=2,
+                                  journal=str(tmp_path / "j.csv"))
+    np.testing.assert_array_equal(np.asarray(got.verified),
+                                  np.asarray(want.verified))
+    st = vs.speculative_stats()
+    assert st is not None and st["rounds"] > 0
