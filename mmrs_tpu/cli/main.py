@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import List, Optional
 
@@ -475,7 +476,7 @@ def _make_verifier(args):
     from mmrs_tpu.models.llama import LLAMA2_7B
     from mmrs_tpu.models.llava import LLaVAConfig
     from mmrs_tpu.models.sentencepiece import SentencePieceBPE
-    from mmrs_tpu.models.configs import VITConfig
+    from mmrs_tpu.models.configs import VIT_L14_336
 
     if not (args.llava_checkpoint and args.tokenizer_model):
         print("--verifier llava needs --llava-checkpoint and "
@@ -517,8 +518,7 @@ def _make_verifier(args):
         from mmrs_tpu.models.quantize import quantize_llava
 
         vparams = quantize_llava(vparams)
-    tower = VITConfig(image_size=336, patch_size=14, width=1024,
-                      layers=24, heads=16, embed_dim=768)
+    tower = VIT_L14_336
     lcfg = LLaVAConfig(vision=tower, lm=LLAMA2_7B)
     # optional speculative draft: a TinyLlama-1.1B-class VLM sharing the
     # 336/14 vision grid and tokenizer; output stays the 7B's exact
@@ -743,31 +743,85 @@ def cmd_parity(args) -> int:
     return 0 if ok else 1
 
 
-def cmd_weights_convert(args) -> int:
+def _load_torch_state_dict(path: str):
+    """A single .pt/.bin/.safetensors file, or a HF model directory of
+    sharded weight files (merged in name order)."""
     import torch
 
+    def load_one(f):
+        if f.endswith(".safetensors"):
+            from safetensors.torch import load_file
+
+            return load_file(f)
+        sd = torch.load(f, map_location="cpu", weights_only=False)
+        return sd.state_dict() if hasattr(sd, "state_dict") else sd
+
+    if os.path.isdir(path):
+        import glob as _glob
+
+        shards = sorted(_glob.glob(os.path.join(path, "*.safetensors")))
+        if not shards:
+            shards = sorted(
+                f for f in _glob.glob(os.path.join(path, "*.bin"))
+                if "training_args" not in f)
+        if not shards:
+            raise FileNotFoundError(
+                f"no .safetensors/.bin weight shards in {path}")
+        sd = {}
+        for f in shards:
+            sd.update(load_one(f))
+        return sd
+    return load_one(path)
+
+
+def cmd_weights_convert(args) -> int:
     from mmrs_tpu.models import checkpoint, convert
     from mmrs_tpu.models.configs import (
         CLIP_TEXT_B32, CLIP_TEXT_L14, TAIYI_ROBERTA_LARGE, VIT_B32, VIT_L14,
+        VIT_L14_336,
     )
 
-    sd = torch.load(args.input, map_location="cpu", weights_only=False)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    sd = convert.state_dict_to_numpy(sd)
-    vision = VIT_B32 if args.arch == "b32" else VIT_L14
-    text = CLIP_TEXT_B32 if args.arch == "b32" else CLIP_TEXT_L14
-    if args.source == "hf_clip":
-        params = convert.hf_clip(sd, vision, text)
-    elif args.source == "openai_clip":
-        params = convert.openai_clip(sd, vision, text)
-    elif args.source == "taiyi":
-        params = convert.hf_bert_classifier(sd, TAIYI_ROBERTA_LARGE)
-    else:
-        print(f"unknown source {args.source}", file=sys.stderr)
+    # flag validation BEFORE the (potentially multi-GB) state-dict load
+    if args.source == "hf_llava" and args.arch not in ("7b", "1b"):
+        print("--source hf_llava needs --arch 7b or 1b", file=sys.stderr)
         return 2
+    if args.source != "hf_llava" and args.arch not in ("b32", "l14"):
+        print(f"--source {args.source} needs --arch b32 or l14",
+              file=sys.stderr)
+        return 2
+    if args.int8 and args.source == "taiyi":
+        print("--int8 applies to clip/llava sources only", file=sys.stderr)
+        return 2
+
+    sd = convert.state_dict_to_numpy(_load_torch_state_dict(args.input))
+    if args.source == "hf_llava":
+        from mmrs_tpu.models.llama import LLAMA2_7B, LLAMA_1B
+        from mmrs_tpu.models.llava import LLaVAConfig, hf_llava
+
+        lm = LLAMA2_7B if args.arch == "7b" else LLAMA_1B
+        params = hf_llava(sd, LLaVAConfig(vision=VIT_L14_336, lm=lm))
+        if args.int8:
+            from mmrs_tpu.models.quantize import quantize_llava
+
+            params = quantize_llava(params)
+    else:
+        vision = VIT_B32 if args.arch == "b32" else VIT_L14
+        text = CLIP_TEXT_B32 if args.arch == "b32" else CLIP_TEXT_L14
+        if args.source == "hf_clip":
+            params = convert.hf_clip(sd, vision, text)
+        elif args.source == "openai_clip":
+            params = convert.openai_clip(sd, vision, text)
+        elif args.source == "taiyi":
+            params = convert.hf_bert_classifier(sd, TAIYI_ROBERTA_LARGE)
+        else:
+            print(f"unknown source {args.source}", file=sys.stderr)
+            return 2
+        if args.int8:
+            from mmrs_tpu.models.quantize import quantize_clip_visual
+
+            params = quantize_clip_visual(params)
     checkpoint.save_npz(params, args.out)
-    print(json.dumps({"out": args.out}))
+    print(json.dumps({"out": args.out, "int8": bool(args.int8)}))
     return 0
 
 
@@ -1005,10 +1059,20 @@ def build_parser() -> argparse.ArgumentParser:
     wt = sub.add_parser("weights").add_subparsers(dest="subcmd", required=True)
     wc = wt.add_parser("convert")
     wc.add_argument("--source", required=True,
-                    choices=["hf_clip", "openai_clip", "taiyi"])
-    wc.add_argument("--arch", default="b32", choices=["b32", "l14"])
-    wc.add_argument("--input", required=True)
+                    choices=["hf_clip", "openai_clip", "taiyi", "hf_llava"])
+    wc.add_argument("--arch", default="b32",
+                    choices=["b32", "l14", "7b", "1b"],
+                    help="clip arch for *_clip sources; decoder size for "
+                         "hf_llava (7b = llava-v1.5-7b, 1b = a "
+                         "TinyLlama-1.1B-class draft VLM)")
+    wc.add_argument("--input", required=True,
+                    help="a .pt/.bin/.safetensors state dict, or a HF "
+                         "model directory of sharded weight files")
     wc.add_argument("--out", required=True)
+    wc.add_argument("--int8", action="store_true",
+                    help="quantize serving weights at conversion (llava: "
+                         "7 GB npz instead of 13.5, loads straight into "
+                         "--verifier-int8)")
     wc.set_defaults(fn=cmd_weights_convert)
 
     pa = sub.add_parser("parity")

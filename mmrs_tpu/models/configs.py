@@ -60,6 +60,10 @@ class BertConfig:
 
 VIT_B32 = VITConfig(patch_size=32, width=768, layers=12, heads=12, embed_dim=512)
 VIT_L14 = VITConfig(patch_size=14, width=1024, layers=24, heads=16, embed_dim=768)
+# llava-v1.5's vision tower (openai/clip-vit-large-patch14-336): the L/14
+# weights at 336px — 577 tokens; reference model, code/test_llava.py:6-13
+VIT_L14_336 = VITConfig(image_size=336, patch_size=14, width=1024, layers=24,
+                        heads=16, embed_dim=768)
 CLIP_TEXT_B32 = TextConfig(width=512, layers=12, heads=8, embed_dim=512)
 CLIP_TEXT_L14 = TextConfig(width=768, layers=12, heads=12, embed_dim=768)
 TAIYI_ROBERTA_LARGE = BertConfig()

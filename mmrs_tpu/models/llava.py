@@ -237,8 +237,20 @@ def hf_llama(sd, cfg: LlamaConfig, prefix: str = "model") -> Params:
 
 
 def hf_llava(sd, cfg: LLaVAConfig) -> Params:
-    """HF LlavaForConditionalGeneration state dict -> llava params."""
+    """HF LlavaForConditionalGeneration state dict -> llava params.
+
+    Accepts both HF key layouts: the llava-v1.5 release layout
+    ("vision_tower....", "language_model.model....",
+    "language_model.lm_head.weight") and the transformers >= 4.52 layout
+    (everything under "model.", lm_head hoisted to the top level)."""
     from mmrs_tpu.models.convert import hf_clip_vision
+
+    sd = {k.replace("model.vision_tower.vision_tower.", "vision_tower.")
+           .replace("model.vision_tower.", "vision_tower.")
+           .replace("model.multi_modal_projector.",
+                    "multi_modal_projector.")
+           .replace("model.language_model.", "language_model.model.")
+          : v for k, v in sd.items()}
 
     # vision tower keys are nested under vision_tower.
     vt = {k[len("vision_tower."):]: v for k, v in sd.items()
@@ -251,6 +263,11 @@ def hf_llava(sd, cfg: LLaVAConfig) -> Params:
 
     lm_sd = {k[len("language_model."):]: v for k, v in sd.items()
              if k.startswith("language_model.")}
+    # llava-v1.5's lm_head is UNTIED; the >=4.52 layout hoists it to the
+    # top level, where the prefix strip above would lose it and hf_llama
+    # would silently fall back to tied embeddings — wrong logits.
+    if "lm_head.weight" not in lm_sd and "lm_head.weight" in sd:
+        lm_sd["lm_head.weight"] = sd["lm_head.weight"]
     return {
         "visual": visual,
         "proj_w1": jnp.asarray(sd["multi_modal_projector.linear_1.weight"].T),

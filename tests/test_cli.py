@@ -305,3 +305,51 @@ def test_cli_dedup_usage_errors_exit_2(capsys):
     with pytest.raises(SystemExit) as e:
         main(["dedup", "--mode", "embedding"])
     assert e.value.code == 2
+
+
+def test_weights_convert_llava_flags_and_shard_loading(tmp_path):
+    """--source hf_llava parses with --arch 7b/1b and --int8; bad combos
+    exit 2; _load_torch_state_dict merges sharded .bin and .safetensors
+    directories and loads single files."""
+    import torch
+
+    from mmrs_tpu.cli.main import (
+        _load_torch_state_dict, build_parser, cmd_weights_convert,
+    )
+
+    p = build_parser()
+    a = p.parse_args(["weights", "convert", "--source", "hf_llava",
+                      "--arch", "7b", "--int8",
+                      "--input", "x", "--out", "y.npz"])
+    assert a.source == "hf_llava" and a.int8
+
+    # bad combos fail fast before touching the input
+    bad1 = p.parse_args(["weights", "convert", "--source", "hf_llava",
+                         "--arch", "b32", "--input", "missing",
+                         "--out", "y.npz"])
+    bad1.input = str(tmp_path / "nonexistent")
+    assert cmd_weights_convert(bad1) == 2
+    bad2 = p.parse_args(["weights", "convert", "--source", "taiyi",
+                         "--arch", "7b", "--input", "missing",
+                         "--out", "y.npz"])
+    assert cmd_weights_convert(bad2) == 2
+
+    # sharded .bin dir merges in name order
+    d = tmp_path / "hfdir"
+    d.mkdir()
+    torch.save({"a": torch.ones(2)}, d / "pytorch_model-00001-of-00002.bin")
+    torch.save({"b": torch.zeros(3)}, d / "pytorch_model-00002-of-00002.bin")
+    sd = _load_torch_state_dict(str(d))
+    assert set(sd) == {"a", "b"}
+
+    # safetensors shards are preferred when present
+    from safetensors.torch import save_file
+
+    save_file({"c": torch.ones(1)}, str(d / "model-00001.safetensors"))
+    sd = _load_torch_state_dict(str(d))
+    assert set(sd) == {"c"}
+
+    # single file
+    f = tmp_path / "one.pt"
+    torch.save({"z": torch.ones(4)}, f)
+    assert set(_load_torch_state_dict(str(f))) == {"z"}

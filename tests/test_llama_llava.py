@@ -332,18 +332,20 @@ def test_llava_hf_converter_roundtrip():
     model = LlavaForConditionalGeneration(hf_cfg).eval()
     from mmrs_tpu.models.convert import state_dict_to_numpy
 
+    # RAW state dict: hf_llava must normalize whichever key layout this
+    # transformers version emits (the >=4.52 layout hoists the UNTIED
+    # lm_head to the top level — dropping it silently ties the logits to
+    # the embeddings, the bug this test pins)
     sd = state_dict_to_numpy(model.state_dict())
-    # normalize the two historical HF key layouts
-    sd = {k.replace("model.vision_tower.vision_tower.", "vision_tower.")
-           .replace("model.vision_tower.", "vision_tower.")
-           .replace("model.multi_modal_projector.", "multi_modal_projector.")
-           .replace("model.language_model.", "language_model.model.")
-          : v for k, v in sd.items()}
-    if "language_model.lm_head.weight" in sd:
-        sd["lm_head.weight"] = sd.pop("language_model.lm_head.weight")
-
     cfg = llava.LLaVAConfig(vision=vcfg, lm=LCFG)
     params = llava.hf_llava(sd, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(params["lm"]["lm_head"]),
+        model.state_dict()["lm_head.weight"].numpy().T
+        if "lm_head.weight" in model.state_dict()
+        else model.state_dict()["language_model.lm_head.weight"].numpy().T)
+    assert not np.allclose(np.asarray(params["lm"]["lm_head"]),
+                           np.asarray(params["lm"]["embed"]).T)
 
     rng = np.random.default_rng(5)
     images = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
