@@ -420,9 +420,11 @@ def load_release_model(path: str) -> ReleaseModel:
             cfg = LLaVAConfig(vision=vcfg, lm=lcfg)
             return ReleaseModel(kind, original_llava(sd, cfg), cfg, path,
                                 extras)
-        # transformers LlavaForConditionalGeneration layout
-        vt = {k[len("vision_tower."):]: v for k, v in sd.items()
-              if k.startswith("vision_tower.")}
+        # transformers LlavaForConditionalGeneration layout (>=4.52
+        # prefixes everything with "model."; hf_llava normalizes the
+        # weights itself — this strip only feeds the config fallback)
+        vt = {k.split("vision_tower.", 1)[1]: v for k, v in sd.items()
+              if "vision_tower." in k}
         vcfg = (vit_config_from_json(cj["vision_config"], lcfg.dim)
                 if "vision_config" in cj
                 else vit_config_from_vision_sd(vt, embed_dim=lcfg.dim))
