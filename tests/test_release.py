@@ -427,3 +427,55 @@ def test_bert_vocab_differential(tmp_path):
 
 def _is_cjk_ch(c):
     return 0x4E00 <= ord(c) <= 0x9FFF
+
+
+def test_llava_modern_hf_layout_dir(tmp_path):
+    """transformers >= 4.52 layout ('model.'-prefixed tree, UNTIED lm_head
+    hoisted to the top level): the release loader must keep the real
+    lm_head instead of silently tying it to the embeddings."""
+    try:
+        from transformers import (
+            CLIPVisionConfig, LlavaConfig as HFLlavaConfig,
+            LlavaForConditionalGeneration, LlamaConfig as HFLlamaConfig,
+        )
+    except ImportError:
+        pytest.skip("no Llava in this transformers")
+    import torch
+
+    hf_cfg = HFLlavaConfig(
+        vision_config=CLIPVisionConfig(
+            hidden_size=48, intermediate_size=192, num_hidden_layers=2,
+            num_attention_heads=4, image_size=16, patch_size=8,
+            projection_dim=32),
+        text_config=HFLlamaConfig(
+            vocab_size=300, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=64, tie_word_embeddings=False),
+        vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+    )
+    torch.manual_seed(3)
+    model = LlavaForConditionalGeneration(hf_cfg).eval()
+    sdk = list(model.state_dict().keys())
+    if not any(k.startswith("model.") for k in sdk):
+        pytest.skip("this transformers still emits the old llava layout")
+
+    d = str(tmp_path / "llava-hf-tiny")
+    os.makedirs(d)
+    flat = {k: v.numpy() for k, v in model.state_dict().items()}
+    write_sharded_bins(d, flat, n_shards=2)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({"model_type": "llava",
+                   "architectures": ["LlavaForConditionalGeneration"],
+                   "vision_config": hf_cfg.vision_config.to_dict(),
+                   "text_config": hf_cfg.text_config.to_dict()}, f)
+    write_sp_model(os.path.join(d, "tokenizer.model"))
+
+    rm = release.load_release_model(d)
+    assert rm.kind == "llava"
+    assert (rm.config.lm.dim, rm.config.lm.kv_heads) == (32, 2)
+    np.testing.assert_array_equal(
+        np.asarray(rm.params["lm"]["lm_head"]),
+        model.state_dict()["lm_head.weight"].numpy().T)
+    assert not np.allclose(np.asarray(rm.params["lm"]["lm_head"]),
+                           np.asarray(rm.params["lm"]["embed"]).T)
