@@ -25,6 +25,14 @@ def parse_yes_no(output: str) -> bool:
     return "yes" in output.lower()
 
 
+def speculative_stats_of(verifier):
+    """Duck-typed probe for a verifier's realized speculative acceptance
+    (shared by `mmrs cascade` and /v1/stats): None unless the verifier
+    exposes `speculative_stats()` and has decoded with a draft."""
+    fn = getattr(verifier, "speculative_stats", None)
+    return fn() if callable(fn) else None
+
+
 class Verifier(Protocol):
     def verify(self, image_path: str, category: str) -> bool:
         """True iff the VLM confirms the image contains the category."""
@@ -189,7 +197,11 @@ class TPULLaVAVerifier:
         self._tp_gen = None
         # realized speculative acceptance (the number draft_tokens is
         # tuned against): accumulated at collect() time, exposed via
-        # speculative_stats() and /v1/stats
+        # speculative_stats() and /v1/stats. The lock keeps the triple
+        # consistent when a stats poll races the VLM worker's update.
+        import threading
+
+        self._spec_lock = threading.Lock()
         self._spec_rounds = 0
         self._spec_tokens = 0
         self._spec_slots = 0
@@ -280,25 +292,36 @@ class TPULLaVAVerifier:
         if stats is None:
             return
         rounds = int(np.asarray(stats["rounds"]))
-        self._spec_rounds += rounds
-        self._spec_tokens += int(np.asarray(stats["emitted"]).sum())
-        self._spec_slots += rounds * batch_rows * (self.draft_tokens + 1)
+        if rounds == 0:        # every row hit EOS on the prefill's token
+            return
+        # the first token per row comes free from the prefill (not a
+        # verification slot) — count only round-emitted tokens so a
+        # fully-agreeing draft reads exactly 1.0
+        emitted = int(np.asarray(stats["emitted"]).sum())
+        tokens = max(emitted - batch_rows, 0)
+        with self._spec_lock:
+            self._spec_rounds += rounds
+            self._spec_tokens += tokens
+            self._spec_slots += rounds * batch_rows * (self.draft_tokens + 1)
 
     def speculative_stats(self):
         """Realized speculative acceptance, or None when no draft is
         configured / nothing decoded yet.
 
-        `utilization` = emitted tokens / (rounds × batch × (k+1)) — the
-        fraction of each verification pass's k+1 slots that actually
+        `utilization` = round-emitted tokens / (rounds × batch × (k+1)) —
+        the fraction of each verification pass's k+1 slots that actually
         shipped. 1.0 means the draft always agrees (the measured ceiling);
         tune `draft_tokens` until utilization stops paying for the extra
         draft steps (see NEXT.md's breakeven-alpha notes)."""
-        if self.draft_params is None or self._spec_rounds == 0:
+        with self._spec_lock:
+            rounds, tokens, slots = (self._spec_rounds, self._spec_tokens,
+                                     self._spec_slots)
+        if self.draft_params is None or rounds == 0:
             return None
         return {
-            "rounds": self._spec_rounds,
-            "tokens": self._spec_tokens,
-            "utilization": self._spec_tokens / max(self._spec_slots, 1),
+            "rounds": rounds,
+            "tokens": tokens,
+            "utilization": tokens / max(slots, 1),
         }
 
     def _load_image(self, image_path: str):

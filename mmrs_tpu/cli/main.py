@@ -414,8 +414,9 @@ def cmd_cascade(args) -> int:
     else:
         res = pipe.run(paths, args.positive_class, labels=labels)
     print(res.summary())
-    spec = getattr(verifier, "speculative_stats", None)
-    spec = spec() if callable(spec) else None
+    from mmrs_tpu.cascade.verifier import speculative_stats_of
+
+    spec = speculative_stats_of(verifier)
     if spec is not None:
         print(f"speculative: {spec['tokens']} tokens in {spec['rounds']} "
               f"rounds, slot utilization {spec['utilization']:.2f}")
@@ -744,34 +745,16 @@ def cmd_parity(args) -> int:
 
 
 def _load_torch_state_dict(path: str):
-    """A single .pt/.bin/.safetensors file, or a HF model directory of
-    sharded weight files (merged in name order)."""
-    import torch
-
-    def load_one(f):
-        if f.endswith(".safetensors"):
-            from safetensors.torch import load_file
-
-            return load_file(f)
-        sd = torch.load(f, map_location="cpu", weights_only=False)
-        return sd.state_dict() if hasattr(sd, "state_dict") else sd
+    """A single .pt/.bin/.safetensors file, or a HF model directory —
+    delegates to models/release.py's loaders (index-json-aware shard
+    merge, TorchScript archives, safetensors bf16)."""
+    from mmrs_tpu.models import release
 
     if os.path.isdir(path):
-        import glob as _glob
-
-        shards = sorted(_glob.glob(os.path.join(path, "*.safetensors")))
-        if not shards:
-            shards = sorted(
-                f for f in _glob.glob(os.path.join(path, "*.bin"))
-                if "training_args" not in f)
-        if not shards:
-            raise FileNotFoundError(
-                f"no .safetensors/.bin weight shards in {path}")
-        sd = {}
-        for f in shards:
-            sd.update(load_one(f))
-        return sd
-    return load_one(path)
+        return release.load_model_dir_state(path)
+    if path.endswith(".safetensors"):
+        return release.read_safetensors(path)
+    return release.load_torch_state(path)
 
 
 def cmd_weights_convert(args) -> int:

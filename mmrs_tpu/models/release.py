@@ -156,6 +156,17 @@ def load_model_dir_state(d: str) -> StateDict:
         sp = os.path.join(d, single)
         if os.path.exists(sp):
             return _load_one(sp)
+    # index-less sharded dirs: merge ONLY shard-patterned files (a blind
+    # *.safetensors glob would also swallow adapter_model.safetensors etc.)
+    import glob as _glob
+
+    for pat in ("model-*.safetensors", "pytorch_model-*.bin"):
+        shards = sorted(_glob.glob(os.path.join(d, pat)))
+        if shards:
+            out = {}
+            for s in shards:
+                out.update(_load_one(s))
+            return out
     raise FileNotFoundError(f"no weight files found in {d}")
 
 
@@ -423,7 +434,7 @@ def load_release_model(path: str) -> ReleaseModel:
         # transformers LlavaForConditionalGeneration layout (>=4.52
         # prefixes everything with "model."; hf_llava normalizes the
         # weights itself — this strip only feeds the config fallback)
-        vt = {k.split("vision_tower.", 1)[1]: v for k, v in sd.items()
+        vt = {k.rsplit("vision_tower.", 1)[1]: v for k, v in sd.items()
               if "vision_tower." in k}
         vcfg = (vit_config_from_json(cj["vision_config"], lcfg.dim)
                 if "vision_config" in cj

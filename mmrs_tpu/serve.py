@@ -334,13 +334,15 @@ def _make_handler(service: SearchService):
                 if self.path == "/healthz":
                     return self._reply(200, service.healthz())
                 if self.path == "/v1/stats":
+                    from mmrs_tpu.cascade.verifier import (
+                        speculative_stats_of,
+                    )
+
                     body = {"stages": service.stats.as_dict()}
                     # realized speculative acceptance (rounds, tokens,
                     # verification-slot utilization) when the verifier
                     # decodes with a draft model
-                    spec = getattr(service.verifier, "speculative_stats",
-                                   None)
-                    spec = spec() if callable(spec) else None
+                    spec = speculative_stats_of(service.verifier)
                     if spec is not None:
                         body["speculative"] = spec
                     return self._reply(200, body)

@@ -328,3 +328,22 @@ def test_streaming_cascade_with_draft_verifier_matches_plain(verifier,
                                   np.asarray(want.verified))
     st = vs.speculative_stats()
     assert st is not None and st["rounds"] > 0
+
+
+@pytest.mark.slow
+def test_speculative_utilization_pins_at_one_for_self_draft(verifier):
+    """draft == target with max_new_tokens ≡ 1 (mod k+1): the prefill's
+    free first token must not count against verification slots, so
+    utilization reads exactly 1.0 (the review found 1.033 here)."""
+    import jax.numpy as jnp
+
+    from mmrs_tpu.cascade.verifier import speculative_stats_of
+
+    v, tok, img = verifier
+    vs = TPULLaVAVerifier(v.params, v.cfg, tok, max_new_tokens=31,
+                          eos_token=-1, image_size=32,
+                          compute_dtype=jnp.float32, draft_params=v.params,
+                          draft_cfg=v.cfg, draft_tokens=4)
+    vs.verify(img, "cat")
+    st = speculative_stats_of(vs)
+    assert st == {"rounds": 6, "tokens": 30, "utilization": 1.0}, st
