@@ -353,3 +353,39 @@ def test_weights_convert_llava_flags_and_shard_loading(tmp_path):
     f = tmp_path / "one.pt"
     torch.save({"z": torch.ones(4)}, f)
     assert set(_load_torch_state_dict(str(f))) == {"z"}
+
+
+@pytest.mark.slow
+def test_cli_search_sharded_gallery_matches(tree, tmp_path):
+    """--gallery-shards N serves the same ranks as the single-device
+    engine (rows sharded over a data mesh, all-gather merge); the
+    over-subscribed case is a usage error."""
+    cfgp = str(tmp_path / "tiny.yaml")
+    open(cfgp, "w").write(TINY_CFG)
+    out = str(tmp_path / "idx")
+    env8 = {"XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+
+    def run8(args):
+        e = dict(os.environ)
+        e.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+                  **env8})
+        return subprocess.run(
+            [sys.executable, "-m", "mmrs_tpu.cli.main"] + args,
+            capture_output=True, text=True, env=e)
+
+    r = run8(["index", "build", "--root", tree, "--out", out,
+              "--config", cfgp])
+    assert r.returncode == 0, r.stderr[-2000:]
+    query = os.path.join(tree, "red", "red1.jpg")
+
+    plain = run8(["search", "--index", out, "--image", query, "-k", "5",
+                  "--config", cfgp])
+    sharded = run8(["search", "--index", out, "--image", query, "-k", "5",
+                    "--config", cfgp, "--gallery-shards", "4"])
+    assert plain.returncode == 0, plain.stderr[-2000:]
+    assert sharded.returncode == 0, sharded.stderr[-2000:]
+    assert sharded.stdout == plain.stdout
+
+    over = run8(["search", "--index", out, "--image", query,
+                 "--config", cfgp, "--gallery-shards", "64"])
+    assert over.returncode == 2 and "gallery-shards" in over.stderr
