@@ -3,7 +3,10 @@
 The reference is batch scripts only; this is the production-serving shim
 the framework is meant to power (stdlib-only, no server dependency):
 
-  GET  /healthz          -> {"ok": true, "rows": N, "dim": D}
+  GET  /healthz          -> {"ok": true, "rows": N, "dim": D,
+                            "gallery_shards": S, "gallery_int8": bool,
+                            "verifier": {kind, tp?, draft?}} — liveness
+                            plus the deployment shape in one call
   GET  /v1/stats         -> per-stage serving counters (StageStats: total
                             seconds, item counts, calls, items/call —
                             batch utilization — items/s, p50/p99), plus
@@ -118,8 +121,28 @@ class SearchService:
         self._vlm.close()
 
     def healthz(self) -> dict:
-        return {"ok": True, "rows": len(self.engine.index),
-                "dim": self.engine.index.dim}
+        """Liveness + deployment shape: gallery size/sharding/dtype and
+        the verifier's hosting (TP width, draft) in one ops-facing call."""
+        body = {"ok": True}
+        if self.engine is not None:
+            mesh = getattr(self.engine, "mesh", None)
+            body.update({
+                "rows": len(self.engine.index),
+                "dim": self.engine.index.dim,
+                "gallery_shards": (mesh.devices.size
+                                   if mesh is not None else 1),
+                "gallery_int8": bool(getattr(self.engine, "quantized",
+                                             False)),
+            })
+        if self.verifier is not None:
+            v = {"kind": type(self.verifier).__name__}
+            vmesh = getattr(self.verifier, "mesh", None)
+            if vmesh is not None:
+                v["tp"] = int(vmesh.devices.size)
+            if getattr(self.verifier, "draft_params", None) is not None:
+                v["draft"] = True
+            body["verifier"] = v
+        return body
 
     # -- request-thread entry points ------------------------------------------
 

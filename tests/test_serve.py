@@ -85,6 +85,10 @@ def test_healthz(server):
     base, *_ = server
     h = _get(base + "/healthz")
     assert h["ok"] and h["rows"] == 8
+    # deployment shape: single-device bf16 gallery, plain verifier
+    assert h["gallery_shards"] == 1 and h["gallery_int8"] is False
+    assert h["verifier"]["kind"] == "ColorVerifier"
+    assert "tp" not in h["verifier"] and "draft" not in h["verifier"]
 
 
 def test_image_search_ranks_same_class_first(server):
