@@ -349,17 +349,31 @@ class TPULLaVAVerifier:
             post_ids = self.tokenizer.encode(post_text)
         return pre_ids, post_ids
 
+    def _data_size(self) -> int:
+        """Width of the mesh's data axis (batch rows must divide it)."""
+        if self.mesh is None:
+            return 1
+        from mmrs_tpu.parallel.mesh import DATA_AXIS
+
+        shape = self.mesh.shape
+        return int(shape[DATA_AXIS]) if DATA_AXIS in shape else 1
+
     def generate_text(self, image_path: str, prompt: str) -> str:
         import jax.numpy as jnp
         import numpy as np
 
         pre_ids, post_ids = self._prompt_ids(prompt)
         images = self._load_image(image_path)
-        out, spec = self._generate(images,
-                                   jnp.asarray([pre_ids], jnp.int32),
-                                   jnp.asarray([post_ids], jnp.int32))
+        # batch-DP meshes shard the batch dim; tile the single row up to
+        # the data-axis width (the replicas decode copies, row 0 is read)
+        d = self._data_size()
+        if d > 1:
+            images = jnp.tile(images, (d, 1, 1, 1))
+        pre = jnp.tile(jnp.asarray([pre_ids], jnp.int32), (max(d, 1), 1))
+        post = jnp.tile(jnp.asarray([post_ids], jnp.int32), (max(d, 1), 1))
+        out, spec = self._generate(images, pre, post)
         ids = [int(t) for t in np.asarray(out)[0] if int(t) != self.eos_token]
-        self._record_spec(spec, 1)
+        self._record_spec(spec, out.shape[0])
         return self.tokenizer.decode(ids)
 
     def verify(self, image_path: str, category: str) -> bool:
@@ -385,6 +399,11 @@ class TPULLaVAVerifier:
                 raise ValueError(f"{n_real} paths > fixed_batch {fixed_batch}")
             image_paths = list(image_paths) + [image_paths[0]] * (
                 fixed_batch - n_real)
+        # batch-DP meshes shard the batch dim: pad to the data-axis width
+        d = self._data_size()
+        if len(image_paths) % d:
+            image_paths = list(image_paths) + [image_paths[0]] * (
+                d - len(image_paths) % d)
         prompt = self.prompt_template.format(category=category)
         pre_ids, post_ids = self._prompt_ids(prompt)
         images = jnp.concatenate(

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mmrs_tpu.models import llama
 from mmrs_tpu.models.llama import LlamaConfig
-from mmrs_tpu.parallel.mesh import MODEL_AXIS
+from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def llama_param_specs() -> Dict[str, Any]:
@@ -100,8 +100,14 @@ def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
 
     Pass params through `shard_llama_params(params, mesh)` — the jit
     inherits their committed placement (a static in_shardings tree can't
-    express QTensor int8 weights, whose scale vectors shed the K axis)."""
+    express QTensor int8 weights, whose scale vectors shed the K axis).
+
+    A mesh with a >1 `data` axis additionally splits the BATCH dim of the
+    prompt (and the whole decode state) across the data replicas — the
+    2-D batch-DP × decoder-TP serving shape. Batch must divide the data
+    axis."""
     repl = NamedSharding(mesh, P())
+    inp = _batch_sharding(mesh)
 
     def gen(params, prompt_embeds):
         return llama.greedy_generate(params, prompt_embeds, cfg,
@@ -111,7 +117,15 @@ def make_tp_generate(cfg: LlamaConfig, mesh: Mesh, max_new_tokens: int,
                                      decode_window=decode_window,
                                      early_stop=early_stop)
 
-    return jax.jit(gen, in_shardings=(None, repl), out_shardings=repl)
+    return jax.jit(gen, in_shardings=(None, inp), out_shardings=repl)
+
+
+def _batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Input sharding for [B, ...] prompt tensors: rows split over the
+    data axis when the mesh has one wider than 1, replicated otherwise."""
+    if DATA_AXIS in mesh.shape and mesh.shape[DATA_AXIS] > 1:
+        return NamedSharding(mesh, P(DATA_AXIS))
+    return NamedSharding(mesh, P())
 
 
 def shard_llava_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
@@ -176,6 +190,7 @@ def make_tp_llava_generate(cfg, mesh: Mesh, max_new_tokens: int = 32,
     from mmrs_tpu.models import llava
 
     repl = NamedSharding(mesh, P())
+    inp = _batch_sharding(mesh)
 
     def gen(params, images, pre_tokens, post_tokens):
         return llava.generate(
@@ -185,7 +200,7 @@ def make_tp_llava_generate(cfg, mesh: Mesh, max_new_tokens: int = 32,
             decode_window=decode_window, early_stop=early_stop,
             decode_attn=decode_attn, prefill_attn=prefill_attn)
 
-    return jax.jit(gen, in_shardings=(None, repl, repl, repl),
+    return jax.jit(gen, in_shardings=(None, inp, inp, inp),
                    out_shardings=repl)
 
 
@@ -205,6 +220,7 @@ def make_tp_llava_speculative_generate(
     from mmrs_tpu.models import llava
 
     repl = NamedSharding(mesh, P())
+    inp = _batch_sharding(mesh)
 
     def gen(params, dparams, images, pre_tokens, post_tokens):
         return llava.generate_speculative(
@@ -217,7 +233,7 @@ def make_tp_llava_speculative_generate(
 
     # target/draft param shardings are inherited from their committed
     # placement (shard_llava_params / replicate_llama_params)
-    return jax.jit(gen, in_shardings=(None, None, repl, repl, repl),
+    return jax.jit(gen, in_shardings=(None, None, inp, inp, inp),
                    out_shardings=repl)
 
 
@@ -255,6 +271,7 @@ def make_tp_speculative_generate(
     from mmrs_tpu.models.speculative import speculative_generate
 
     repl = NamedSharding(mesh, P())
+    inp = _batch_sharding(mesh)
 
     def gen(tparams, dparams, target_embeds, draft_embeds):
         return speculative_generate(
@@ -267,5 +284,5 @@ def make_tp_speculative_generate(
 
     # param shardings inherit from their committed placement
     # (shard_llama_params / replicate_llama_params)
-    return jax.jit(gen, in_shardings=(None, None, repl, repl),
+    return jax.jit(gen, in_shardings=(None, None, inp, inp),
                    out_shardings=repl)

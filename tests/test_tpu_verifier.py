@@ -347,3 +347,28 @@ def test_speculative_utilization_pins_at_one_for_self_draft(verifier):
     vs.verify(img, "cat")
     st = speculative_stats_of(vs)
     assert st == {"rounds": 6, "tokens": 30, "utilization": 1.0}, st
+
+
+def test_dp_tp_verifier_pads_odd_batches(verifier, tmp_path):
+    """A 2-D (data x model) mesh shards verify batches over the data axis;
+    odd batch sizes pad internally and single-row generate_text tiles —
+    verdicts and text match the single-device verifier."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    v, tok, img = verifier
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                (DATA_AXIS, MODEL_AXIS))
+    vt = TPULLaVAVerifier(v.params, v.cfg, tok, max_new_tokens=4,
+                          eos_token=-1, image_size=32,
+                          compute_dtype=jnp.float32, mesh=mesh)
+    paths = [img]
+    for i, val in enumerate((60, 200)):
+        p = tmp_path / f"dp{i}.jpg"
+        Image.fromarray(np.full((40, 40, 3), val, np.uint8)).save(p)
+        paths.append(str(p))
+    assert vt.verify_batch(paths, "cat") == v.verify_batch(paths, "cat")
+    q = "Does this image contain a cat?"
+    assert vt.generate_text(img, q) == v.generate_text(img, q)

@@ -20,9 +20,11 @@ LCFG = LlamaConfig(vocab_size=96, dim=64, layers=2, heads=4, kv_heads=2,
 
 @pytest.mark.slow
 def test_tp_generate_matches_single_device():
+    # B=2 on the 2x2 mesh: batch rows must divide the data axis (the
+    # factories shard the batch dim when the mesh has one wider than 1)
     params = llama.init(jax.random.key(0), LCFG)
     rng = np.random.default_rng(0)
-    prompt = jnp.asarray(rng.integers(3, 90, (1, 5)), jnp.int32)
+    prompt = jnp.asarray(rng.integers(3, 90, (2, 5)), jnp.int32)
     embeds = llama.embed_tokens(params, prompt)
 
     ref = np.asarray(llama.greedy_generate(
@@ -235,6 +237,28 @@ def test_tp8_generate_matches_single_device():
     mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
     sharded = shard_llama_params(params, mesh)
     gen = make_tp_generate(cfg, mesh, max_new_tokens=6, eos_token=-1,
+                           compute_dtype=jnp.float32, kv_dtype=jnp.int8)
+    out = np.asarray(gen(sharded, embeds))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_dp_tp_generate_matches_single_device():
+    """2x2 mesh = batch-DP x decoder-TP in one program: prompt rows split
+    over the data axis while the Megatron decoder shards over model —
+    token-exact vs single-device decode."""
+    params = llama.init(jax.random.key(8), LCFG)
+    rng = np.random.default_rng(8)
+    prompt = jnp.asarray(rng.integers(3, 90, (4, 5)), jnp.int32)  # B=4
+    embeds = llama.embed_tokens(params, prompt)
+
+    ref = np.asarray(llama.greedy_generate(
+        params, embeds, LCFG, max_new_tokens=6, eos_token=-1,
+        compute_dtype=jnp.float32, kv_dtype=jnp.int8))
+
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    sharded = shard_llama_params(params, mesh)
+    gen = make_tp_generate(LCFG, mesh, max_new_tokens=6, eos_token=-1,
                            compute_dtype=jnp.float32, kv_dtype=jnp.int8)
     out = np.asarray(gen(sharded, embeds))
     np.testing.assert_array_equal(out, ref)
