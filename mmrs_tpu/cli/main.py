@@ -487,10 +487,12 @@ def _add_verifier_flags(parser) -> None:
                              "verifier's exact greedy output")
     parser.add_argument("--draft-tokens", type=int, default=4,
                         help="draft tokens proposed per speculation round")
-    parser.add_argument("--tp", type=int, default=1,
-                        help="shard the verifier decoder tensor-parallel "
-                             "over the first N local devices (Megatron "
-                             "layout; vision tower replicated)")
+    parser.add_argument("--tp", default="1",
+                        help="verifier mesh: N shards the decoder "
+                             "tensor-parallel over the first N local "
+                             "devices (Megatron layout; vision tower "
+                             "replicated); DxT (e.g. 2x4) additionally "
+                             "splits verify batches over D data replicas")
 
 
 def _make_verifier(args):
@@ -520,24 +522,35 @@ def _make_verifier(args):
               "--tokenizer-model", file=sys.stderr)
         return 2
     # validate --tp (device count AND Megatron divisibility) BEFORE the
-    # (multi-GB, minutes-long) checkpoint load
+    # (multi-GB, minutes-long) checkpoint load. "N" = 1xN (TP only);
+    # "DxT" = batch-DP x decoder-TP over DxT devices.
     mesh = None
-    tp = getattr(args, "tp", 1)
-    if tp > 1:
+    spec = str(getattr(args, "tp", "1")).lower()
+    try:
+        dp, tp = ((int(p) for p in spec.split("x", 1)) if "x" in spec
+                  else (1, int(spec)))
+        dp, tp = int(dp), int(tp)
+    except ValueError:
+        print(f"--tp must be N or DxT, got {spec!r}", file=sys.stderr)
+        return 2
+    if dp < 1 or tp < 1:
+        print(f"--tp sizes must be >= 1, got {spec!r}", file=sys.stderr)
+        return 2
+    if dp * tp > 1:
         import jax
 
         from mmrs_tpu.parallel.mesh import MeshConfig, make_mesh
         from mmrs_tpu.parallel.vlm import draft_tp_divisible
 
         devices = jax.local_devices()   # this process's chips only
-        if len(devices) < tp:
-            print(f"--tp {tp} needs {tp} local devices; "
+        if len(devices) < dp * tp:
+            print(f"--tp {spec} needs {dp * tp} local devices; "
                   f"{len(devices)} available", file=sys.stderr)
             return 2
-        mesh = make_mesh(MeshConfig(data_size=1, model_size=tp),
-                         devices[:tp])
+        mesh = make_mesh(MeshConfig(data_size=dp, model_size=tp),
+                         devices[:dp * tp])
         if not draft_tp_divisible(LLAMA2_7B, mesh):
-            print(f"--tp {tp} does not divide the 7B decoder's "
+            print(f"--tp {spec} does not divide the 7B decoder's "
                   f"heads/kv-heads/mlp/vocab "
                   f"({LLAMA2_7B.heads}/{LLAMA2_7B.kv_heads}/"
                   f"{LLAMA2_7B.mlp_dim}/{LLAMA2_7B.vocab_size})",

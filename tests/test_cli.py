@@ -239,13 +239,25 @@ def test_verifier_flags_draft_wiring():
                            "--llava-checkpoint", "missing.npz",
                            "--tokenizer-model", "missing.model",
                            "--tp", "4096"])
-        assert a3.tp == 4096
+        assert a3.tp == "4096"
         assert _make_verifier(a3) == 2
         a4 = p.parse_args([cmd, *extra, "--verifier", "llava",
                            "--llava-checkpoint", "missing.npz",
                            "--tokenizer-model", "missing.model",
                            "--tp", "6"])   # 6 devices exist; 32 % 6 != 0
         assert _make_verifier(a4) == 2
+        # 2-D form parses and validates the same way (2x4=8 devices ok,
+        # but TP=3 fails divisibility; garbage fails the parse)
+        a5 = p.parse_args([cmd, *extra, "--verifier", "llava",
+                           "--llava-checkpoint", "missing.npz",
+                           "--tokenizer-model", "missing.model",
+                           "--tp", "2x3"])
+        assert _make_verifier(a5) == 2
+        a6 = p.parse_args([cmd, *extra, "--verifier", "llava",
+                           "--llava-checkpoint", "missing.npz",
+                           "--tokenizer-model", "missing.model",
+                           "--tp", "abc"])
+        assert _make_verifier(a6) == 2
 
 
 def test_config_roundtrip_preserves_tuple_fields(tmp_path):
