@@ -49,6 +49,27 @@ def main() -> None:
     garr = place_global_rows(g[lo:hi], n, mesh)
     vals, idxs = sharded_cosine_topk(q, garr, k=5, mesh=mesh, n_valid=n)
 
+    # The pod VLM serving shape: decoder TP over each host's ICI domain
+    # (model axis never crosses processes — proc_grid above proves it),
+    # batch rows over the DCN-spanning data axis. Params/prompts are
+    # deterministic so both processes hold identical host values; the
+    # parent compares the decode against its single-process oracle.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from mmrs_tpu.models import llama as llama_m
+    from mmrs_tpu.models.llama import LlamaConfig
+    from mmrs_tpu.parallel.vlm import make_tp_generate, shard_llama_params
+
+    lcfg = LlamaConfig(vocab_size=96, dim=64, layers=2, heads=4, kv_heads=2,
+                       mlp_dim=128, max_seq=64)
+    params = llama_m.init(jax.random.key(3), lcfg)
+    prompt = np.asarray(np.random.default_rng(4).integers(3, 90, (4, 5)),
+                        np.int32)                    # B=4 over data=4
+    embeds = llama_m.embed_tokens(params, prompt)
+    gen = make_tp_generate(lcfg, mesh, max_new_tokens=6, eos_token=-1,
+                           compute_dtype=np.float32, kv_dtype=None)
+    toks = gen(shard_llama_params(params, mesh), embeds)
+
     with open(out_path, "w") as f:
         json.dump({
             "pid": int(pid),
@@ -57,6 +78,7 @@ def main() -> None:
             "local_rows": [lo, hi],
             "vals": np.asarray(vals).tolist(),
             "idxs": np.asarray(idxs).tolist(),
+            "decode": np.asarray(toks).tolist(),
         }, f)
 
 

@@ -106,6 +106,25 @@ def test_two_process_distributed_topk(tmp_path):
     oracle = np.argsort(-scores, axis=1)[:, :5]
     assert np.array_equal(np.asarray(r0["idxs"]), oracle)
 
+    # the cross-process DP x TP decode (batch over the DCN data axis,
+    # Megatron TP inside each host's ICI domain) is replicated-identical
+    # across processes and token-exact vs the single-process decode
+    import jax.numpy as jnp
+
+    from mmrs_tpu.models import llama
+    from mmrs_tpu.models.llama import LlamaConfig
+
+    assert r0["decode"] == r1["decode"]
+    lcfg = LlamaConfig(vocab_size=96, dim=64, layers=2, heads=4,
+                       kv_heads=2, mlp_dim=128, max_seq=64)
+    params = llama.init(jax.random.key(3), lcfg)
+    prompt = jnp.asarray(np.random.default_rng(4).integers(3, 90, (4, 5)),
+                         jnp.int32)
+    ref = np.asarray(llama.greedy_generate(
+        params, llama.embed_tokens(params, prompt), lcfg,
+        max_new_tokens=6, eos_token=-1, compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(np.asarray(r0["decode"]), ref)
+
 
 def test_place_global_rows_single_process_matches_place_gallery():
     """Degenerate single-process form: the per-host loader produces the
