@@ -172,12 +172,13 @@ def cmd_search(args) -> int:
 
 def cmd_calibrate(args) -> int:
     from mmrs_tpu.index.gallery import GalleryIndex
-    from mmrs_tpu.search.engine import SearchEngine
     from mmrs_tpu.search.prototypes import build_prototype
 
     cfg = _load_config(args.config)
     idx = GalleryIndex.load(args.index)
-    engine = SearchEngine(idx, cfg.search)
+    engine = _make_engine(args, cfg, idx)
+    if engine == 2:
+        return 2
 
     labels = np.asarray([c == args.positive_class for c in idx.classes])
     if not labels.any():
@@ -993,6 +994,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("calibrate")
     c.add_argument("--index", required=True)
+    _add_engine_flags(c)
     c.add_argument("--positive-class", required=True)
     c.add_argument("--shots", type=int, default=10)
     c.add_argument("--prototype", default="mean")
