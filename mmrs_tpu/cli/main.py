@@ -97,6 +97,10 @@ def _make_engine(args, cfg, idx):
     from mmrs_tpu.search.engine import SearchEngine
 
     shards = getattr(args, "gallery_shards", 1)
+    if shards < 1:
+        print(f"--gallery-shards must be >= 1, got {shards}",
+              file=sys.stderr)
+        return 2
     mesh = None
     if shards > 1:
         import jax
@@ -128,7 +132,6 @@ def cmd_search(args) -> int:
     from mmrs_tpu.index.gallery import GalleryIndex
     from mmrs_tpu.io.images import load_image
     from mmrs_tpu.pipeline import build_towers
-    from mmrs_tpu.search.engine import SearchEngine
 
     cfg = _load_config(args.config)
     idx = GalleryIndex.load(args.index)
@@ -631,7 +634,6 @@ def cmd_serve(args) -> int:
     """Serve the query engine over HTTP (see mmrs_tpu/serve.py)."""
     from mmrs_tpu.index.gallery import GalleryIndex
     from mmrs_tpu.pipeline import build_towers
-    from mmrs_tpu.search.engine import SearchEngine
     from mmrs_tpu.serve import SearchService, make_server
 
     cfg = _load_config(args.config)

@@ -123,14 +123,22 @@ class SearchService:
     def healthz(self) -> dict:
         """Liveness + deployment shape: gallery size/sharding/dtype and
         the verifier's hosting (TP width, draft) in one ops-facing call."""
+        from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
         body = {"ok": True}
         if self.engine is not None:
             mesh = getattr(self.engine, "mesh", None)
+            # rows shard over the DATA axis only (place_gallery) — a 2-D
+            # engine mesh must not report its model axis as shards
+            shards = 1
+            if mesh is not None:
+                shards = int(mesh.shape[DATA_AXIS]
+                             if DATA_AXIS in mesh.shape
+                             else mesh.devices.size)
             body.update({
                 "rows": len(self.engine.index),
                 "dim": self.engine.index.dim,
-                "gallery_shards": (mesh.devices.size
-                                   if mesh is not None else 1),
+                "gallery_shards": shards,
                 "gallery_int8": bool(getattr(self.engine, "quantized",
                                              False)),
             })
@@ -138,7 +146,13 @@ class SearchService:
             v = {"kind": type(self.verifier).__name__}
             vmesh = getattr(self.verifier, "mesh", None)
             if vmesh is not None:
-                v["tp"] = int(vmesh.devices.size)
+                v["tp"] = int(vmesh.shape[MODEL_AXIS]
+                              if MODEL_AXIS in vmesh.shape
+                              else vmesh.devices.size)
+                dp = (int(vmesh.shape[DATA_AXIS])
+                      if DATA_AXIS in vmesh.shape else 1)
+                if dp > 1:
+                    v["dp"] = dp
             if getattr(self.verifier, "draft_params", None) is not None:
                 v["draft"] = True
             body["verifier"] = v

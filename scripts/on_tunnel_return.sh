@@ -20,7 +20,9 @@ echo "logging to $out"
 run() {  # run <name> <timeout_s> <cmd...>
     local name=$1 to=$2; shift 2
     echo "=== $name ($(date +%H:%M:%S)) ==="
-    timeout "$to" "$@" >"$out/$name.out" 2>"$out/$name.err"
+    # -k: SIGKILL stragglers stuck in native tunnel RPCs that never
+    # return to the interpreter to handle SIGTERM
+    timeout -k 30 "$to" "$@" >"$out/$name.out" 2>"$out/$name.err"
     local rc=$?
     echo "  rc=$rc  ($(tail -c 200 "$out/$name.out" | tr '\n' ' '))"
     return $rc
