@@ -1,0 +1,143 @@
+"""IVF ANN bench: build + query latency + recall at 10M x 512 on one chip.
+
+Context: the exact Pallas scan runs the 10M-row bf16 gallery at ~87% of
+the HBM roofline (14.41 ms p50, bench_stream.py) — bandwidth is the hard
+floor for exact search. IVF probes nprobe/C of the rows per query, so
+small-Q (interactive) latency drops by roughly C/nprobe while recall is
+tuned by nprobe (nprobe == C is exact; overflow rows are always exact).
+
+The gallery is GENERATED ON DEVICE chunk by chunk (host-side numpy at
+this scale took 15+ min on this box, CLAUDE.md), re-iterably keyed by
+chunk id so the build's three passes and the exact-baseline scan all see
+identical rows. Timing uses pipelined dispatch (bench.py method) because
+per-call host timing lies through the 26 ms tunnel.
+
+Prints one JSON line per config to stdout; prose to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import pipelined_seconds
+from mmrs_tpu.index.ivf import build_ivf_streaming, ivf_topk
+from mmrs_tpu.ops.topk import cosine_topk
+
+CHUNK = 65536
+DIM = 512
+EXACT_10M_MS = 14.41  # bench_stream.py resident-scan p50 (the baseline)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+@jax.jit
+def _gen_chunk(key):
+    """Unit-norm bf16 rows, mildly clustered: each chunk mixes 1024 shared
+    anchor directions with noise so IVF has real structure to find
+    (uniform random high-dim vectors are the degenerate no-structure case;
+    recall there is the floor, also reported)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    anchors = jax.random.normal(jax.random.key(7), (1024, DIM), jnp.float32)
+    anchors = anchors / jnp.linalg.norm(anchors, axis=1, keepdims=True)
+    which = jax.random.randint(k1, (CHUNK,), 0, 1024)
+    x = anchors[which] + 0.35 * jax.random.normal(k2, (CHUNK, DIM),
+                                                  jnp.float32)
+    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(jnp.bfloat16)
+
+
+def make_chunks(n_chunks):
+    def chunks():
+        for i in range(n_chunks):
+            yield _gen_chunk(jax.random.key(i))
+    return chunks
+
+
+def exact_baseline(queries, n_chunks, k):
+    """Streamed exact top-k (chunk-at-a-time scan, host merge) — recall
+    oracle without holding the flat gallery next to the buckets."""
+    best_v = np.full((queries.shape[0], k), -np.inf, np.float32)
+    best_i = np.full((queries.shape[0], k), -1, np.int64)
+    for i in range(n_chunks):
+        g = _gen_chunk(jax.random.key(i))
+        v, idx = cosine_topk(queries, g, k, impl="xla")
+        v = np.asarray(v)
+        idx = np.asarray(idx).astype(np.int64) + i * CHUNK
+        mv = np.concatenate([best_v, v], axis=1)
+        mi = np.concatenate([best_i, idx], axis=1)
+        order = np.argsort(-mv, axis=1)[:, :k]
+        best_v = np.take_along_axis(mv, order, axis=1)
+        best_i = np.take_along_axis(mi, order, axis=1)
+    return best_v, best_i
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_027_008)  # 153 chunks
+    ap.add_argument("--clusters", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--recall-queries", type=int, default=64)
+    args = ap.parse_args()
+
+    n_chunks = args.rows // CHUNK
+    n = n_chunks * CHUNK
+    log(f"devices: {jax.devices()}  rows={n}  C={args.clusters}")
+
+    t0 = time.perf_counter()
+    ivf = build_ivf_streaming(
+        make_chunks(n_chunks), n, DIM, n_clusters=args.clusters,
+        iters=args.iters, chunk=CHUNK, dtype=jnp.bfloat16)
+    jax.block_until_ready(ivf.buckets)
+    build_s = time.perf_counter() - t0
+    spill = int(np.sum(np.asarray(ivf.spill_ids) >= 0))
+    log(f"build: {build_s:.1f} s  cap={ivf.bucket_cap}  spill={spill} "
+        f"({100.0 * spill / n:.2f}%)  hbm={ivf.hbm_bytes() / 1e9:.2f} GB")
+
+    # queries from the same distribution as the gallery (mixed anchors)
+    qd = _gen_chunk(jax.random.key(10_000))[: args.recall_queries]
+
+    # recall vs the streamed exact scan
+    log("exact baseline scan (streamed)...")
+    _, exact_i = exact_baseline(qd, n_chunks, args.k)
+
+    for nprobe in (32, 64, 128, 256):
+        v, i = ivf_topk(qd, ivf, k=args.k, nprobe=nprobe, impl="auto")
+        got = np.asarray(i).astype(np.int64)
+        hits = sum(len(set(exact_i[r]) & set(got[r]))
+                   for r in range(got.shape[0]))
+        recall = hits / float(got.size)
+
+        lat = {}
+        for q in (1, 8, 64):
+            qs = [qd[:q]] * 8
+            per = pipelined_seconds(
+                lambda x: ivf_topk(x, ivf, k=args.k, nprobe=nprobe,
+                                   impl="auto"),
+                qs, lambda r: np.asarray(r[0][0, 0]))
+            lat[q] = per * 1e3
+        log(f"nprobe={nprobe}: recall@{args.k}={recall:.3f}  "
+            f"p50 ms Q1/Q8/Q64 = {lat[1]:.2f}/{lat[8]:.2f}/{lat[64]:.2f}")
+        print(json.dumps({
+            "metric": "ivf_topk_10m",
+            "nprobe": nprobe,
+            "recall_at_k": round(recall, 4),
+            "q1_ms": round(lat[1], 3),
+            "q8_ms": round(lat[8], 3),
+            "q64_ms": round(lat[64], 3),
+            "build_s": round(build_s, 1),
+            "vs_exact_scan_q1": round(EXACT_10M_MS / lat[1], 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

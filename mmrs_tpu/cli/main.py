@@ -101,6 +101,19 @@ def _make_engine(args, cfg, idx):
         print(f"--gallery-shards must be >= 1, got {shards}",
               file=sys.stderr)
         return 2
+    nprobe = getattr(args, "ann_nprobe", 0)
+    clusters = getattr(args, "ann_clusters", 0)
+    if nprobe or clusters:
+        if shards > 1 or getattr(args, "gallery_int8", False):
+            print("--ann-nprobe/--ann-clusters do not compose with "
+                  "--gallery-shards/--gallery-int8 yet", file=sys.stderr)
+            return 2
+        import dataclasses
+
+        search_cfg = dataclasses.replace(cfg.search, ann="ivf",
+                                         ann_clusters=max(clusters, 0),
+                                         ann_nprobe=max(nprobe, 0))
+        return SearchEngine(idx, search_cfg)
     mesh = None
     if shards > 1:
         import jax
@@ -126,6 +139,13 @@ def _add_engine_flags(parser) -> None:
                         help="int8 gallery rows + per-row scales: half "
                              "the HBM, ~0.3%% score error, rank-parity "
                              "gated (mmrs parity --rank-gate)")
+    parser.add_argument("--ann-nprobe", type=int, default=0,
+                        help="enable IVF ANN search probing N clusters "
+                             "per query (sub-linear; nprobe == clusters "
+                             "is exact; 0 = exact scan)")
+    parser.add_argument("--ann-clusters", type=int, default=0,
+                        help="IVF cluster count (0 = auto, pow2 near "
+                             "sqrt(rows)); implies IVF when set")
 
 
 def cmd_search(args) -> int:

@@ -53,6 +53,14 @@ class SearchConfig:
     outlier_percentile: float = 95.0      # robust_mean drop threshold
     cluster_k: int = 2                    # kmeans k for cluster prototypes
     cluster_balance_ratio: float = 0.2    # 20% balance rule (search_image.py:185-232)
+    # ANN (index/ivf.py): "none" = exact scan (reference behavior);
+    # "ivf" = clustered sub-linear search, recall tuned via ann_nprobe
+    # (nprobe == n_clusters degrades to exact). 0 = auto sizing.
+    ann: str = "none"
+    ann_clusters: int = 0
+    ann_nprobe: int = 0
+    ann_bucket_cap: int = 0
+    ann_train_iters: int = 10
 
 
 @dataclass

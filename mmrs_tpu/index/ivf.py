@@ -1,0 +1,632 @@
+"""IVF (inverted-file) ANN index — sub-linear gallery search on TPU.
+
+The reference scores every gallery row per query
+(`100. * image_features @ text_features.T`, code/search_image.py:105-117);
+our brute-force Pallas scan (ops/topk.py) already runs that at ~87% of the
+HBM roofline, which makes *bandwidth* the hard floor: a 10M-row bf16
+gallery is 10.24 GB of traffic per scan no matter how good the kernel is.
+This module goes sub-linear the TPU way:
+
+  - **Spherical k-means on the MXU** (train on a row sample, one streamed
+    assignment pass over the full gallery) — all matmuls, fixed iteration
+    count, jit-friendly.
+  - **Static-shape buckets**: cluster c's rows live at `buckets[c, :cap]`
+    (zero-padded, ids -1). Rows past a bucket's capacity go to a dense
+    **spill** array that is scanned exactly on every query, so capacity
+    overflow degrades cost, never recall.
+  - **Search = one small centroid matmul + nprobe bucket reads**: per
+    query, score the [C, D] centroids, take the top `nprobe` clusters, and
+    scan only those buckets (a scalar-prefetch Pallas kernel DMAs exactly
+    the probed buckets HBM->VMEM; the gather is never materialized).
+    Traffic per query drops from N*D to ~nprobe*cap*D + C*D — 100x at
+    10M rows / C=4096 / nprobe=32.
+  - `nprobe == n_clusters` probes every bucket and (with the spill) is
+    EXACTLY brute force — the recall knob has a closed top end, tested.
+
+Build streams the (possibly memmapped) host gallery in chunks — the flat
+gallery is never device-resident, so index capacity stays bounded by the
+bucket array (~1.25x the raw rows), not 2x.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mmrs_tpu.ops.normalize import l2_normalize
+from mmrs_tpu.ops.topk import NEG_INF, _topk_merge
+from mmrs_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_TRAIN_CHUNK = 8192      # E-step accumulation chunk (one-hot matmul rows)
+_STREAM_CHUNK = 65536    # host->device build streaming rows
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def auto_clusters(n_rows: int) -> int:
+    """Power-of-two near sqrt(N) (the classic IVF sizing): 1M -> 1024,
+    10M -> 4096. Clamped so tiny galleries stay searchable."""
+    if n_rows <= 1:
+        return 1
+    return min(1 << math.ceil(math.log2(math.sqrt(n_rows))),
+               max(1, n_rows // 8))
+
+
+def auto_nprobe(n_clusters: int) -> int:
+    """Default probe width: C/8, floor 8 — measured ~0.93 recall@10 on
+    64-blob synthetic data (test_ivf.py); recall is corpus-dependent, so
+    tune per deployment with ivf_recall (nprobe == C is exact)."""
+    return max(1, min(n_clusters, max(8, n_clusters // 8)))
+
+
+@dataclass
+class IVFIndex:
+    """Device-resident IVF structure. All row ids are GLOBAL gallery rows,
+    so results are interchangeable with ops/topk.cosine_topk's."""
+
+    centroids: jnp.ndarray    # [C, Dp]  (L2-normalized, dtype = buckets')
+    buckets: jnp.ndarray      # [C, cap, Dp] zero-padded rows
+    bucket_ids: jnp.ndarray   # [C, cap] int32 global row ids, -1 pad
+    spill: jnp.ndarray        # [S, Dp]  overflow rows (dense, exact-scanned)
+    spill_ids: jnp.ndarray    # [S] int32, -1 pad
+    n_total: int              # live gallery rows
+    dim: int                  # true embedding dim (Dp >= dim, zero-padded)
+
+    @property
+    def n_clusters(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @property
+    def bucket_cap(self) -> int:
+        return int(self.buckets.shape[1])
+
+    def hbm_bytes(self) -> int:
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                   for a in (self.centroids, self.buckets, self.bucket_ids,
+                             self.spill, self.spill_ids))
+
+
+# -- training -----------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters", "n_valid"))
+def _spherical_kmeans(x: jnp.ndarray, k: int, iters: int, n_valid: int,
+                      key: jnp.ndarray) -> jnp.ndarray:
+    """Centroids [k, D] f32 from a normalized sample x [Mp, D] (rows >=
+    n_valid are zero padding). Cosine assignment; E-step sums accumulate
+    chunk-by-chunk (one-hot matmuls — MXU work, no scatter), so the [M, k]
+    one-hot never materializes whole."""
+    mp, d = x.shape
+    nc = mp // _TRAIN_CHUNK if mp % _TRAIN_CHUNK == 0 else -1
+    if nc < 1:
+        raise ValueError("sample rows must be padded to the train chunk")
+    xc = x.reshape(nc, _TRAIN_CHUNK, d)
+    row_id = (jnp.arange(nc * _TRAIN_CHUNK, dtype=jnp.int32)
+              .reshape(nc, _TRAIN_CHUNK))
+    valid = (row_id < n_valid).astype(jnp.float32)          # [nc, chunk]
+
+    idx = jax.random.choice(key, jnp.arange(n_valid), (k,), replace=False)
+    cents = x[idx].astype(jnp.float32)
+
+    def em(cents, _):
+        def chunk_step(carry, inp):
+            sums, counts = carry
+            xb, vb = inp
+            sims = jax.lax.dot_general(
+                xb, cents, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [chunk, k]
+            assign = jnp.argmax(sims, axis=1)
+            onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+            onehot = onehot * vb[:, None]
+            sums = sums + jax.lax.dot_general(
+                onehot, xb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [k, D]
+            counts = counts + jnp.sum(onehot, axis=0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            chunk_step,
+            (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+            (xc, valid))
+        norm = jnp.linalg.norm(sums, axis=1, keepdims=True)
+        new = jnp.where((counts[:, None] > 0) & (norm > 1e-12),
+                        sums / jnp.maximum(norm, 1e-12), cents)
+        return new, None
+
+    cents, _ = jax.lax.scan(em, cents, None, length=iters)
+    return cents
+
+
+def train_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10,
+                    seed: int = 0) -> jnp.ndarray:
+    """Spherical k-means centroids [C, D] f32 from a host row sample."""
+    m, d = sample.shape
+    if n_clusters > m:
+        raise ValueError(f"n_clusters {n_clusters} > sample rows {m}")
+    x = jnp.asarray(np.asarray(sample), jnp.float32)
+    x = l2_normalize(x)
+    mp = _round_up(m, _TRAIN_CHUNK)
+    if mp != m:
+        x = jnp.zeros((mp, d), x.dtype).at[:m].set(x)
+    return _spherical_kmeans(x, n_clusters, iters, m, jax.random.key(seed))
+
+
+# -- build --------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _fill_chunk(bflat, spill, rows, bpos, spos):
+    """Scatter one normalized row chunk into its bucket/spill slots.
+    Positions marked "not here" are set PAST the array (positive
+    out-of-bounds => dropped by mode='drop'; -1 would WRAP to the last
+    slot per numpy semantics), covering padding and the other-destination
+    rows of each pass."""
+    rows = l2_normalize(rows.astype(jnp.float32))
+    d = rows.shape[1]
+    if d != bflat.shape[1]:
+        rows = jnp.zeros((rows.shape[0], bflat.shape[1]),
+                         jnp.float32).at[:, :d].set(rows)
+    rows = rows.astype(bflat.dtype)
+    bflat = bflat.at[bpos].set(rows, mode="drop")
+    spill = spill.at[spos].set(rows, mode="drop")
+    return bflat, spill
+
+
+def _oob(pos: np.ndarray, size: int) -> np.ndarray:
+    """-1 'not here' markers -> positive out-of-bounds (dropped, not
+    wrapped) scatter positions."""
+    return np.where(pos < 0, np.int32(size), pos).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _assign_chunk(rows, cents):
+    rows = l2_normalize(rows.astype(jnp.float32))
+    sims = jax.lax.dot_general(rows, cents, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return jnp.argmax(sims, axis=1).astype(jnp.int32)
+
+
+def _placement(assign: np.ndarray, n_clusters: int,
+               cap: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray]:
+    """Host-side slotting. Returns (bpos [N], spos [N], bucket_ids
+    [C*cap], spill_ids [S]); bpos/spos are -1 where the row goes to the
+    other structure."""
+    n = assign.shape[0]
+    order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[order]
+    starts = np.searchsorted(sorted_assign, np.arange(n_clusters))
+    rank = np.arange(n, dtype=np.int64) - starts[sorted_assign]
+    in_bucket = rank < cap
+
+    bpos = np.full(n, -1, np.int32)
+    spos = np.full(n, -1, np.int32)
+    flat = (sorted_assign.astype(np.int64) * cap + rank)[in_bucket]
+    bpos[order[in_bucket]] = flat.astype(np.int32)
+    n_spill = int((~in_bucket).sum())
+    spos[order[~in_bucket]] = np.arange(n_spill, dtype=np.int32)
+
+    bucket_ids = np.full(n_clusters * cap, -1, np.int32)
+    bucket_ids[flat] = order[in_bucket].astype(np.int32)
+    spill_ids = order[~in_bucket].astype(np.int32)
+    return bpos, spos, bucket_ids, spill_ids
+
+
+def _pad_chunk(rows: np.ndarray, chunk: int) -> np.ndarray:
+    if rows.shape[0] == chunk:
+        return rows
+    return np.concatenate(
+        [rows, np.zeros((chunk - rows.shape[0], rows.shape[1]),
+                        rows.dtype)])
+
+
+def build_ivf(
+    embeddings,                       # [N, D] host array-like (memmap ok)
+    n_clusters: int = 0,              # 0 = auto (pow2 near sqrt N)
+    bucket_cap: int = 0,              # 0 = auto (1.25x average, /8-aligned)
+    iters: int = 10,
+    train_rows: int = 262_144,
+    seed: int = 0,
+    dtype=jnp.bfloat16,
+    chunk: int = _STREAM_CHUNK,
+    centroids: Optional[jnp.ndarray] = None,  # reuse trained centroids
+    assignments: Optional[np.ndarray] = None,  # reuse a prior full pass
+) -> IVFIndex:
+    """Train (or reuse) centroids, assign every row, and stream rows into
+    the bucket structure. Host RSS stays ~one chunk; device residency is
+    the bucket array (~cap*C/N overhead over the raw rows) plus spill."""
+    n, d = embeddings.shape
+    if n == 0:
+        raise ValueError("empty gallery")
+    if centroids is None and assignments is None:
+        m = min(n, max(train_rows,
+                       n_clusters if n_clusters > 0 else auto_clusters(n)))
+        sel = (np.linspace(0, n - 1, m).astype(np.int64)
+               if m < n else np.arange(n))
+        sample = jnp.asarray(np.asarray(embeddings[sel], np.float32))
+    else:
+        sample = None
+
+    def chunks():
+        for a in range(0, n, chunk):
+            yield jnp.asarray(
+                _pad_chunk(np.asarray(embeddings[a:a + chunk]), chunk))
+
+    return build_ivf_streaming(
+        chunks, n, d, n_clusters=n_clusters, bucket_cap=bucket_cap,
+        iters=iters, seed=seed, dtype=dtype, chunk=chunk, sample=sample,
+        centroids=centroids, assignments=assignments)
+
+
+def build_ivf_streaming(
+    make_chunks,                      # () -> iterator of [chunk, D] arrays
+    n: int,
+    d: int,
+    n_clusters: int = 0,
+    bucket_cap: int = 0,
+    iters: int = 10,
+    seed: int = 0,
+    dtype=jnp.bfloat16,
+    chunk: int = _STREAM_CHUNK,
+    sample: Optional[jnp.ndarray] = None,     # training rows [M, D]
+    centroids: Optional[jnp.ndarray] = None,
+    assignments: Optional[np.ndarray] = None,
+    train_rows: int = 262_144,
+) -> IVFIndex:
+    """Build from a re-iterable chunk source (device arrays welcome — the
+    10M bench generates chunks on device, CLAUDE.md rule). Chunks must be
+    exactly `chunk` rows (zero-pad the tail); passes: [sample], assign,
+    fill. If `sample` is None the training rows are strided out of the
+    stream itself (one extra pass)."""
+    if n <= 0:
+        raise ValueError("empty gallery")
+    if n_clusters <= 0:
+        n_clusters = auto_clusters(n)
+    n_clusters = min(n_clusters, n)
+    dp = _round_up(d, 128)
+
+    if centroids is None:
+        if sample is None:
+            m = min(n, max(train_rows, n_clusters))
+            stride = max(1, n // m)
+            parts = []
+            for ci, rows in enumerate(make_chunks()):
+                base = ci * chunk
+                valid = min(chunk, n - base)
+                parts.append(jnp.asarray(rows)[: valid: stride])
+            sample = jnp.concatenate(parts, axis=0)[:m]
+        centroids = train_centroids(np.asarray(sample, np.float32),
+                                    n_clusters, iters=iters, seed=seed)
+    cents = l2_normalize(jnp.asarray(centroids, jnp.float32))
+    if cents.shape[0] != n_clusters:
+        raise ValueError("centroids/n_clusters mismatch")
+
+    if assignments is None:
+        parts = []
+        for rows in make_chunks():
+            parts.append(np.asarray(_assign_chunk(jnp.asarray(rows), cents)))
+        assignments = np.concatenate(parts)[:n]
+    assignments = np.asarray(assignments, np.int32)
+    if assignments.shape[0] != n:
+        raise ValueError("assignments/rows mismatch")
+
+    if bucket_cap <= 0:
+        bucket_cap = _round_up(max(8, math.ceil(1.25 * n / n_clusters)), 8)
+    bucket_cap = min(bucket_cap, _round_up(n, 8))
+
+    bpos, spos, bucket_ids, spill_ids = _placement(assignments, n_clusters,
+                                                   bucket_cap)
+    n_spill = spill_ids.shape[0]
+    s_pad = max(8, _round_up(n_spill, 8))
+    if n_spill:
+        log.info("ivf: %d/%d rows spill past cap=%d (scanned exactly)",
+                 n_spill, n, bucket_cap)
+
+    bflat = jnp.zeros((n_clusters * bucket_cap, dp), dtype)
+    spill = jnp.zeros((s_pad, dp), dtype)
+    for ci, rows in enumerate(make_chunks()):
+        a = ci * chunk
+        b = min(a + chunk, n)
+        bp = np.full(chunk, -1, np.int32)
+        sp = np.full(chunk, -1, np.int32)
+        bp[:b - a] = bpos[a:b]
+        sp[:b - a] = spos[a:b]
+        bflat, spill = _fill_chunk(
+            bflat, spill, jnp.asarray(rows),
+            jnp.asarray(_oob(bp, n_clusters * bucket_cap)),
+            jnp.asarray(_oob(sp, s_pad)))
+
+    sids = np.full(s_pad, -1, np.int32)
+    sids[:n_spill] = spill_ids
+    cents_p = cents
+    if dp != d:
+        cents_p = jnp.zeros((n_clusters, dp), cents.dtype).at[:, :d].set(cents)
+    return IVFIndex(
+        centroids=cents_p.astype(dtype),
+        buckets=bflat.reshape(n_clusters, bucket_cap, dp),
+        bucket_ids=jnp.asarray(bucket_ids.reshape(n_clusters, bucket_cap)),
+        spill=spill,
+        spill_ids=jnp.asarray(sids),
+        n_total=n,
+        dim=d,
+    )
+
+
+# -- search -------------------------------------------------------------------
+
+
+def _ivf_kernel(probe_ref, q_ref, b_ref, ids_ref, out_v_ref, out_i_ref,
+                run_v, run_i, *, k: int):
+    pi = pl.program_id(1)
+    np_ = pl.num_programs(1)
+
+    @pl.when(pi == 0)
+    def _init():
+        run_v[:] = jnp.full_like(run_v, NEG_INF)
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    q = q_ref[:]                                    # [1, Dp]
+    b = b_ref[0]                                    # [cap, Dp]
+    scores = jax.lax.dot_general(
+        q, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                               # [1, cap]
+    ids = ids_ref[:]                                # [1, cap]
+    scores = jnp.where(ids >= 0, scores, NEG_INF)
+
+    new_v, new_i = _topk_merge(
+        jnp.concatenate([run_v[:], scores], axis=1),
+        jnp.concatenate([run_i[:], ids], axis=1), k)
+    run_v[:] = new_v
+    run_i[:] = new_i
+
+    @pl.when(pi == np_ - 1)
+    def _finish():
+        out_v_ref[:] = run_v[:]
+        out_i_ref[:] = run_i[:]
+
+
+def _probe_buckets_pallas(q, probe, buckets, bucket_ids, k: int,
+                          interpret: bool = False):
+    """[Q, k] top-k over each query's probed buckets. probe [Q, P] int32
+    drives the bucket index map via scalar prefetch — only the probed
+    buckets ever leave HBM, nothing is gathered/materialized."""
+    qn = q.shape[0]
+    cap = buckets.shape[1]
+    p = probe.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qn, p),
+        in_specs=[
+            pl.BlockSpec((1, q.shape[1]), lambda i, j, pr: (i, 0)),
+            pl.BlockSpec((1, cap, buckets.shape[2]),
+                         lambda i, j, pr: (pr[i, j], 0, 0)),
+            pl.BlockSpec((1, cap), lambda i, j, pr: (pr[i, j], 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k), lambda i, j, pr: (i, 0)),
+            pl.BlockSpec((1, k), lambda i, j, pr: (i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, k), jnp.float32),
+            pltpu.VMEM((1, k), jnp.int32),
+        ],
+    )
+    out_v, out_i = pl.pallas_call(
+        functools.partial(_ivf_kernel, k=k),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((qn, k), jnp.float32),
+            jax.ShapeDtypeStruct((qn, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * p * cap * buckets.shape[2],
+            bytes_accessed=qn * p * cap * buckets.shape[2]
+            * buckets.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(probe, q, buckets, bucket_ids)
+    return out_v, out_i
+
+
+def _probe_buckets_xla(q, probe, buckets, bucket_ids, k: int):
+    """Oracle / CPU path: per-query bucket gather, memory bounded by
+    lax.map's one-query working set ([P, cap, Dp])."""
+    cap = buckets.shape[1]
+    p = probe.shape[1]
+    kk = min(k, p * cap)
+
+    def per_query(args):
+        qv, pids = args
+        b = jnp.take(buckets, pids, axis=0)          # [P, cap, Dp]
+        ids = jnp.take(bucket_ids, pids, axis=0)     # [P, cap]
+        s = jax.lax.dot_general(
+            b.reshape(p * cap, -1), qv[None, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 0]
+        s = jnp.where(ids.reshape(-1) >= 0, s, NEG_INF)
+        v, i = jax.lax.top_k(s, kk)
+        return v, jnp.take(ids.reshape(-1), i).astype(jnp.int32)
+
+    vals, ids = jax.lax.map(per_query, (q, probe))
+    if kk < k:
+        pad_v = jnp.full((q.shape[0], k - kk), NEG_INF, jnp.float32)
+        pad_i = jnp.full((q.shape[0], k - kk), -1, jnp.int32)
+        vals = jnp.concatenate([vals, pad_v], axis=1)
+        ids = jnp.concatenate([ids, pad_i], axis=1)
+    return vals, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "impl",
+                                             "n_total", "dim"))
+def _ivf_topk(q, centroids, buckets, bucket_ids, spill, spill_ids,
+              k: int, nprobe: int, impl: str, n_total: int, dim: int):
+    qn, d = q.shape
+    dp = buckets.shape[2]
+    if d != dp:
+        q = jnp.zeros((qn, dp), q.dtype).at[:, :d].set(q)
+    qf = q.astype(jnp.float32)
+
+    csims = jax.lax.dot_general(
+        qf.astype(centroids.dtype), centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [Q, C]
+    _, probe = jax.lax.top_k(csims, nprobe)                 # [Q, P]
+    probe = probe.astype(jnp.int32)
+
+    qd = q.astype(buckets.dtype)
+    if impl == "pallas":
+        vals, ids = _probe_buckets_pallas(qd, probe, buckets, bucket_ids, k)
+    elif impl == "pallas_interpret":
+        vals, ids = _probe_buckets_pallas(qd, probe, buckets, bucket_ids, k,
+                                          interpret=True)
+    else:
+        vals, ids = _probe_buckets_xla(qd, probe, buckets, bucket_ids, k)
+
+    # exact spill scan (tiny): overflow rows never cost recall
+    ss = jax.lax.dot_general(
+        qd, spill, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [Q, S]
+    ss = jnp.where(spill_ids[None, :] >= 0, ss, NEG_INF)
+    ks = min(k, spill.shape[0])
+    sv, si = jax.lax.top_k(ss, ks)
+    sid = jnp.take(spill_ids, si)
+
+    mv = jnp.concatenate([vals, sv], axis=1)
+    mi = jnp.concatenate([ids, sid], axis=1)
+    fv, fi = jax.lax.top_k(mv, k)
+    return fv, jnp.take_along_axis(mi, fi, axis=1)
+
+
+def ivf_topk(
+    queries: jnp.ndarray,     # [Q, D] L2-normalized
+    ivf: IVFIndex,
+    k: int = 10,
+    nprobe: int = 0,          # 0 = auto
+    impl: str = "auto",       # pallas | xla | pallas_interpret | auto
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k (cosines [Q, k] f32, global row ids [Q, k] int32), sorted
+    descending — the cosine_topk contract, restricted to probed buckets
+    (+ the exact spill). nprobe == n_clusters reproduces brute force."""
+    if nprobe <= 0:
+        nprobe = auto_nprobe(ivf.n_clusters)
+    nprobe = min(nprobe, ivf.n_clusters)
+    k = min(k, ivf.n_total)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _ivf_topk(queries, ivf.centroids, ivf.buckets, ivf.bucket_ids,
+                     ivf.spill, ivf.spill_ids, k, nprobe, impl,
+                     ivf.n_total, ivf.dim)
+
+
+def ivf_recall(ivf: IVFIndex, embeddings, queries, k: int = 10,
+               nprobe: int = 0, impl: str = "auto") -> float:
+    """Measured recall@k vs the exact scan for a query sample — the knob
+    report for choosing nprobe (mirrors faiss practice; the reference has
+    no ANN story to compare)."""
+    from mmrs_tpu.ops.topk import cosine_topk
+
+    q = l2_normalize(jnp.asarray(np.asarray(queries), jnp.float32))
+    g = l2_normalize(jnp.asarray(np.asarray(embeddings), jnp.float32))
+    _, exact = cosine_topk(q.astype(ivf.buckets.dtype),
+                           g.astype(ivf.buckets.dtype), k, impl="xla")
+    _, got = ivf_topk(q, ivf, k=k, nprobe=nprobe, impl=impl)
+    exact = np.asarray(exact)
+    got = np.asarray(got)
+    hits = sum(len(set(exact[i]) & set(got[i])) for i in range(exact.shape[0]))
+    return hits / float(exact.shape[0] * exact.shape[1])
+
+
+# -- persistence --------------------------------------------------------------
+
+
+def save_ivf(directory: str, ivf: IVFIndex) -> None:
+    """Sidecar persistence next to a gallery: centroids + slot maps only
+    (the bucket ROWS are rebuilt from the gallery on load — the sidecar
+    stays ~4 bytes/row, not another copy of the embeddings)."""
+    os.makedirs(directory, exist_ok=True)
+    tmp = os.path.join(directory, "ivf.npz.tmp.npz")
+    np.savez(
+        tmp,
+        centroids=np.asarray(ivf.centroids, np.float32),
+        bucket_ids=np.asarray(ivf.bucket_ids),
+        spill_ids=np.asarray(ivf.spill_ids),
+    )
+    os.replace(tmp, os.path.join(directory, "ivf.npz"))
+    meta = {"n_total": ivf.n_total, "dim": ivf.dim,
+            "n_clusters": ivf.n_clusters, "bucket_cap": ivf.bucket_cap}
+    tmp_m = os.path.join(directory, "ivf.json.tmp")
+    with open(tmp_m, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    os.replace(tmp_m, os.path.join(directory, "ivf.json"))
+
+
+def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
+             chunk: int = _STREAM_CHUNK) -> IVFIndex:
+    """Rebuild the device structure from a save_ivf sidecar + the gallery
+    rows (streamed; one pass, no training, no assignment)."""
+    with open(os.path.join(directory, "ivf.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    z = np.load(os.path.join(directory, "ivf.npz"))
+    n, d = embeddings.shape
+    if n != meta["n_total"] or d != meta["dim"]:
+        raise ValueError(
+            f"ivf sidecar built for {meta['n_total']}x{meta['dim']}, "
+            f"gallery is {n}x{d} — rebuild with build_ivf")
+    bucket_ids = z["bucket_ids"]
+    spill_ids = z["spill_ids"]
+    c, cap = bucket_ids.shape
+    dp = _round_up(d, 128)
+
+    bpos = np.full(n, -1, np.int32)
+    flat = bucket_ids.reshape(-1)
+    live = flat >= 0
+    bpos[flat[live]] = np.arange(c * cap, dtype=np.int32)[live]
+    spos = np.full(n, -1, np.int32)
+    slive = spill_ids >= 0
+    spos[spill_ids[slive]] = np.arange(spill_ids.shape[0],
+                                       dtype=np.int32)[slive]
+
+    bflat = jnp.zeros((c * cap, dp), dtype)
+    spill = jnp.zeros((spill_ids.shape[0], dp), dtype)
+    for a in range(0, n, chunk):
+        b = min(a + chunk, n)
+        rows = np.asarray(embeddings[a:b])
+        if b - a < chunk:
+            rows = np.concatenate(
+                [rows, np.zeros((chunk - (b - a), d), rows.dtype)])
+        bp = np.full(chunk, -1, np.int32)
+        sp = np.full(chunk, -1, np.int32)
+        bp[:b - a] = bpos[a:b]
+        sp[:b - a] = spos[a:b]
+        bflat, spill = _fill_chunk(
+            bflat, spill, jnp.asarray(rows),
+            jnp.asarray(_oob(bp, c * cap)),
+            jnp.asarray(_oob(sp, spill_ids.shape[0])))
+
+    cents = jnp.asarray(z["centroids"], jnp.float32)
+    if cents.shape[1] != dp:
+        cents = jnp.zeros((c, dp), cents.dtype).at[:, :cents.shape[1]].set(
+            cents)
+    return IVFIndex(
+        centroids=cents.astype(dtype),
+        buckets=bflat.reshape(c, cap, dp),
+        bucket_ids=jnp.asarray(bucket_ids),
+        spill=spill,
+        spill_ids=jnp.asarray(spill_ids),
+        n_total=n,
+        dim=d,
+    )

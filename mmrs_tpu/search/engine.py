@@ -72,6 +72,28 @@ class SearchEngine:
         self.mesh = mesh
         self.stats = StageStats()
         self.quantized = quantize
+        self.ivf = None
+        if self.config.ann == "ivf":
+            # sub-linear ANN serving (index/ivf.py): the flat gallery is
+            # never device-resident; residency = buckets (~1.25x rows).
+            if mesh is not None or quantize:
+                raise ValueError(
+                    "ann='ivf' does not compose with mesh or int8 gallery "
+                    "yet — shard by running one IVF engine per replica")
+            from mmrs_tpu.index.ivf import build_ivf
+
+            cfg = self.config
+            self.ivf = build_ivf(
+                index.embeddings,
+                n_clusters=cfg.ann_clusters,
+                bucket_cap=cfg.ann_bucket_cap,
+                iters=cfg.ann_train_iters,
+                dtype=device_dtype,
+            )
+            self.gallery = None
+            return
+        elif self.config.ann not in ("none", "", None):
+            raise ValueError(f"unknown ann mode {self.config.ann!r}")
         emb = _to_device_chunked(index.embeddings, device_dtype)
         emb = l2_normalize(emb)  # idempotent if rows already normalized
         if quantize:
@@ -99,10 +121,15 @@ class SearchEngine:
         """vectors [Q, D] (unnormalized ok). Returns hits per query."""
         k = min(top_k or self.config.top_k, len(self.index))
         q = l2_normalize(jnp.asarray(vectors))
-        if not self.quantized:
+        if not self.quantized and self.gallery is not None:
             q = q.astype(self.gallery.dtype)
         with self.stats.timed("topk", count=q.shape[0]):
-            if self.quantized and self.mesh is not None:
+            if self.ivf is not None:
+                from mmrs_tpu.index.ivf import ivf_topk
+
+                vals, idxs = ivf_topk(q, self.ivf, k=k,
+                                      nprobe=self.config.ann_nprobe)
+            elif self.quantized and self.mesh is not None:
                 from mmrs_tpu.parallel.topk import (
                     sharded_cosine_topk_quantized,
                 )
@@ -175,6 +202,10 @@ class SearchEngine:
         1M-row index each query row is 4 MB on device."""
         q = l2_normalize(jnp.asarray(vectors))
         n = len(self.index)
+        if self.ivf is not None:
+            raise RuntimeError(
+                "device_similarities needs the flat gallery; calibrate "
+                "with ann='none' (calibration is an offline build step)")
         if self.quantized:
             from mmrs_tpu.ops.quant import quantize_rows
 

@@ -1,0 +1,252 @@
+"""IVF ANN index: build, exactness at full probe, recall on clustered
+data, spill handling, pallas-interpret == xla, persistence, engine mode.
+
+The reference has no ANN story (every query scores every row,
+code/search_image.py:105-117); ivf_topk must therefore DEGRADE to exactly
+that behavior at nprobe == n_clusters — that equivalence is the contract
+anchoring every other test here.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mmrs_tpu.index.ivf import (auto_clusters, build_ivf, ivf_recall,
+                                ivf_topk, load_ivf, save_ivf)
+from mmrs_tpu.ops.normalize import l2_normalize
+from mmrs_tpu.ops.topk import cosine_topk
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _blobs(rng, n, d, n_blobs, sigma=0.15):
+    """Clustered unit vectors (the realistic embedding geometry)."""
+    centers = _normed(rng, n_blobs, d)
+    which = rng.integers(0, n_blobs, n)
+    x = centers[which] + sigma * rng.standard_normal((n, d)).astype(
+        np.float32)
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+
+def test_full_probe_is_exact_brute_force():
+    rng = np.random.default_rng(0)
+    g = _normed(rng, 1000, 64)
+    q = _normed(rng, 16, 64)
+    ivf = build_ivf(g, n_clusters=16, iters=4, dtype=jnp.float32)
+    ev, ei = cosine_topk(jnp.asarray(q), jnp.asarray(g), 10, impl="xla")
+    av, ai = ivf_topk(jnp.asarray(q), ivf, k=10, nprobe=16, impl="xla")
+    np.testing.assert_allclose(np.asarray(av), np.asarray(ev), atol=1e-5)
+    # distinct random values: ties are measure-zero, ids must match
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(ei))
+
+
+def test_full_probe_exact_with_spill():
+    rng = np.random.default_rng(1)
+    g = _normed(rng, 500, 64)
+    q = _normed(rng, 8, 64)
+    # cap 8 with 500/8 ~ 62 rows/cluster average: most rows spill
+    ivf = build_ivf(g, n_clusters=8, bucket_cap=8, iters=3,
+                    dtype=jnp.float32)
+    assert int(np.sum(np.asarray(ivf.spill_ids) >= 0)) > 300
+    ev, ei = cosine_topk(jnp.asarray(q), jnp.asarray(g), 5, impl="xla")
+    av, ai = ivf_topk(jnp.asarray(q), ivf, k=5, nprobe=8, impl="xla")
+    np.testing.assert_allclose(np.asarray(av), np.asarray(ev), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(ei))
+
+
+def test_every_row_indexed_exactly_once():
+    rng = np.random.default_rng(2)
+    g = _normed(rng, 777, 32)
+    ivf = build_ivf(g, n_clusters=13, bucket_cap=48, iters=3)
+    ids = np.concatenate([np.asarray(ivf.bucket_ids).reshape(-1),
+                          np.asarray(ivf.spill_ids)])
+    live = np.sort(ids[ids >= 0])
+    np.testing.assert_array_equal(live, np.arange(777))
+
+
+def test_bucket_rows_match_gallery_rows():
+    """The scattered bucket content must be the (normalized) gallery row
+    its id claims — guards the oob-sentinel scatter against wrap bugs."""
+    rng = np.random.default_rng(3)
+    g = rng.standard_normal((200, 32)).astype(np.float32) * 3.0
+    ivf = build_ivf(g, n_clusters=4, iters=2, dtype=jnp.float32)
+    gn = np.asarray(l2_normalize(jnp.asarray(g)))
+    ids = np.asarray(ivf.bucket_ids)
+    buckets = np.asarray(ivf.buckets)[:, :, :32]
+    for c in range(4):
+        for s in range(ids.shape[1]):
+            r = ids[c, s]
+            if r >= 0:
+                np.testing.assert_allclose(buckets[c, s], gn[r], atol=1e-5)
+            else:
+                np.testing.assert_array_equal(buckets[c, s], 0.0)
+
+
+def test_recall_on_clustered_data():
+    rng = np.random.default_rng(4)
+    g = _blobs(rng, 8000, 64, n_blobs=64)
+    q = _blobs(rng, 32, 64, n_blobs=64)
+    ivf = build_ivf(g, n_clusters=64, iters=8, dtype=jnp.float32)
+    # measured on this config: nprobe 8 -> 0.844, 16 -> 0.934, 32 -> 0.984
+    r16 = ivf_recall(ivf, g, q, k=10, nprobe=16, impl="xla")
+    assert r16 >= 0.9, r16
+    r32 = ivf_recall(ivf, g, q, k=10, nprobe=32, impl="xla")
+    assert r32 >= r16 >= ivf_recall(ivf, g, q, k=10, nprobe=4, impl="xla")
+    r_full = ivf_recall(ivf, g, q, k=10, nprobe=64, impl="xla")
+    assert r_full == 1.0
+
+
+def test_pallas_interpret_matches_xla():
+    rng = np.random.default_rng(5)
+    g = _normed(rng, 600, 128)
+    q = _normed(rng, 4, 128)
+    ivf = build_ivf(g, n_clusters=8, iters=3, dtype=jnp.float32)
+    xv, xi = ivf_topk(jnp.asarray(q), ivf, k=7, nprobe=3, impl="xla")
+    pv, pi = ivf_topk(jnp.asarray(q), ivf, k=7, nprobe=3,
+                      impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+def test_unaligned_dim_and_single_query():
+    rng = np.random.default_rng(6)
+    g = _normed(rng, 300, 48)  # D=48: lane padding path
+    q = _normed(rng, 1, 48)
+    ivf = build_ivf(g, n_clusters=4, iters=2, dtype=jnp.float32)
+    ev, ei = cosine_topk(jnp.asarray(q), jnp.asarray(g), 3, impl="xla")
+    av, ai = ivf_topk(jnp.asarray(q), ivf, k=3, nprobe=4, impl="xla")
+    np.testing.assert_allclose(np.asarray(av), np.asarray(ev), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(ei))
+
+
+def test_k_exceeds_probed_rows():
+    """k larger than nprobe*cap must pad with -1 ids, not crash."""
+    rng = np.random.default_rng(7)
+    g = _normed(rng, 64, 32)
+    q = _normed(rng, 2, 32)
+    ivf = build_ivf(g, n_clusters=8, bucket_cap=8, iters=2,
+                    dtype=jnp.float32)
+    av, ai = ivf_topk(jnp.asarray(q), ivf, k=20, nprobe=1, impl="xla")
+    assert av.shape == (2, 20) and ai.shape == (2, 20)
+    got = np.asarray(ai)
+    assert (got >= -1).all()
+
+
+def test_streaming_build_matches_host_build():
+    from mmrs_tpu.index.ivf import build_ivf_streaming
+
+    rng = np.random.default_rng(13)
+    g = _normed(rng, 700, 64)
+    chunk = 256
+
+    def chunks():
+        for a in range(0, 700, chunk):
+            rows = g[a:a + chunk]
+            if rows.shape[0] < chunk:
+                rows = np.concatenate(
+                    [rows, np.zeros((chunk - rows.shape[0], 64),
+                                    np.float32)])
+            yield jnp.asarray(rows)  # device chunks, like the 10M bench
+
+    a_idx = build_ivf(g, n_clusters=8, iters=3, chunk=chunk,
+                      dtype=jnp.float32, seed=7)
+    s_idx = build_ivf_streaming(chunks, 700, 64, n_clusters=8, iters=3,
+                                chunk=chunk, dtype=jnp.float32, seed=7,
+                                sample=jnp.asarray(g))
+    q = jnp.asarray(_normed(rng, 4, 64))
+    v1, i1 = ivf_topk(q, a_idx, k=5, nprobe=8, impl="xla")
+    v2, i2 = ivf_topk(q, s_idx, k=5, nprobe=8, impl="xla")
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(8)
+    g = _normed(rng, 400, 64)
+    q = _normed(rng, 6, 64)
+    ivf = build_ivf(g, n_clusters=8, bucket_cap=16, iters=3,
+                    dtype=jnp.float32)
+    save_ivf(str(tmp_path), ivf)
+    ivf2 = load_ivf(str(tmp_path), g, dtype=jnp.float32)
+    v1, i1 = ivf_topk(jnp.asarray(q), ivf, k=5, nprobe=8, impl="xla")
+    v2, i2 = ivf_topk(jnp.asarray(q), ivf2, k=5, nprobe=8, impl="xla")
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_load_rejects_mismatched_gallery(tmp_path):
+    rng = np.random.default_rng(9)
+    g = _normed(rng, 100, 32)
+    ivf = build_ivf(g, n_clusters=4, iters=2)
+    save_ivf(str(tmp_path), ivf)
+    with pytest.raises(ValueError, match="rebuild"):
+        load_ivf(str(tmp_path), _normed(rng, 101, 32))
+
+
+def test_auto_sizing():
+    assert auto_clusters(1_000_000) == 1024
+    assert auto_clusters(10_000_000) == 4096
+    assert auto_clusters(1) == 1
+    assert auto_clusters(40) <= 5
+
+
+def test_engine_ivf_mode_matches_flat():
+    from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(10)
+    g = _normed(rng, 512, 64)
+    idx = GalleryIndex(g, [f"p{i}.jpg" for i in range(512)],
+                       ["c"] * 512)
+    flat = SearchEngine(idx, device_dtype=jnp.float32)
+    from mmrs_tpu.config import SearchConfig
+    cfg = SearchConfig(ann="ivf", ann_clusters=8, ann_nprobe=8)
+    ann = SearchEngine(idx, cfg, device_dtype=jnp.float32)
+    q = _normed(rng, 3, 64)
+    h1 = flat.query_vectors(jnp.asarray(q), top_k=5)
+    h2 = ann.query_vectors(jnp.asarray(q), top_k=5)
+    for a, b in zip(h1, h2):
+        assert [x.path for x in a] == [y.path for y in b]
+        np.testing.assert_allclose([x.score for x in a],
+                                   [y.score for y in b], atol=1e-3)
+
+
+def test_cli_engine_factory_ann_flags():
+    import argparse
+
+    from mmrs_tpu.cli.main import _make_engine
+    from mmrs_tpu.config import Config
+    from mmrs_tpu.index.gallery import GalleryIndex
+
+    rng = np.random.default_rng(12)
+    g = _normed(rng, 256, 64)
+    idx = GalleryIndex(g, [f"p{i}.jpg" for i in range(256)], ["c"] * 256)
+    ns = argparse.Namespace(gallery_shards=1, gallery_int8=False,
+                            ann_nprobe=4, ann_clusters=4)
+    eng = _make_engine(ns, Config(), idx)
+    assert eng != 2 and eng.ivf is not None
+    assert eng.ivf.n_clusters == 4
+    hits = eng.query_vectors(jnp.asarray(_normed(rng, 2, 64)), top_k=3)
+    assert len(hits) == 2 and len(hits[0]) == 3
+
+    # invalid combos exit with code 2, not a traceback
+    bad = argparse.Namespace(gallery_shards=2, gallery_int8=False,
+                             ann_nprobe=4, ann_clusters=0)
+    assert _make_engine(bad, Config(), idx) == 2
+
+
+def test_engine_ivf_rejects_mesh_and_quantize():
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(11)
+    g = _normed(rng, 64, 32)
+    idx = GalleryIndex(g, [f"p{i}" for i in range(64)], ["c"] * 64)
+    cfg = SearchConfig(ann="ivf", ann_clusters=4)
+    with pytest.raises(ValueError, match="ann"):
+        SearchEngine(idx, cfg, quantize=True)

@@ -69,11 +69,15 @@ def test_two_process_distributed_topk(tmp_path):
     s.close()
     coord = f"127.0.0.1:{port}"
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
         "PALLAS_AXON_POOL_IPS": "",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        # the worker imports mmrs_tpu by path, not install: script-based
+        # python puts tests/ (not cwd) on sys.path, so be explicit
+        "PYTHONPATH": repo_root + os.pathsep + env.get("PYTHONPATH", ""),
     })
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
     outs = [str(tmp_path / f"out{i}.json") for i in range(2)]
