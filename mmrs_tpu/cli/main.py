@@ -198,6 +198,11 @@ def cmd_calibrate(args) -> int:
     from mmrs_tpu.search.prototypes import build_prototype
 
     cfg = _load_config(args.config)
+    if getattr(args, "ann_nprobe", 0) or getattr(args, "ann_clusters", 0):
+        # sweep_class needs full similarity rows; ANN only keeps buckets
+        print("calibration scans every row; rerun without "
+              "--ann-nprobe/--ann-clusters", file=sys.stderr)
+        return 2
     idx = GalleryIndex.load(args.index)
     engine = _make_engine(args, cfg, idx)
     if engine == 2:

@@ -142,6 +142,14 @@ class SearchService:
                 "gallery_int8": bool(getattr(self.engine, "quantized",
                                              False)),
             })
+            ivf = getattr(self.engine, "ivf", None)
+            if ivf is not None:
+                body["ann"] = {
+                    "kind": "ivf",
+                    "clusters": ivf.n_clusters,
+                    "nprobe": (self.engine.config.ann_nprobe
+                               or "auto"),
+                }
         if self.verifier is not None:
             v = {"kind": type(self.verifier).__name__}
             vmesh = getattr(self.verifier, "mesh", None)

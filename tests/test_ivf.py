@@ -239,6 +239,35 @@ def test_cli_engine_factory_ann_flags():
     assert _make_engine(bad, Config(), idx) == 2
 
 
+def test_healthz_reports_ann_shape():
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.search.engine import SearchEngine
+    from mmrs_tpu.serve import SearchService
+
+    rng = np.random.default_rng(14)
+    g = _normed(rng, 128, 64)
+    idx = GalleryIndex(g, [f"p{i}" for i in range(128)], ["c"] * 128)
+    eng = SearchEngine(idx, SearchConfig(ann="ivf", ann_clusters=4,
+                                         ann_nprobe=2),
+                       device_dtype=jnp.float32)
+    svc = SearchService(eng, None)
+    try:
+        h = svc.healthz()
+        assert h["ann"] == {"kind": "ivf", "clusters": 4, "nprobe": 2}
+    finally:
+        svc.close()
+
+
+def test_cli_calibrate_rejects_ann_flags(tmp_path):
+    from mmrs_tpu.cli.main import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["calibrate", "--index", str(tmp_path), "--positive-class",
+              "x", "--ann-nprobe", "4"])
+    assert e.value.code == 2
+
+
 def test_engine_ivf_rejects_mesh_and_quantize():
     from mmrs_tpu.config import SearchConfig
     from mmrs_tpu.index.gallery import GalleryIndex
