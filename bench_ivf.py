@@ -87,6 +87,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--recall-queries", type=int, default=64)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 bucket rows + per-slot scales (2x capacity)")
     args = ap.parse_args()
 
     n_chunks = args.rows // CHUNK
@@ -96,7 +98,8 @@ def main():
     t0 = time.perf_counter()
     ivf = build_ivf_streaming(
         make_chunks(n_chunks), n, DIM, n_clusters=args.clusters,
-        iters=args.iters, chunk=CHUNK, dtype=jnp.bfloat16)
+        iters=args.iters, chunk=CHUNK, dtype=jnp.bfloat16,
+        quantize=args.int8)
     jax.block_until_ready(ivf.buckets)
     build_s = time.perf_counter() - t0
     spill = int(np.sum(np.asarray(ivf.spill_ids) >= 0))
@@ -129,6 +132,7 @@ def main():
             f"p50 ms Q1/Q8/Q64 = {lat[1]:.2f}/{lat[8]:.2f}/{lat[64]:.2f}")
         print(json.dumps({
             "metric": "ivf_topk_10m",
+            "int8": args.int8,
             "nprobe": nprobe,
             "recall_at_k": round(recall, 4),
             "q1_ms": round(lat[1], 3),

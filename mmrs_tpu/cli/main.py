@@ -104,16 +104,19 @@ def _make_engine(args, cfg, idx):
     nprobe = getattr(args, "ann_nprobe", 0)
     clusters = getattr(args, "ann_clusters", 0)
     if nprobe or clusters:
-        if shards > 1 or getattr(args, "gallery_int8", False):
+        if shards > 1:
             print("--ann-nprobe/--ann-clusters do not compose with "
-                  "--gallery-shards/--gallery-int8 yet", file=sys.stderr)
+                  "--gallery-shards yet (run one IVF engine per replica)",
+                  file=sys.stderr)
             return 2
         import dataclasses
 
         search_cfg = dataclasses.replace(cfg.search, ann="ivf",
                                          ann_clusters=max(clusters, 0),
                                          ann_nprobe=max(nprobe, 0))
-        return SearchEngine(idx, search_cfg)
+        # --gallery-int8 composes: int8 bucket rows + per-slot scales
+        return SearchEngine(idx, search_cfg,
+                            quantize=getattr(args, "gallery_int8", False))
     mesh = None
     if shards > 1:
         import jax

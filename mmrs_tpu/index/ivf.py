@@ -76,15 +76,23 @@ def auto_nprobe(n_clusters: int) -> int:
 @dataclass
 class IVFIndex:
     """Device-resident IVF structure. All row ids are GLOBAL gallery rows,
-    so results are interchangeable with ops/topk.cosine_topk's."""
+    so results are interchangeable with ops/topk.cosine_topk's.
+
+    With `quantize=True` at build, bucket/spill rows are symmetric
+    per-row int8 (ops/quant.py convention) and `bucket_scales`/
+    `spill_scales` hold the per-slot f32 dequant factors — half the HBM
+    residency (2x rows per chip) at ~0.3% score error, same trade as the
+    flat int8 gallery mode."""
 
     centroids: jnp.ndarray    # [C, Dp]  (L2-normalized, dtype = buckets')
-    buckets: jnp.ndarray      # [C, cap, Dp] zero-padded rows
+    buckets: jnp.ndarray      # [C, cap, Dp] zero-padded rows (bf16 or int8)
     bucket_ids: jnp.ndarray   # [C, cap] int32 global row ids, -1 pad
     spill: jnp.ndarray        # [S, Dp]  overflow rows (dense, exact-scanned)
     spill_ids: jnp.ndarray    # [S] int32, -1 pad
     n_total: int              # live gallery rows
     dim: int                  # true embedding dim (Dp >= dim, zero-padded)
+    bucket_scales: Optional[jnp.ndarray] = None   # [C, cap] f32 (int8 mode)
+    spill_scales: Optional[jnp.ndarray] = None    # [S] f32
 
     @property
     def n_clusters(self) -> int:
@@ -94,10 +102,16 @@ class IVFIndex:
     def bucket_cap(self) -> int:
         return int(self.buckets.shape[1])
 
+    @property
+    def quantized(self) -> bool:
+        return self.bucket_scales is not None
+
     def hbm_bytes(self) -> int:
-        return sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                   for a in (self.centroids, self.buckets, self.bucket_ids,
-                             self.spill, self.spill_ids))
+        arrs = [self.centroids, self.buckets, self.bucket_ids,
+                self.spill, self.spill_ids]
+        if self.quantized:
+            arrs += [self.bucket_scales, self.spill_scales]
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
 
 
 # -- training -----------------------------------------------------------------
@@ -192,6 +206,25 @@ def _oob(pos: np.ndarray, size: int) -> np.ndarray:
     return np.where(pos < 0, np.int32(size), pos).astype(np.int32)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _fill_chunk_q8(bflat, bscales, spill, sscales, rows, bpos, spos):
+    """int8 variant of _fill_chunk: per-row symmetric quantization
+    (ops/quant.py convention) happens on device during the fill pass."""
+    from mmrs_tpu.ops.quant import quantize_rows
+
+    rows = l2_normalize(rows.astype(jnp.float32))
+    d = rows.shape[1]
+    if d != bflat.shape[1]:
+        rows = jnp.zeros((rows.shape[0], bflat.shape[1]),
+                         jnp.float32).at[:, :d].set(rows)
+    q, scale = quantize_rows(rows)
+    bflat = bflat.at[bpos].set(q, mode="drop")
+    bscales = bscales.at[bpos].set(scale, mode="drop")
+    spill = spill.at[spos].set(q, mode="drop")
+    sscales = sscales.at[spos].set(scale, mode="drop")
+    return bflat, bscales, spill, sscales
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _assign_chunk(rows, cents):
     rows = l2_normalize(rows.astype(jnp.float32))
@@ -245,6 +278,7 @@ def build_ivf(
     chunk: int = _STREAM_CHUNK,
     centroids: Optional[jnp.ndarray] = None,  # reuse trained centroids
     assignments: Optional[np.ndarray] = None,  # reuse a prior full pass
+    quantize: bool = False,           # int8 rows + per-slot scales
 ) -> IVFIndex:
     """Train (or reuse) centroids, assign every row, and stream rows into
     the bucket structure. Host RSS stays ~one chunk; device residency is
@@ -269,7 +303,7 @@ def build_ivf(
     return build_ivf_streaming(
         chunks, n, d, n_clusters=n_clusters, bucket_cap=bucket_cap,
         iters=iters, seed=seed, dtype=dtype, chunk=chunk, sample=sample,
-        centroids=centroids, assignments=assignments)
+        centroids=centroids, assignments=assignments, quantize=quantize)
 
 
 def build_ivf_streaming(
@@ -286,6 +320,7 @@ def build_ivf_streaming(
     centroids: Optional[jnp.ndarray] = None,
     assignments: Optional[np.ndarray] = None,
     train_rows: int = 262_144,
+    quantize: bool = False,
 ) -> IVFIndex:
     """Build from a re-iterable chunk source (device arrays welcome — the
     10M bench generates chunks on device, CLAUDE.md rule). Chunks must be
@@ -336,8 +371,11 @@ def build_ivf_streaming(
         log.info("ivf: %d/%d rows spill past cap=%d (scanned exactly)",
                  n_spill, n, bucket_cap)
 
-    bflat = jnp.zeros((n_clusters * bucket_cap, dp), dtype)
-    spill = jnp.zeros((s_pad, dp), dtype)
+    row_dtype = jnp.int8 if quantize else dtype
+    bflat = jnp.zeros((n_clusters * bucket_cap, dp), row_dtype)
+    spill = jnp.zeros((s_pad, dp), row_dtype)
+    bscales = jnp.zeros((n_clusters * bucket_cap,), jnp.float32)
+    sscales = jnp.zeros((s_pad,), jnp.float32)
     for ci, rows in enumerate(make_chunks()):
         a = ci * chunk
         b = min(a + chunk, n)
@@ -345,10 +383,14 @@ def build_ivf_streaming(
         sp = np.full(chunk, -1, np.int32)
         bp[:b - a] = bpos[a:b]
         sp[:b - a] = spos[a:b]
-        bflat, spill = _fill_chunk(
-            bflat, spill, jnp.asarray(rows),
-            jnp.asarray(_oob(bp, n_clusters * bucket_cap)),
-            jnp.asarray(_oob(sp, s_pad)))
+        bp = jnp.asarray(_oob(bp, n_clusters * bucket_cap))
+        sp = jnp.asarray(_oob(sp, s_pad))
+        if quantize:
+            bflat, bscales, spill, sscales = _fill_chunk_q8(
+                bflat, bscales, spill, sscales, jnp.asarray(rows), bp, sp)
+        else:
+            bflat, spill = _fill_chunk(bflat, spill, jnp.asarray(rows),
+                                       bp, sp)
 
     sids = np.full(s_pad, -1, np.int32)
     sids[:n_spill] = spill_ids
@@ -363,14 +405,17 @@ def build_ivf_streaming(
         spill_ids=jnp.asarray(sids),
         n_total=n,
         dim=d,
+        bucket_scales=(bscales.reshape(n_clusters, bucket_cap)
+                       if quantize else None),
+        spill_scales=sscales if quantize else None,
     )
 
 
 # -- search -------------------------------------------------------------------
 
 
-def _ivf_kernel(probe_ref, q_ref, b_ref, ids_ref, out_v_ref, out_i_ref,
-                run_v, run_i, *, k: int):
+def _ivf_kernel(probe_ref, q_ref, b_ref, ids_ref, scale_ref, out_v_ref,
+                out_i_ref, run_v, run_i, *, k: int, quantized: bool):
     pi = pl.program_id(1)
     np_ = pl.num_programs(1)
 
@@ -381,9 +426,15 @@ def _ivf_kernel(probe_ref, q_ref, b_ref, ids_ref, out_v_ref, out_i_ref,
 
     q = q_ref[:]                                    # [1, Dp]
     b = b_ref[0]                                    # [cap, Dp]
+    if quantized:
+        # int8 rows convert in VMEM (the HBM read — the cost — is int8);
+        # per-slot dequant scales fold into the score row
+        b = b.astype(q.dtype)
     scores = jax.lax.dot_general(
         q, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                               # [1, cap]
+    if quantized:
+        scores = scores * scale_ref[:]              # [1, cap] f32
     ids = ids_ref[:]                                # [1, cap]
     scores = jnp.where(ids >= 0, scores, NEG_INF)
 
@@ -399,7 +450,7 @@ def _ivf_kernel(probe_ref, q_ref, b_ref, ids_ref, out_v_ref, out_i_ref,
         out_i_ref[:] = run_i[:]
 
 
-def _probe_buckets_pallas(q, probe, buckets, bucket_ids, k: int,
+def _probe_buckets_pallas(q, probe, buckets, bucket_ids, scales, k: int,
                           interpret: bool = False):
     """[Q, k] top-k over each query's probed buckets. probe [Q, P] int32
     drives the bucket index map via scalar prefetch — only the probed
@@ -407,6 +458,10 @@ def _probe_buckets_pallas(q, probe, buckets, bucket_ids, k: int,
     qn = q.shape[0]
     cap = buckets.shape[1]
     p = probe.shape[1]
+    quantized = scales is not None
+    if not quantized:  # dummy operand keeps one kernel signature
+        scales = jnp.zeros((1, 8), jnp.float32)
+    s_cap = scales.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -416,6 +471,9 @@ def _probe_buckets_pallas(q, probe, buckets, bucket_ids, k: int,
             pl.BlockSpec((1, cap, buckets.shape[2]),
                          lambda i, j, pr: (pr[i, j], 0, 0)),
             pl.BlockSpec((1, cap), lambda i, j, pr: (pr[i, j], 0)),
+            pl.BlockSpec((1, s_cap),
+                         (lambda i, j, pr: (pr[i, j], 0)) if quantized
+                         else (lambda i, j, pr: (0, 0))),
         ],
         out_specs=(
             pl.BlockSpec((1, k), lambda i, j, pr: (i, 0)),
@@ -427,7 +485,7 @@ def _probe_buckets_pallas(q, probe, buckets, bucket_ids, k: int,
         ],
     )
     out_v, out_i = pl.pallas_call(
-        functools.partial(_ivf_kernel, k=k),
+        functools.partial(_ivf_kernel, k=k, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((qn, k), jnp.float32),
@@ -440,11 +498,11 @@ def _probe_buckets_pallas(q, probe, buckets, bucket_ids, k: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(probe, q, buckets, bucket_ids)
+    )(probe, q, buckets, bucket_ids, scales)
     return out_v, out_i
 
 
-def _probe_buckets_xla(q, probe, buckets, bucket_ids, k: int):
+def _probe_buckets_xla(q, probe, buckets, bucket_ids, scales, k: int):
     """Oracle / CPU path: per-query bucket gather, memory bounded by
     lax.map's one-query working set ([P, cap, Dp])."""
     cap = buckets.shape[1]
@@ -456,8 +514,11 @@ def _probe_buckets_xla(q, probe, buckets, bucket_ids, k: int):
         b = jnp.take(buckets, pids, axis=0)          # [P, cap, Dp]
         ids = jnp.take(bucket_ids, pids, axis=0)     # [P, cap]
         s = jax.lax.dot_general(
-            b.reshape(p * cap, -1), qv[None, :], (((1,), (1,)), ((), ())),
+            b.reshape(p * cap, -1).astype(qv.dtype), qv[None, :],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)[:, 0]
+        if scales is not None:
+            s = s * jnp.take(scales, pids, axis=0).reshape(-1)
         s = jnp.where(ids.reshape(-1) >= 0, s, NEG_INF)
         v, i = jax.lax.top_k(s, kk)
         return v, jnp.take(ids.reshape(-1), i).astype(jnp.int32)
@@ -474,32 +535,37 @@ def _probe_buckets_xla(q, probe, buckets, bucket_ids, k: int):
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "impl",
                                              "n_total", "dim"))
 def _ivf_topk(q, centroids, buckets, bucket_ids, spill, spill_ids,
+              bucket_scales, spill_scales,
               k: int, nprobe: int, impl: str, n_total: int, dim: int):
     qn, d = q.shape
     dp = buckets.shape[2]
     if d != dp:
         q = jnp.zeros((qn, dp), q.dtype).at[:, :d].set(q)
-    qf = q.astype(jnp.float32)
 
     csims = jax.lax.dot_general(
-        qf.astype(centroids.dtype), centroids, (((1,), (1,)), ((), ())),
+        q.astype(centroids.dtype), centroids, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [Q, C]
     _, probe = jax.lax.top_k(csims, nprobe)                 # [Q, P]
     probe = probe.astype(jnp.int32)
 
-    qd = q.astype(buckets.dtype)
+    quantized = bucket_scales is not None
+    qd = q.astype(jnp.bfloat16 if quantized else buckets.dtype)
     if impl == "pallas":
-        vals, ids = _probe_buckets_pallas(qd, probe, buckets, bucket_ids, k)
+        vals, ids = _probe_buckets_pallas(qd, probe, buckets, bucket_ids,
+                                          bucket_scales, k)
     elif impl == "pallas_interpret":
-        vals, ids = _probe_buckets_pallas(qd, probe, buckets, bucket_ids, k,
-                                          interpret=True)
+        vals, ids = _probe_buckets_pallas(qd, probe, buckets, bucket_ids,
+                                          bucket_scales, k, interpret=True)
     else:
-        vals, ids = _probe_buckets_xla(qd, probe, buckets, bucket_ids, k)
+        vals, ids = _probe_buckets_xla(qd, probe, buckets, bucket_ids,
+                                       bucket_scales, k)
 
     # exact spill scan (tiny): overflow rows never cost recall
     ss = jax.lax.dot_general(
-        qd, spill, (((1,), (1,)), ((), ())),
+        qd, spill.astype(qd.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [Q, S]
+    if quantized:
+        ss = ss * spill_scales[None, :]
     ss = jnp.where(spill_ids[None, :] >= 0, ss, NEG_INF)
     ks = min(k, spill.shape[0])
     sv, si = jax.lax.top_k(ss, ks)
@@ -528,7 +594,8 @@ def ivf_topk(
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     return _ivf_topk(queries, ivf.centroids, ivf.buckets, ivf.bucket_ids,
-                     ivf.spill, ivf.spill_ids, k, nprobe, impl,
+                     ivf.spill, ivf.spill_ids, ivf.bucket_scales,
+                     ivf.spill_scales, k, nprobe, impl,
                      ivf.n_total, ivf.dim)
 
 
@@ -541,8 +608,9 @@ def ivf_recall(ivf: IVFIndex, embeddings, queries, k: int = 10,
 
     q = l2_normalize(jnp.asarray(np.asarray(queries), jnp.float32))
     g = l2_normalize(jnp.asarray(np.asarray(embeddings), jnp.float32))
-    _, exact = cosine_topk(q.astype(ivf.buckets.dtype),
-                           g.astype(ivf.buckets.dtype), k, impl="xla")
+    oracle_dtype = jnp.bfloat16 if ivf.quantized else ivf.buckets.dtype
+    _, exact = cosine_topk(q.astype(oracle_dtype),
+                           g.astype(oracle_dtype), k, impl="xla")
     _, got = ivf_topk(q, ivf, k=k, nprobe=nprobe, impl=impl)
     exact = np.asarray(exact)
     got = np.asarray(got)
@@ -567,7 +635,8 @@ def save_ivf(directory: str, ivf: IVFIndex) -> None:
     )
     os.replace(tmp, os.path.join(directory, "ivf.npz"))
     meta = {"n_total": ivf.n_total, "dim": ivf.dim,
-            "n_clusters": ivf.n_clusters, "bucket_cap": ivf.bucket_cap}
+            "n_clusters": ivf.n_clusters, "bucket_cap": ivf.bucket_cap,
+            "quantized": ivf.quantized}
     tmp_m = os.path.join(directory, "ivf.json.tmp")
     with open(tmp_m, "w", encoding="utf-8") as f:
         json.dump(meta, f)
@@ -600,8 +669,13 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
     spos[spill_ids[slive]] = np.arange(spill_ids.shape[0],
                                        dtype=np.int32)[slive]
 
-    bflat = jnp.zeros((c * cap, dp), dtype)
-    spill = jnp.zeros((spill_ids.shape[0], dp), dtype)
+    quantize = bool(meta.get("quantized", False))
+    s_rows = spill_ids.shape[0]
+    row_dtype = jnp.int8 if quantize else dtype
+    bflat = jnp.zeros((c * cap, dp), row_dtype)
+    spill = jnp.zeros((s_rows, dp), row_dtype)
+    bscales = jnp.zeros((c * cap,), jnp.float32)
+    sscales = jnp.zeros((s_rows,), jnp.float32)
     for a in range(0, n, chunk):
         b = min(a + chunk, n)
         rows = np.asarray(embeddings[a:b])
@@ -612,10 +686,14 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
         sp = np.full(chunk, -1, np.int32)
         bp[:b - a] = bpos[a:b]
         sp[:b - a] = spos[a:b]
-        bflat, spill = _fill_chunk(
-            bflat, spill, jnp.asarray(rows),
-            jnp.asarray(_oob(bp, c * cap)),
-            jnp.asarray(_oob(sp, spill_ids.shape[0])))
+        bp = jnp.asarray(_oob(bp, c * cap))
+        sp = jnp.asarray(_oob(sp, s_rows))
+        if quantize:
+            bflat, bscales, spill, sscales = _fill_chunk_q8(
+                bflat, bscales, spill, sscales, jnp.asarray(rows), bp, sp)
+        else:
+            bflat, spill = _fill_chunk(bflat, spill, jnp.asarray(rows),
+                                       bp, sp)
 
     cents = jnp.asarray(z["centroids"], jnp.float32)
     if cents.shape[1] != dp:
@@ -629,4 +707,6 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
         spill_ids=jnp.asarray(spill_ids),
         n_total=n,
         dim=d,
+        bucket_scales=bscales.reshape(c, cap) if quantize else None,
+        spill_scales=sscales if quantize else None,
     )

@@ -76,10 +76,12 @@ class SearchEngine:
         if self.config.ann == "ivf":
             # sub-linear ANN serving (index/ivf.py): the flat gallery is
             # never device-resident; residency = buckets (~1.25x rows).
-            if mesh is not None or quantize:
+            # quantize=True stores int8 bucket rows + per-slot scales
+            # (2x rows per chip, the flat int8 gallery trade).
+            if mesh is not None:
                 raise ValueError(
-                    "ann='ivf' does not compose with mesh or int8 gallery "
-                    "yet — shard by running one IVF engine per replica")
+                    "ann='ivf' does not compose with mesh yet — shard by "
+                    "running one IVF engine per replica")
             from mmrs_tpu.index.ivf import build_ivf
 
             cfg = self.config
@@ -89,6 +91,7 @@ class SearchEngine:
                 bucket_cap=cfg.ann_bucket_cap,
                 iters=cfg.ann_train_iters,
                 dtype=device_dtype,
+                quantize=quantize,
             )
             self.gallery = None
             return

@@ -268,14 +268,73 @@ def test_cli_calibrate_rejects_ann_flags(tmp_path):
     assert e.value.code == 2
 
 
-def test_engine_ivf_rejects_mesh_and_quantize():
+def test_engine_ivf_rejects_mesh():
+    import jax
+
     from mmrs_tpu.config import SearchConfig
     from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.parallel.mesh import MeshConfig, make_mesh
     from mmrs_tpu.search.engine import SearchEngine
 
     rng = np.random.default_rng(11)
     g = _normed(rng, 64, 32)
     idx = GalleryIndex(g, [f"p{i}" for i in range(64)], ["c"] * 64)
     cfg = SearchConfig(ann="ivf", ann_clusters=4)
+    mesh = make_mesh(MeshConfig(data_size=2, model_size=1),
+                     jax.devices()[:2])
     with pytest.raises(ValueError, match="ann"):
-        SearchEngine(idx, cfg, quantize=True)
+        SearchEngine(idx, cfg, mesh=mesh)
+
+
+def test_quantized_ivf_full_probe_ranks_match():
+    """int8 buckets keep ranks on well-separated data and score within
+    the documented ~0.3% error of f32 exact."""
+    rng = np.random.default_rng(15)
+    g = _blobs(rng, 2000, 64, n_blobs=16, sigma=0.2)
+    q = g[::251].copy()    # planted exact duplicates: top-1 separated
+    ivf = build_ivf(g, n_clusters=8, bucket_cap=8, iters=3, quantize=True)
+    assert ivf.quantized and ivf.buckets.dtype == jnp.int8
+    ev, ei = cosine_topk(jnp.asarray(q), jnp.asarray(g), 5, impl="xla")
+    av, ai = ivf_topk(jnp.asarray(q), ivf, k=5, nprobe=8, impl="xla")
+    np.testing.assert_allclose(np.asarray(av), np.asarray(ev),
+                               atol=6e-3)
+    # top-1 = the planted row itself (score 1 >> 0.3% quant error)
+    np.testing.assert_array_equal(np.asarray(ai)[:, 0],
+                                  np.arange(0, 2000, 251))
+
+
+def test_quantized_ivf_interpret_matches_xla_and_roundtrips(tmp_path):
+    rng = np.random.default_rng(16)
+    g = _normed(rng, 600, 128)
+    q = _normed(rng, 4, 128)
+    ivf = build_ivf(g, n_clusters=8, iters=3, quantize=True)
+    xv, xi = ivf_topk(jnp.asarray(q), ivf, k=7, nprobe=3, impl="xla")
+    pv, pi = ivf_topk(jnp.asarray(q), ivf, k=7, nprobe=3,
+                      impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv),
+                               rtol=2e-2, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+    save_ivf(str(tmp_path), ivf)
+    ivf2 = load_ivf(str(tmp_path), g)
+    assert ivf2.quantized
+    v2, i2 = ivf_topk(jnp.asarray(q), ivf2, k=7, nprobe=3, impl="xla")
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(xi))
+
+
+def test_engine_ivf_int8_mode():
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(17)
+    g = _blobs(rng, 400, 64, n_blobs=8, sigma=0.2)
+    idx = GalleryIndex(g, [f"p{i}.jpg" for i in range(400)], ["c"] * 400)
+    cfg = SearchConfig(ann="ivf", ann_clusters=8, ann_nprobe=8)
+    eng = SearchEngine(idx, cfg, quantize=True)
+    assert eng.ivf.quantized
+    flat = SearchEngine(idx, device_dtype=jnp.float32)
+    q = jnp.asarray(_blobs(rng, 2, 64, n_blobs=8, sigma=0.2))
+    h1 = flat.query_vectors(q, top_k=1)
+    h2 = eng.query_vectors(q, top_k=1)
+    assert [x[0].path for x in h1] == [y[0].path for y in h2]
