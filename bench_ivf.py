@@ -39,16 +39,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+N_ANCHORS = 8192
+
+
 @jax.jit
 def _gen_chunk(key):
-    """Unit-norm bf16 rows, mildly clustered: each chunk mixes 1024 shared
+    """Unit-norm bf16 rows, mildly clustered: each chunk mixes 8192 shared
     anchor directions with noise so IVF has real structure to find
     (uniform random high-dim vectors are the degenerate no-structure case;
-    recall there is the floor, also reported)."""
+    far FEWER anchors than clusters makes cluster sizes pathologically
+    skewed — the adaptive cap handles moderate skew, the spill the rest)."""
     k1, k2, k3 = jax.random.split(key, 3)
-    anchors = jax.random.normal(jax.random.key(7), (1024, DIM), jnp.float32)
+    anchors = jax.random.normal(jax.random.key(7), (N_ANCHORS, DIM),
+                                jnp.float32)
     anchors = anchors / jnp.linalg.norm(anchors, axis=1, keepdims=True)
-    which = jax.random.randint(k1, (CHUNK,), 0, 1024)
+    which = jax.random.randint(k1, (CHUNK,), 0, N_ANCHORS)
     x = anchors[which] + 0.35 * jax.random.normal(k2, (CHUNK, DIM),
                                                   jnp.float32)
     x = x / jnp.linalg.norm(x, axis=1, keepdims=True)

@@ -233,6 +233,26 @@ def _assign_chunk(rows, cents):
     return jnp.argmax(sims, axis=1).astype(jnp.int32)
 
 
+def _auto_cap(assign: np.ndarray, n_clusters: int, n: int,
+              cover: float = 0.98, max_slots_frac: float = 1.3) -> int:
+    """Bucket capacity from the MEASURED cluster histogram: the smallest
+    cap whose buckets hold >= `cover` of all rows (the rest spill to the
+    exact scan), bounded so total slots stay <= max_slots_frac * n — a
+    blind 1.25x-average cap either wastes padding or overflows badly on
+    skewed corpora (real galleries cluster by class)."""
+    counts = np.bincount(assign, minlength=n_clusters)
+    caps = np.unique(counts)
+    lo = 0
+    for c in caps:  # <= C candidates; covered(c) is monotone in c
+        if np.minimum(counts, c).sum() >= cover * n:
+            lo = int(c)
+            break
+    else:
+        lo = int(caps[-1])
+    hi = max(8, math.floor(max_slots_frac * n / n_clusters))
+    return _round_up(max(8, min(lo, hi)), 8)
+
+
 def _placement(assign: np.ndarray, n_clusters: int,
                cap: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                   np.ndarray]:
@@ -344,8 +364,12 @@ def build_ivf_streaming(
                 valid = min(chunk, n - base)
                 parts.append(jnp.asarray(rows)[: valid: stride])
             sample = jnp.concatenate(parts, axis=0)[:m]
+            del parts
         centroids = train_centroids(np.asarray(sample, np.float32),
                                     n_clusters, iters=iters, seed=seed)
+    # the sample must not stay resident next to the bucket array (a 10M
+    # build OOMed with 0.5 GB of dead sample rows still alive)
+    sample = None
     cents = l2_normalize(jnp.asarray(centroids, jnp.float32))
     if cents.shape[0] != n_clusters:
         raise ValueError("centroids/n_clusters mismatch")
@@ -360,16 +384,20 @@ def build_ivf_streaming(
         raise ValueError("assignments/rows mismatch")
 
     if bucket_cap <= 0:
-        bucket_cap = _round_up(max(8, math.ceil(1.25 * n / n_clusters)), 8)
+        bucket_cap = _auto_cap(assignments, n_clusters, n)
     bucket_cap = min(bucket_cap, _round_up(n, 8))
 
     bpos, spos, bucket_ids, spill_ids = _placement(assignments, n_clusters,
                                                    bucket_cap)
     n_spill = spill_ids.shape[0]
     s_pad = max(8, _round_up(n_spill, 8))
-    if n_spill:
-        log.info("ivf: %d/%d rows spill past cap=%d (scanned exactly)",
-                 n_spill, n, bucket_cap)
+    item = 1 if quantize else jnp.dtype(dtype).itemsize
+    log.info(
+        "ivf: C=%d cap=%d -> %.2f GB buckets + %.2f GB spill (%d rows, "
+        "%.2f%% — scanned exactly)",
+        n_clusters, bucket_cap,
+        n_clusters * bucket_cap * dp * item / 1e9,
+        s_pad * dp * item / 1e9, n_spill, 100.0 * n_spill / n)
 
     row_dtype = jnp.int8 if quantize else dtype
     bflat = jnp.zeros((n_clusters * bucket_cap, dp), row_dtype)

@@ -50,21 +50,12 @@ def annotate_fn(name: Optional[str] = None):
     return deco
 
 
-def trace_op_table(log_dir: str, device_substr: str = "TPU",
-                   top: int = 25) -> list:
-    """Summarize a captured trace into per-op device-time totals.
-
-    Reads the newest `*.trace.json.gz` under `log_dir` (the format
-    `profile_to` / jax.profiler.trace writes) and returns
-    [(op_name, total_ms), ...] sorted by time, restricted to device
-    tracks matching `device_substr`. This is how the 3.4 ms of head-split
-    transpose copies in the ViT serving batch were found (and removed) —
-    capture works through this environment's tunnel, so use it.
-    """
+def _device_events(log_dir: str, device_substr: str) -> list:
+    """Complete ('X') events on device tracks from the newest trace under
+    log_dir: [(name, pid, ts, dur_us), ...]."""
     import glob
     import gzip
     import json
-    from collections import Counter
 
     files = sorted(glob.glob(
         f"{log_dir}/**/*.trace.json.gz", recursive=True))
@@ -78,9 +69,46 @@ def trace_op_table(log_dir: str, device_substr: str = "TPU",
         for e in events
         if e.get("ph") == "M" and e.get("name") == "process_name"
     }
-    totals: Counter = Counter()
-    for e in events:
+    return [
+        (e["name"], e["pid"], e.get("ts", 0), e.get("dur", 0))
+        for e in events
         if (e.get("ph") == "X"
-                and device_substr in track_names.get(e["pid"], "")):
-            totals[e["name"]] += e.get("dur", 0)
+            and device_substr in track_names.get(e["pid"], ""))
+    ]
+
+
+def trace_op_table(log_dir: str, device_substr: str = "TPU",
+                   top: int = 25, within: Optional[str] = None) -> list:
+    """Summarize a captured trace into per-op device-time totals.
+
+    Reads the newest `*.trace.json.gz` under `log_dir` (the format
+    `profile_to` / jax.profiler.trace writes) and returns
+    [(op_name, total_ms), ...] sorted by time, restricted to device
+    tracks matching `device_substr`. This is how the 3.4 ms of head-split
+    transpose copies in the ViT serving batch were found (and removed) —
+    capture works through this environment's tunnel, so use it.
+
+    `within="while.63"` restricts the table to ops whose time interval
+    nests inside an event of that name (XLA while/fusion bodies appear
+    on sibling device rows, so interval containment attributes a loop
+    body's ops to the loop) — the tool NEXT.md #4 needed to itemize the
+    decode step without guessing across the prefill/decode whiles.
+    """
+    from collections import Counter
+
+    evs = _device_events(log_dir, device_substr)
+    if within is not None:
+        spans = [(pid, ts, ts + dur) for name, pid, ts, dur in evs
+                 if name == within]
+        if not spans:
+            raise ValueError(f"no event named {within!r} in the trace")
+        evs = [
+            (name, pid, ts, dur) for name, pid, ts, dur in evs
+            if name != within and any(
+                pid == sp and ts >= s0 and ts + dur <= s1
+                for sp, s0, s1 in spans)
+        ]
+    totals: Counter = Counter()
+    for name, _pid, _ts, dur in evs:
+        totals[name] += dur
     return [(name, us / 1e3) for name, us in totals.most_common(top)]
