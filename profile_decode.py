@@ -49,8 +49,18 @@ def main() -> None:
     d = tempfile.mkdtemp()
     with profile_to(d):
         np.asarray(gen(params, tokens))
-    for name, ms in trace_op_table(d, top=45):
+    flat = trace_op_table(d, top=45)
+    for name, ms in flat:
         print(f"{ms:10.2f} ms  {name}")
+
+    # itemize each big while's BODY (prefill chunk loop + decode loop)
+    # via interval containment — the flat table can't attribute fusions
+    whiles = [n for n, ms in flat if n.startswith("while.") and ms > 100]
+    for w in whiles:
+        print(f"\n=== ops inside {w} (per-generate totals; decode loop "
+              f"= /{new_tokens} per step) ===")
+        for name, ms in trace_op_table(d, top=25, within=w):
+            print(f"{ms:10.2f} ms  {name}")
 
 
 if __name__ == "__main__":
