@@ -183,21 +183,26 @@ def train_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10,
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
-def _fill_chunk(bflat, spill, rows, bpos, spos):
+def _fill_chunk(buckets, spill, rows, bpos, spos):
     """Scatter one normalized row chunk into its bucket/spill slots.
-    Positions marked "not here" are set PAST the array (positive
-    out-of-bounds => dropped by mode='drop'; -1 would WRAP to the last
-    slot per numpy semantics), covering padding and the other-destination
-    rows of each pass."""
+    `buckets` is the FINAL [C, cap, Dp] array (a post-fill reshape of a
+    10 GB flat array relayouts — a full device copy that OOMed the 10M
+    build); flat positions split into (cluster, slot) in-jit. Positions
+    marked "not here" are set PAST the array (positive out-of-bounds =>
+    dropped by mode='drop'; -1 would WRAP to the last slot per numpy
+    semantics), covering padding and the other-destination rows."""
     rows = l2_normalize(rows.astype(jnp.float32))
     d = rows.shape[1]
-    if d != bflat.shape[1]:
-        rows = jnp.zeros((rows.shape[0], bflat.shape[1]),
-                         jnp.float32).at[:, :d].set(rows)
-    rows = rows.astype(bflat.dtype)
-    bflat = bflat.at[bpos].set(rows, mode="drop")
+    dp = buckets.shape[2]
+    if d != dp:
+        rows = jnp.zeros((rows.shape[0], dp), jnp.float32).at[:, :d].set(rows)
+    rows = rows.astype(buckets.dtype)
+    cap = buckets.shape[1]
+    ci = bpos // cap          # OOB sentinel C*cap -> ci == C: still OOB
+    si = bpos % cap
+    buckets = buckets.at[ci, si].set(rows, mode="drop")
     spill = spill.at[spos].set(rows, mode="drop")
-    return bflat, spill
+    return buckets, spill
 
 
 def _oob(pos: np.ndarray, size: int) -> np.ndarray:
@@ -207,22 +212,25 @@ def _oob(pos: np.ndarray, size: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-def _fill_chunk_q8(bflat, bscales, spill, sscales, rows, bpos, spos):
+def _fill_chunk_q8(buckets, bscales, spill, sscales, rows, bpos, spos):
     """int8 variant of _fill_chunk: per-row symmetric quantization
     (ops/quant.py convention) happens on device during the fill pass."""
     from mmrs_tpu.ops.quant import quantize_rows
 
     rows = l2_normalize(rows.astype(jnp.float32))
     d = rows.shape[1]
-    if d != bflat.shape[1]:
-        rows = jnp.zeros((rows.shape[0], bflat.shape[1]),
-                         jnp.float32).at[:, :d].set(rows)
+    dp = buckets.shape[2]
+    if d != dp:
+        rows = jnp.zeros((rows.shape[0], dp), jnp.float32).at[:, :d].set(rows)
     q, scale = quantize_rows(rows)
-    bflat = bflat.at[bpos].set(q, mode="drop")
-    bscales = bscales.at[bpos].set(scale, mode="drop")
+    cap = buckets.shape[1]
+    ci = bpos // cap
+    si = bpos % cap
+    buckets = buckets.at[ci, si].set(q, mode="drop")
+    bscales = bscales.at[ci, si].set(scale, mode="drop")
     spill = spill.at[spos].set(q, mode="drop")
     sscales = sscales.at[spos].set(scale, mode="drop")
-    return bflat, bscales, spill, sscales
+    return buckets, bscales, spill, sscales
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -400,9 +408,9 @@ def build_ivf_streaming(
         s_pad * dp * item / 1e9, n_spill, 100.0 * n_spill / n)
 
     row_dtype = jnp.int8 if quantize else dtype
-    bflat = jnp.zeros((n_clusters * bucket_cap, dp), row_dtype)
+    buckets = jnp.zeros((n_clusters, bucket_cap, dp), row_dtype)
     spill = jnp.zeros((s_pad, dp), row_dtype)
-    bscales = jnp.zeros((n_clusters * bucket_cap,), jnp.float32)
+    bscales = jnp.zeros((n_clusters, bucket_cap), jnp.float32)
     sscales = jnp.zeros((s_pad,), jnp.float32)
     for ci, rows in enumerate(make_chunks()):
         a = ci * chunk
@@ -414,11 +422,11 @@ def build_ivf_streaming(
         bp = jnp.asarray(_oob(bp, n_clusters * bucket_cap))
         sp = jnp.asarray(_oob(sp, s_pad))
         if quantize:
-            bflat, bscales, spill, sscales = _fill_chunk_q8(
-                bflat, bscales, spill, sscales, jnp.asarray(rows), bp, sp)
+            buckets, bscales, spill, sscales = _fill_chunk_q8(
+                buckets, bscales, spill, sscales, jnp.asarray(rows), bp, sp)
         else:
-            bflat, spill = _fill_chunk(bflat, spill, jnp.asarray(rows),
-                                       bp, sp)
+            buckets, spill = _fill_chunk(buckets, spill, jnp.asarray(rows),
+                                         bp, sp)
 
     sids = np.full(s_pad, -1, np.int32)
     sids[:n_spill] = spill_ids
@@ -427,14 +435,13 @@ def build_ivf_streaming(
         cents_p = jnp.zeros((n_clusters, dp), cents.dtype).at[:, :d].set(cents)
     return IVFIndex(
         centroids=cents_p.astype(dtype),
-        buckets=bflat.reshape(n_clusters, bucket_cap, dp),
+        buckets=buckets,
         bucket_ids=jnp.asarray(bucket_ids.reshape(n_clusters, bucket_cap)),
         spill=spill,
         spill_ids=jnp.asarray(sids),
         n_total=n,
         dim=d,
-        bucket_scales=(bscales.reshape(n_clusters, bucket_cap)
-                       if quantize else None),
+        bucket_scales=bscales if quantize else None,
         spill_scales=sscales if quantize else None,
     )
 
@@ -700,9 +707,9 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
     quantize = bool(meta.get("quantized", False))
     s_rows = spill_ids.shape[0]
     row_dtype = jnp.int8 if quantize else dtype
-    bflat = jnp.zeros((c * cap, dp), row_dtype)
+    buckets = jnp.zeros((c, cap, dp), row_dtype)
     spill = jnp.zeros((s_rows, dp), row_dtype)
-    bscales = jnp.zeros((c * cap,), jnp.float32)
+    bscales = jnp.zeros((c, cap), jnp.float32)
     sscales = jnp.zeros((s_rows,), jnp.float32)
     for a in range(0, n, chunk):
         b = min(a + chunk, n)
@@ -717,11 +724,11 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
         bp = jnp.asarray(_oob(bp, c * cap))
         sp = jnp.asarray(_oob(sp, s_rows))
         if quantize:
-            bflat, bscales, spill, sscales = _fill_chunk_q8(
-                bflat, bscales, spill, sscales, jnp.asarray(rows), bp, sp)
+            buckets, bscales, spill, sscales = _fill_chunk_q8(
+                buckets, bscales, spill, sscales, jnp.asarray(rows), bp, sp)
         else:
-            bflat, spill = _fill_chunk(bflat, spill, jnp.asarray(rows),
-                                       bp, sp)
+            buckets, spill = _fill_chunk(buckets, spill, jnp.asarray(rows),
+                                         bp, sp)
 
     cents = jnp.asarray(z["centroids"], jnp.float32)
     if cents.shape[1] != dp:
@@ -729,12 +736,12 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
             cents)
     return IVFIndex(
         centroids=cents.astype(dtype),
-        buckets=bflat.reshape(c, cap, dp),
+        buckets=buckets,
         bucket_ids=jnp.asarray(bucket_ids),
         spill=spill,
         spill_ids=jnp.asarray(spill_ids),
         n_total=n,
         dim=d,
-        bucket_scales=bscales.reshape(c, cap) if quantize else None,
+        bucket_scales=bscales if quantize else None,
         spill_scales=sscales if quantize else None,
     )
