@@ -451,15 +451,23 @@ def build_ivf_streaming(
 
 def _ivf_kernel(probe_ref, q_ref, b_ref, ids_ref, scale_ref, out_v_ref,
                 out_i_ref, run_v, run_i, *, k: int, quantized: bool):
+    qi = pl.program_id(0)
     pi = pl.program_id(1)
+    nq = pl.num_programs(0)
     np_ = pl.num_programs(1)
+    qn = q_ref.shape[0]
 
-    @pl.when(pi == 0)
+    @pl.when((qi == 0) & (pi == 0))
     def _init():
         run_v[:] = jnp.full_like(run_v, NEG_INF)
         run_i[:] = jnp.full_like(run_i, -1)
 
-    q = q_ref[:]                                    # [1, Dp]
+    # Mosaic can't prove 8-alignment for a dynamic sublane slice, so this
+    # step's query/state row is extracted by mask+reduce over the small
+    # resident blocks (qn x Dp adds on the VPU — noise next to the DMA)
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (qn, 1), 0) == qi)
+    q = jnp.sum(jnp.where(rowmask, q_ref[:], 0), axis=0,
+                keepdims=True)                      # [1, Dp]
     b = b_ref[0]                                    # [cap, Dp]
     if quantized:
         # int8 rows convert in VMEM (the HBM read — the cost — is int8);
@@ -469,17 +477,19 @@ def _ivf_kernel(probe_ref, q_ref, b_ref, ids_ref, scale_ref, out_v_ref,
         q, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                               # [1, cap]
     if quantized:
-        scores = scores * scale_ref[:]              # [1, cap] f32
-    ids = ids_ref[:]                                # [1, cap]
+        scores = scores * scale_ref[0]              # [1, cap] f32
+    ids = ids_ref[0]                                # [1, cap]
     scores = jnp.where(ids >= 0, scores, NEG_INF)
 
+    row_v = jnp.sum(jnp.where(rowmask, run_v[:], 0), axis=0, keepdims=True)
+    row_i = jnp.sum(jnp.where(rowmask, run_i[:], 0), axis=0, keepdims=True)
     new_v, new_i = _topk_merge(
-        jnp.concatenate([run_v[:], scores], axis=1),
-        jnp.concatenate([run_i[:], ids], axis=1), k)
-    run_v[:] = new_v
-    run_i[:] = new_i
+        jnp.concatenate([row_v, scores], axis=1),
+        jnp.concatenate([row_i, ids], axis=1), k)
+    run_v[:] = jnp.where(rowmask, jnp.broadcast_to(new_v, (qn, k)), run_v[:])
+    run_i[:] = jnp.where(rowmask, jnp.broadcast_to(new_i, (qn, k)), run_i[:])
 
-    @pl.when(pi == np_ - 1)
+    @pl.when((qi == nq - 1) & (pi == np_ - 1))
     def _finish():
         out_v_ref[:] = run_v[:]
         out_i_ref[:] = run_i[:]
@@ -491,32 +501,36 @@ def _probe_buckets_pallas(q, probe, buckets, bucket_ids, scales, k: int,
     drives the bucket index map via scalar prefetch — only the probed
     buckets ever leave HBM, nothing is gathered/materialized."""
     qn = q.shape[0]
-    cap = buckets.shape[1]
+    c, cap, dp = buckets.shape
     p = probe.shape[1]
     quantized = scales is not None
-    if not quantized:  # dummy operand keeps one kernel signature
-        scales = jnp.zeros((1, 8), jnp.float32)
-    s_cap = scales.shape[1]
+    # [C, 1, cap] so each step's block (1, 1, cap) equals the trailing
+    # array dims (the TPU block-shape rule for sub-(8,128) blocks)
+    ids3 = bucket_ids.reshape(c, 1, cap)
+    if quantized:
+        scales3 = scales.reshape(c, 1, cap)
+    else:  # dummy operand keeps one kernel signature
+        scales3 = jnp.zeros((1, 1, 8), jnp.float32)
+    s_cap = scales3.shape[2]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(qn, p),
         in_specs=[
-            pl.BlockSpec((1, q.shape[1]), lambda i, j, pr: (i, 0)),
-            pl.BlockSpec((1, cap, buckets.shape[2]),
-                         lambda i, j, pr: (pr[i, j], 0, 0)),
-            pl.BlockSpec((1, cap), lambda i, j, pr: (pr[i, j], 0)),
-            pl.BlockSpec((1, s_cap),
-                         (lambda i, j, pr: (pr[i, j], 0)) if quantized
-                         else (lambda i, j, pr: (0, 0))),
+            pl.BlockSpec((qn, q.shape[1]), lambda i, j, pr: (0, 0)),
+            pl.BlockSpec((1, cap, dp), lambda i, j, pr: (pr[i, j], 0, 0)),
+            pl.BlockSpec((1, 1, cap), lambda i, j, pr: (pr[i, j], 0, 0)),
+            pl.BlockSpec((1, 1, s_cap),
+                         (lambda i, j, pr: (pr[i, j], 0, 0)) if quantized
+                         else (lambda i, j, pr: (0, 0, 0))),
         ],
         out_specs=(
-            pl.BlockSpec((1, k), lambda i, j, pr: (i, 0)),
-            pl.BlockSpec((1, k), lambda i, j, pr: (i, 0)),
+            pl.BlockSpec((qn, k), lambda i, j, pr: (0, 0)),
+            pl.BlockSpec((qn, k), lambda i, j, pr: (0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, k), jnp.float32),
-            pltpu.VMEM((1, k), jnp.int32),
+            pltpu.VMEM((qn, k), jnp.float32),
+            pltpu.VMEM((qn, k), jnp.int32),
         ],
     )
     out_v, out_i = pl.pallas_call(
@@ -527,13 +541,12 @@ def _probe_buckets_pallas(q, probe, buckets, bucket_ids, scales, k: int,
             jax.ShapeDtypeStruct((qn, k), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * qn * p * cap * buckets.shape[2],
-            bytes_accessed=qn * p * cap * buckets.shape[2]
-            * buckets.dtype.itemsize,
+            flops=2 * qn * p * cap * dp,
+            bytes_accessed=qn * p * cap * dp * buckets.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(probe, q, buckets, bucket_ids, scales)
+    )(probe, q, buckets, ids3, scales3)
     return out_v, out_i
 
 
