@@ -20,6 +20,43 @@ def test_trace_op_table(tmp_path):
     assert rows and all(isinstance(r[1], float) for r in rows)
 
 
+def test_trace_op_table_within(tmp_path):
+    """within= attributes ops by interval containment inside a named span
+    (how the decode while body was itemized, NEXT.md #4)."""
+    import gzip
+    import json
+    import os
+
+    events = [
+        {"ph": "M", "name": "process_name", "pid": 1,
+         "args": {"name": "/device:TPU:0"}},
+        # outer loop span 0..100, inner ops on a sibling row (same pid)
+        {"ph": "X", "pid": 1, "tid": 1, "name": "while.9", "ts": 0,
+         "dur": 100},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "fusion.1", "ts": 10,
+         "dur": 30},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "fusion.2", "ts": 50,
+         "dur": 40},
+        # outside the span: must not be attributed
+        {"ph": "X", "pid": 1, "tid": 2, "name": "fusion.3", "ts": 150,
+         "dur": 20},
+    ]
+    d = tmp_path / "plugins"
+    os.makedirs(d)
+    with gzip.open(d / "x.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    rows = dict(trace_op_table(str(tmp_path), within="while.9"))
+    assert rows == {"fusion.1": 0.030, "fusion.2": 0.040}
+    flat = dict(trace_op_table(str(tmp_path)))
+    assert "fusion.3" in flat and "while.9" in flat
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no event named"):
+        trace_op_table(str(tmp_path), within="while.404")
+
+
 def test_stage_stats_percentiles():
     """Windowed p50/p99 over recent call durations (nearest-rank)."""
     from mmrs_tpu.utils.stats import StageStats
