@@ -44,18 +44,20 @@ N_ANCHORS = 8192
 
 @jax.jit
 def _gen_chunk(key):
-    """Unit-norm bf16 rows, mildly clustered: each chunk mixes 8192 shared
-    anchor directions with noise so IVF has real structure to find
-    (uniform random high-dim vectors are the degenerate no-structure case;
-    far FEWER anchors than clusters makes cluster sizes pathologically
-    skewed — the adaptive cap handles moderate skew, the spill the rest)."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    """Unit-norm bf16 rows, clustered like real embeddings: each chunk
+    mixes 8192 shared anchor directions with noise of TOTAL norm ~0.9
+    (per-coordinate sigma must scale 1/sqrt(D) — at 512-d a 0.35/coord
+    sigma gives |noise| ~ 7.9 vs unit anchors, i.e. structureless data,
+    the degenerate case where no ANN can have recall). Same-anchor pairs
+    land at cos ~0.55, the neighbor regime of real CLIP galleries."""
+    k1, k2 = jax.random.split(key, 2)
     anchors = jax.random.normal(jax.random.key(7), (N_ANCHORS, DIM),
                                 jnp.float32)
     anchors = anchors / jnp.linalg.norm(anchors, axis=1, keepdims=True)
     which = jax.random.randint(k1, (CHUNK,), 0, N_ANCHORS)
-    x = anchors[which] + 0.35 * jax.random.normal(k2, (CHUNK, DIM),
-                                                  jnp.float32)
+    sigma = 0.9 / DIM ** 0.5
+    x = anchors[which] + sigma * jax.random.normal(k2, (CHUNK, DIM),
+                                                   jnp.float32)
     x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
     return x.astype(jnp.bfloat16)
 
@@ -127,12 +129,14 @@ def main():
 
         lat = {}
         for q in (1, 8, 64):
-            qs = [qd[:q]] * 8
+            # sub-ms per-call times need a deep pipeline or the 26 ms
+            # tunnel RTT noise swamps (total-single): 64 dispatches
+            qs = [qd[:q]] * 64
             per = pipelined_seconds(
                 lambda x: ivf_topk(x, ivf, k=args.k, nprobe=nprobe,
                                    impl="auto"),
                 qs, lambda r: np.asarray(r[0][0, 0]))
-            lat[q] = per * 1e3
+            lat[q] = max(per * 1e3, 1e-3)
         log(f"nprobe={nprobe}: recall@{args.k}={recall:.3f}  "
             f"p50 ms Q1/Q8/Q64 = {lat[1]:.2f}/{lat[8]:.2f}/{lat[64]:.2f}")
         print(json.dumps({
