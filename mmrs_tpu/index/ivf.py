@@ -410,8 +410,10 @@ def build_ivf_streaming(
     row_dtype = jnp.int8 if quantize else dtype
     buckets = jnp.zeros((n_clusters, bucket_cap, dp), row_dtype)
     spill = jnp.zeros((s_pad, dp), row_dtype)
-    bscales = jnp.zeros((n_clusters, bucket_cap), jnp.float32)
-    sscales = jnp.zeros((s_pad,), jnp.float32)
+    bscales = sscales = None
+    if quantize:
+        bscales = jnp.zeros((n_clusters, bucket_cap), jnp.float32)
+        sscales = jnp.zeros((s_pad,), jnp.float32)
     for ci, rows in enumerate(make_chunks()):
         a = ci * chunk
         b = min(a + chunk, n)
@@ -441,8 +443,8 @@ def build_ivf_streaming(
         spill_ids=jnp.asarray(sids),
         n_total=n,
         dim=d,
-        bucket_scales=bscales if quantize else None,
-        spill_scales=sscales if quantize else None,
+        bucket_scales=bscales,
+        spill_scales=sscales,
     )
 
 
@@ -722,8 +724,10 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
     row_dtype = jnp.int8 if quantize else dtype
     buckets = jnp.zeros((c, cap, dp), row_dtype)
     spill = jnp.zeros((s_rows, dp), row_dtype)
-    bscales = jnp.zeros((c, cap), jnp.float32)
-    sscales = jnp.zeros((s_rows,), jnp.float32)
+    bscales = sscales = None
+    if quantize:
+        bscales = jnp.zeros((c, cap), jnp.float32)
+        sscales = jnp.zeros((s_rows,), jnp.float32)
     for a in range(0, n, chunk):
         b = min(a + chunk, n)
         rows = np.asarray(embeddings[a:b])
@@ -755,6 +759,6 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
         spill_ids=jnp.asarray(spill_ids),
         n_total=n,
         dim=d,
-        bucket_scales=bscales if quantize else None,
-        spill_scales=sscales if quantize else None,
+        bucket_scales=bscales,
+        spill_scales=sscales,
     )

@@ -43,6 +43,56 @@ def quantize_weight(w: jnp.ndarray) -> QTensor:
     return QTensor(q, jnp.squeeze(s, -2))
 
 
+class QTensor4(NamedTuple):
+    """int4 weight (two nibbles per int8 byte) + per-(K-group, out-channel)
+    scales (w ~= unpack(packed) * s[group]).
+
+    Decode is weight-bandwidth-bound (the 7B int8 stream is 6.9 GB/step,
+    NEXT.md #4), so int4 halves the HBM bytes that set the decode floor.
+    Group-wise scales along the contraction dim (AWQ/GPTQ convention,
+    default 128) keep the quantization usable where one per-channel scale
+    cannot. Rows 2i/2i+1 of the logical [K, N] kernel pack into byte row i
+    (low/high nibble); the dot runs bf16 after an in-VMEM unpack — the MXU
+    rate is not the bottleneck, the weight stream is."""
+
+    packed: jnp.ndarray            # int8 [..., K//2, N]
+    s: jnp.ndarray                 # f32/bf16 [..., K//G, N]
+
+
+def quantize_weight_int4(w: jnp.ndarray, group: int = 128) -> QTensor4:
+    """Symmetric int4 (-7..7) group quantization of a [..., K, N] kernel."""
+    w32 = jnp.asarray(w, jnp.float32)
+    k = w32.shape[-2]
+    if k % (2 * group) and k != group:
+        raise ValueError(f"K={k} must be a multiple of 2*group={2*group}")
+    g = w32.reshape(*w32.shape[:-2], k // group, group, w32.shape[-1])
+    amax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)    # [..., K/G, 1, N]
+    s = jnp.maximum(amax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(g / s), -7, 7).astype(jnp.int8)
+    q = q.reshape(*w32.shape[:-2], k, w32.shape[-1])
+    lo = q[..., 0::2, :] & 0xF
+    hi = q[..., 1::2, :] & 0xF
+    packed = jnp.left_shift(hi, 4) | lo
+    return QTensor4(packed.astype(jnp.int8), jnp.squeeze(s, -2))
+
+
+def unpack_int4(kernel: QTensor4, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dequantized [..., K, N] kernel. Under jit XLA fuses this into the
+    consuming dot's operand read where it can; the packed form is what
+    crosses HBM."""
+    b = kernel.packed
+    lo = jnp.right_shift(jnp.left_shift(b, 4), 4)         # sign-extended
+    hi = jnp.right_shift(b, 4)                            # arithmetic
+    kh = b.shape[-2]
+    n = b.shape[-1]
+    w = jnp.stack([lo, hi], axis=-2)                      # [..., K/2, 2, N]
+    w = w.reshape(*b.shape[:-2], kh * 2, n)
+    groups = kernel.s.shape[-2]
+    w = w.reshape(*b.shape[:-2], groups, (kh * 2) // groups, n)
+    w = w.astype(dtype) * kernel.s[..., :, None, :].astype(dtype)
+    return w.reshape(*b.shape[:-2], kh * 2, n)
+
+
 def _quantize_act(x: jnp.ndarray):
     """Dynamic per-row symmetric int8 quantization of activations."""
     x32 = x.astype(jnp.float32)
@@ -90,6 +140,12 @@ def matmul(x: jnp.ndarray, kernel, compute_dtype: jnp.dtype,
         )
         return (acc.astype(jnp.float32) * sx
                 * kernel.s.astype(jnp.float32)).astype(out_dtype)
+    if isinstance(kernel, QTensor4):
+        w = unpack_int4(kernel, compute_dtype)
+        return jax.lax.dot_general(
+            x.astype(compute_dtype), w, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
     return jnp.dot(
         x.astype(compute_dtype), kernel.astype(compute_dtype),
         preferred_element_type=jnp.float32,
