@@ -79,3 +79,28 @@ def quantize_llava(params: Params) -> Params:
     out["visual"] = quantize_tree(params["visual"])
     out["lm"] = quantize_llama(params["lm"])
     return out
+
+
+def quantize_llama_int4(params: Params, group: int = 128,
+                        keys=_LM_KEYS) -> Params:
+    """LLaMA decoder with int4 grouped-quant serving weights (QTensor4,
+    models/layers.py): HALF the int8 weight stream — the decode
+    bandwidth floor (NEXT.md #4: 6.9 GB/step at 7B int8). Group-wise
+    scales along K (default 128, AWQ/GPTQ convention). Flows through the
+    same `matmul` dispatch, so every decode form (fori/unroll/chunked
+    prefill/speculative/TP) works unchanged. Quality at int4 requires a
+    real-weight gate (like the int8 rank gates) before production use."""
+    from mmrs_tpu.models.layers import QTensor4, quantize_weight_int4
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {
+                k: quantize_weight_int4(v, group)
+                if (k in keys
+                    and not isinstance(v, (dict, QTensor, QTensor4)))
+                else walk(v)
+                for k, v in node.items()
+            }
+        return node
+
+    return walk(params)
