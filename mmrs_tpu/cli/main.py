@@ -90,16 +90,31 @@ def _make_tokenizer(args, cfg):
     return None
 
 
+def _quant_mode(args) -> str:
+    """Resolve --gallery-quant (preferred) / --gallery-int8 (back-compat)
+    to the SearchEngine quantize mode string."""
+    mode = getattr(args, "gallery_quant", "") or ""
+    if not mode and getattr(args, "gallery_int8", False):
+        mode = "int8"
+    return mode
+
+
 def _make_engine(args, cfg, idx):
-    """SearchEngine from the shared --gallery-shards/--gallery-int8 flags:
+    """SearchEngine from the shared --gallery-shards/--gallery-quant flags:
     rows sharded over a data mesh of the first N local devices, optional
-    int8 gallery (half the HBM residency, rank-parity gated)."""
+    int8/int4 gallery (half/quarter the HBM residency, rank-parity
+    gated)."""
     from mmrs_tpu.search.engine import SearchEngine
 
     shards = getattr(args, "gallery_shards", 1)
     if shards < 1:
         print(f"--gallery-shards must be >= 1, got {shards}",
               file=sys.stderr)
+        return 2
+    quant = _quant_mode(args)
+    if quant == "int4" and shards > 1:
+        print("--gallery-quant int4 does not compose with --gallery-shards "
+              "yet (int8 is the sharded capacity mode)", file=sys.stderr)
         return 2
     nprobe = getattr(args, "ann_nprobe", 0)
     clusters = getattr(args, "ann_clusters", 0)
@@ -109,14 +124,18 @@ def _make_engine(args, cfg, idx):
                   "--gallery-shards yet (run one IVF engine per replica)",
                   file=sys.stderr)
             return 2
+        if quant == "int4":
+            print("--gallery-quant int4 does not compose with IVF yet "
+                  "(use --gallery-quant int8 for quantized buckets)",
+                  file=sys.stderr)
+            return 2
         import dataclasses
 
         search_cfg = dataclasses.replace(cfg.search, ann="ivf",
                                          ann_clusters=max(clusters, 0),
                                          ann_nprobe=max(nprobe, 0))
-        # --gallery-int8 composes: int8 bucket rows + per-slot scales
-        return SearchEngine(idx, search_cfg,
-                            quantize=getattr(args, "gallery_int8", False))
+        # int8 composes: int8 bucket rows + per-slot scales
+        return SearchEngine(idx, search_cfg, quantize=quant)
     mesh = None
     if shards > 1:
         import jax
@@ -130,8 +149,7 @@ def _make_engine(args, cfg, idx):
             return 2
         mesh = make_mesh(MeshConfig(data_size=shards, model_size=1),
                          devices[:shards])
-    return SearchEngine(idx, cfg.search, mesh=mesh,
-                        quantize=getattr(args, "gallery_int8", False))
+    return SearchEngine(idx, cfg.search, mesh=mesh, quantize=quant)
 
 
 def _add_engine_flags(parser) -> None:
@@ -142,6 +160,12 @@ def _add_engine_flags(parser) -> None:
                         help="int8 gallery rows + per-row scales: half "
                              "the HBM, ~0.3%% score error, rank-parity "
                              "gated (mmrs parity --rank-gate)")
+    parser.add_argument("--gallery-quant", choices=("int8", "int4"),
+                        default="",
+                        help="gallery residency ladder: int8 (2x rows per "
+                             "chip, composes with shards/IVF) or int4 "
+                             "(4x rows, packed nibbles, flat single-chip); "
+                             "supersedes --gallery-int8")
     parser.add_argument("--ann-nprobe", type=int, default=0,
                         help="enable IVF ANN search probing N clusters "
                              "per query (sub-linear; nprobe == clusters "

@@ -59,18 +59,27 @@ class SearchEngine:
         config: Optional[SearchConfig] = None,
         mesh=None,
         device_dtype=jnp.bfloat16,
-        quantize: bool = False,
+        quantize: bool | str = False,
     ):
-        """`quantize=True` stores the gallery as int8 + per-row scales
-        (ops/quant.py): half the HBM residency (2x rows per chip) at the
-        cost of ~0.3% score error — opt-in; bf16 is the rank-parity
-        default. Composes with `mesh` (int8 rows + scales row-sharded).
-        Ragged row counts are padded to the shard multiple and masked at
-        query time, so any index size runs on any mesh."""
+        """`quantize` selects the gallery residency ladder: False/"" keeps
+        bf16 (the rank-parity default, BASELINE.md); True or "int8" stores
+        int8 + per-row scales (ops/quant.py — half the HBM, 2x rows per
+        chip, ~0.3% score error) and composes with `mesh` (rows + scales
+        row-sharded); "int4" packs two dims per byte (ops/quant4.py —
+        quarter the HBM, 4x rows per chip, ~0.6% score error; single-chip
+        flat gallery only for now). Ragged row counts are padded to the
+        shard multiple and masked at query time, so any index size runs
+        on any mesh."""
         self.index = index
         self.config = config or SearchConfig()
         self.mesh = mesh
         self.stats = StageStats()
+        if quantize is True:
+            quantize = "int8"
+        elif quantize in (False, None):
+            quantize = ""
+        if quantize not in ("", "int8", "int4"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         self.quantized = quantize
         self.ivf = None
         if self.config.ann == "ivf":
@@ -82,6 +91,10 @@ class SearchEngine:
                 raise ValueError(
                     "ann='ivf' does not compose with mesh yet — shard by "
                     "running one IVF engine per replica")
+            if self.quantized == "int4":
+                raise ValueError(
+                    "ann='ivf' supports quantize='int8' buckets only — "
+                    "int4 is the flat-gallery capacity mode")
             from mmrs_tpu.index.ivf import build_ivf
 
             cfg = self.config
@@ -99,7 +112,16 @@ class SearchEngine:
             raise ValueError(f"unknown ann mode {self.config.ann!r}")
         emb = _to_device_chunked(index.embeddings, device_dtype)
         emb = l2_normalize(emb)  # idempotent if rows already normalized
-        if quantize:
+        if self.quantized == "int4":
+            if mesh is not None:
+                raise ValueError(
+                    "quantize='int4' does not compose with mesh yet — "
+                    "int8 is the sharded capacity mode")
+            from mmrs_tpu.ops.quant4 import quantize_rows_int4
+
+            self.gallery, self.gallery_scales = quantize_rows_int4(emb)
+            return
+        if self.quantized:
             if mesh is not None:
                 from mmrs_tpu.parallel.topk import place_gallery_quantized
 
@@ -132,6 +154,11 @@ class SearchEngine:
 
                 vals, idxs = ivf_topk(q, self.ivf, k=k,
                                       nprobe=self.config.ann_nprobe)
+            elif self.quantized == "int4":
+                from mmrs_tpu.ops.quant4 import cosine_topk_int4
+
+                vals, idxs = cosine_topk_int4(
+                    q, self.gallery, self.gallery_scales, k)
             elif self.quantized and self.mesh is not None:
                 from mmrs_tpu.parallel.topk import (
                     sharded_cosine_topk_quantized,
@@ -209,6 +236,11 @@ class SearchEngine:
             raise RuntimeError(
                 "device_similarities needs the flat gallery; calibrate "
                 "with ann='none' (calibration is an offline build step)")
+        if self.quantized == "int4":
+            from mmrs_tpu.ops.quant4 import similarities_int4
+
+            sims = similarities_int4(q, self.gallery, self.gallery_scales)
+            return sims[:, :n]
         if self.quantized:
             from mmrs_tpu.ops.quant import quantize_rows
 

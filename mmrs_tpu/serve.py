@@ -5,6 +5,7 @@ the framework is meant to power (stdlib-only, no server dependency):
 
   GET  /healthz          -> {"ok": true, "rows": N, "dim": D,
                             "gallery_shards": S, "gallery_int8": bool,
+                            "gallery_quant": "bf16"|"int8"|"int4",
                             "verifier": {kind, tp?, draft?}} — liveness
                             plus the deployment shape in one call
   GET  /v1/stats         -> per-stage serving counters (StageStats: total
@@ -135,12 +136,15 @@ class SearchService:
                 shards = int(mesh.shape[DATA_AXIS]
                              if DATA_AXIS in mesh.shape
                              else mesh.devices.size)
+            quant = getattr(self.engine, "quantized", "") or ""
+            if quant is True:   # pre-mode engines used a bool
+                quant = "int8"
             body.update({
                 "rows": len(self.engine.index),
                 "dim": self.engine.index.dim,
                 "gallery_shards": shards,
-                "gallery_int8": bool(getattr(self.engine, "quantized",
-                                             False)),
+                "gallery_int8": quant == "int8",
+                "gallery_quant": quant or "bf16",
             })
             ivf = getattr(self.engine, "ivf", None)
             if ivf is not None:
