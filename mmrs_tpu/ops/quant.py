@@ -66,7 +66,12 @@ def _kernel_q8(n_ref, qs_ref, q_ref, g_ref, s_ref, out_v_ref, out_i_ref,
         q_ref[:], g_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )                                                    # [Q, TILE_N] int32
-    scores = acc.astype(jnp.float32) * qs_ref[:] * s_ref[:].T  # [Q,1]*[1,T]
+    # scales arrive LANE-major [1, TILE_N]: a [TILE_N, 1] block pads every
+    # row to 128 lanes in VMEM (tile_n*512 B streamed for tile_n*4 of
+    # payload) and needs an in-kernel transpose — measured 6.1 ms for the
+    # 1M x 512 Q=64 scan vs 2.6 ms in this layout (scripts/
+    # bench_int4_gallery.py)
+    scores = acc.astype(jnp.float32) * qs_ref[:] * s_ref[:]    # [Q,1]*[1,T]
 
     base = step * tile_n
     qn, tn = scores.shape
@@ -103,7 +108,7 @@ def _topk_quant_pallas(q_q, q_scale, gallery_q, scales, k, tile_n=4096,
     q_p = jnp.zeros((qp, dp), jnp.int8).at[:q, :d].set(q_q)
     qs_p = jnp.zeros((qp, 1), jnp.float32).at[:q, 0].set(q_scale)
     g_p = jnp.zeros((np_, dp), jnp.int8).at[:n, :d].set(gallery_q)
-    s_p = jnp.zeros((np_, 1), jnp.float32).at[:n, 0].set(scales)
+    s_p = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(scales)
 
     out_v, out_i = pl.pallas_call(
         functools.partial(_kernel_q8, k=k, tile_n=tile_n),
@@ -114,7 +119,7 @@ def _topk_quant_pallas(q_q, q_scale, gallery_q, scales, k, tile_n=4096,
             pl.BlockSpec((qp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, dp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
