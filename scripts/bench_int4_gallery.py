@@ -41,7 +41,12 @@ for tile in (4096, 8192, 16384):
 
 g8, s8 = quantize_rows(g)
 jax.block_until_ready((g8, s8))
-t(lambda qq: cosine_topk_quantized(qq, g8, s8, k=K), "int8 pallas tile4096")
+for tile in (4096, 8192):
+    try:
+        t(lambda qq, tile=tile: cosine_topk_quantized(qq, g8, s8, k=K, tile_n=tile),
+          f"int8 pallas tile{tile}")
+    except Exception as e:
+        print(f"int8 tile{tile} FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
 gb = g.astype(jnp.bfloat16)
 del g8, s8
 gb.block_until_ready()
