@@ -112,10 +112,6 @@ def _make_engine(args, cfg, idx):
               file=sys.stderr)
         return 2
     quant = _quant_mode(args)
-    if quant == "int4" and shards > 1:
-        print("--gallery-quant int4 does not compose with --gallery-shards "
-              "yet (int8 is the sharded capacity mode)", file=sys.stderr)
-        return 2
     nprobe = getattr(args, "ann_nprobe", 0)
     clusters = getattr(args, "ann_clusters", 0)
     if nprobe or clusters:
@@ -164,8 +160,8 @@ def _add_engine_flags(parser) -> None:
                         default="",
                         help="gallery residency ladder: int8 (2x rows per "
                              "chip, composes with shards/IVF) or int4 "
-                             "(4x rows, packed nibbles, flat single-chip); "
-                             "supersedes --gallery-int8")
+                             "(4x rows, packed nibbles, composes with "
+                             "shards); supersedes --gallery-int8")
     parser.add_argument("--ann-nprobe", type=int, default=0,
                         help="enable IVF ANN search probing N clusters "
                              "per query (sub-linear; nprobe == clusters "

@@ -59,11 +59,13 @@ def _round_up(x: int, m: int) -> int:
 
 def auto_clusters(n_rows: int) -> int:
     """Power-of-two near sqrt(N) (the classic IVF sizing): 1M -> 1024,
-    10M -> 4096. Clamped so tiny galleries stay searchable."""
+    10M -> 4096. Clamped (to a power of two, keeping the invariant) so
+    tiny galleries stay searchable."""
     if n_rows <= 1:
         return 1
-    return min(1 << math.ceil(math.log2(math.sqrt(n_rows))),
-               max(1, n_rows // 8))
+    clamp = max(1, n_rows // 8)
+    clamp = 1 << (clamp.bit_length() - 1)   # round DOWN to a power of two
+    return min(1 << math.ceil(math.log2(math.sqrt(n_rows))), clamp)
 
 
 def auto_nprobe(n_clusters: int) -> int:
@@ -357,6 +359,13 @@ def build_ivf_streaming(
     stream itself (one extra pass)."""
     if n <= 0:
         raise ValueError("empty gallery")
+    if assignments is not None and centroids is None:
+        # fresh centroids would disagree with the stale row placement:
+        # probe selection (new centroids) and bucket contents (old
+        # assignments) silently diverge and recall degrades with no error
+        raise ValueError(
+            "assignments without centroids: reusing a prior assignment "
+            "pass only makes sense with the centroids that produced it")
     if n_clusters <= 0:
         n_clusters = auto_clusters(n)
     n_clusters = min(n_clusters, n)

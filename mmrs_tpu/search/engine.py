@@ -26,6 +26,51 @@ from mmrs_tpu.utils.stats import StageStats
 UPLOAD_CHUNK = 131072  # host->device staging rows (bounds host RSS)
 
 
+def _fill_rows_q8(gal, scales, rows, start):
+    from mmrs_tpu.ops.quant import quantize_rows
+
+    q, s = quantize_rows(l2_normalize(rows))
+    gal = jax.lax.dynamic_update_slice(gal, q, (start, 0))
+    scales = jax.lax.dynamic_update_slice(scales, s, (start,))
+    return gal, scales
+
+
+def _fill_rows_q4(gal, scales, rows, start):
+    from mmrs_tpu.ops.quant4 import quantize_rows_int4
+
+    w, s = quantize_rows_int4(l2_normalize(rows))
+    gal = jax.lax.dynamic_update_slice(gal, w, (0, start))
+    scales = jax.lax.dynamic_update_slice(scales, s, (start,))
+    return gal, scales
+
+
+# donate the packed carry so each fill updates in place (no 2x packed peak)
+_fill_rows_q8 = jax.jit(_fill_rows_q8, donate_argnums=(0, 1))
+_fill_rows_q4 = jax.jit(_fill_rows_q4, donate_argnums=(0, 1))
+
+
+def _quantize_gallery_chunked(embeddings, device_dtype, mode: str,
+                              chunk: int = UPLOAD_CHUNK):
+    """Upload + L2-normalize + quantize chunk-by-chunk so peak HBM during
+    engine construction is the PACKED gallery plus one staging chunk — the
+    full bf16 gallery is never resident, keeping int8's 2x / int4's 4x
+    rows-per-chip claims true AT INIT (ADVICE r3). Numerics match the
+    full-array path exactly: both quantize L2-normalized device_dtype rows
+    and all the ops are per-row."""
+    n, d = embeddings.shape
+    if mode == "int4":
+        gal = jnp.zeros((d // 8, n), jnp.int32)   # packed words, [D/8, N]
+        fill = _fill_rows_q4
+    else:
+        gal = jnp.zeros((n, d), jnp.int8)
+        fill = _fill_rows_q8
+    scales = jnp.zeros((n,), jnp.float32)
+    for a in range(0, n, chunk):
+        rows = jnp.asarray(np.asarray(embeddings[a:a + chunk]), device_dtype)
+        gal, scales = fill(gal, scales, rows, a)
+    return gal, scales
+
+
 def _to_device_chunked(embeddings, dtype, chunk: int = UPLOAD_CHUNK):
     """Upload a (possibly memmapped) [N, D] host array to device in chunks,
     so a 1M-row f32 index never needs a full in-RAM copy (streaming is the
@@ -64,12 +109,16 @@ class SearchEngine:
         """`quantize` selects the gallery residency ladder: False/"" keeps
         bf16 (the rank-parity default, BASELINE.md); True or "int8" stores
         int8 + per-row scales (ops/quant.py — half the HBM, 2x rows per
-        chip, ~0.3% score error) and composes with `mesh` (rows + scales
-        row-sharded); "int4" packs two dims per byte (ops/quant4.py —
-        quarter the HBM, 4x rows per chip, ~0.6% score error; single-chip
-        flat gallery only for now). Ragged row counts are padded to the
-        shard multiple and masked at query time, so any index size runs
-        on any mesh."""
+        chip, ~0.3% score error); "int4" packs two dims per byte
+        (ops/quant4.py — quarter the HBM, 4x rows per chip, ~0.6% score
+        error). Both compose with `mesh` (rows/scales sharded over the
+        data axis, candidates all-gather-merged) and with `ann="ivf"`
+        (int8 buckets; int4 stays flat). Ragged row counts are padded to
+        the shard multiple and masked at query time, so any index size
+        runs on any mesh. Single-device quantized construction streams
+        chunk-by-chunk, so peak HBM at init is the packed gallery + one
+        chunk (the mesh path uploads bf16 first — per-chip headroom is
+        n_shards x)."""
         self.index = index
         self.config = config or SearchConfig()
         self.mesh = mesh
@@ -110,27 +159,24 @@ class SearchEngine:
             return
         elif self.config.ann not in ("none", "", None):
             raise ValueError(f"unknown ann mode {self.config.ann!r}")
+        if self.quantized and mesh is None:
+            # chunked quantize-on-upload: peak HBM at init is the packed
+            # gallery + one chunk, never the full bf16 gallery (ADVICE r3)
+            self.gallery, self.gallery_scales = _quantize_gallery_chunked(
+                index.embeddings, device_dtype, self.quantized)
+            return
         emb = _to_device_chunked(index.embeddings, device_dtype)
         emb = l2_normalize(emb)  # idempotent if rows already normalized
         if self.quantized == "int4":
-            if mesh is not None:
-                raise ValueError(
-                    "quantize='int4' does not compose with mesh yet — "
-                    "int8 is the sharded capacity mode")
-            from mmrs_tpu.ops.quant4 import quantize_rows_int4
+            from mmrs_tpu.parallel.quant4 import place_gallery_int4
 
-            self.gallery, self.gallery_scales = quantize_rows_int4(emb)
+            self.gallery, self.gallery_scales = place_gallery_int4(emb, mesh)
             return
         if self.quantized:
-            if mesh is not None:
-                from mmrs_tpu.parallel.topk import place_gallery_quantized
+            from mmrs_tpu.parallel.topk import place_gallery_quantized
 
-                self.gallery, self.gallery_scales = place_gallery_quantized(
-                    emb, mesh)
-            else:
-                from mmrs_tpu.ops.quant import quantize_rows
-
-                self.gallery, self.gallery_scales = quantize_rows(emb)
+            self.gallery, self.gallery_scales = place_gallery_quantized(
+                emb, mesh)
             return
         if mesh is not None:
             from mmrs_tpu.parallel.topk import place_gallery
@@ -154,6 +200,12 @@ class SearchEngine:
 
                 vals, idxs = ivf_topk(q, self.ivf, k=k,
                                       nprobe=self.config.ann_nprobe)
+            elif self.quantized == "int4" and self.mesh is not None:
+                from mmrs_tpu.parallel.quant4 import sharded_cosine_topk_int4
+
+                vals, idxs = sharded_cosine_topk_int4(
+                    q, self.gallery, self.gallery_scales, k, self.mesh,
+                    n_valid=len(self.index))
             elif self.quantized == "int4":
                 from mmrs_tpu.ops.quant4 import cosine_topk_int4
 
@@ -184,15 +236,20 @@ class SearchEngine:
         scale = self.config.logit_scale
         out: List[List[SearchHit]] = []
         for qi in range(vals.shape[0]):
-            hits = [
-                SearchHit(
-                    path=self.index.paths[int(r)],
+            hits: List[SearchHit] = []
+            for j in range(idxs.shape[1]):
+                r = int(idxs[qi, j])
+                if r < 0:
+                    # padded sentinel: k exceeded the live candidate rows
+                    # (small nprobe/bucket_cap, tiny shards) — never
+                    # surface paths[-1] as a fake hit (ADVICE r3)
+                    continue
+                hits.append(SearchHit(
+                    path=self.index.paths[r],
                     score=float(vals[qi, j] * scale),
-                    rank=j,
-                    cls=self.index.classes[int(r)],
-                )
-                for j, r in enumerate(idxs[qi])
-            ]
+                    rank=len(hits),
+                    cls=self.index.classes[r],
+                ))
             out.append(hits)
         return out
 
@@ -237,9 +294,16 @@ class SearchEngine:
                 "device_similarities needs the flat gallery; calibrate "
                 "with ann='none' (calibration is an offline build step)")
         if self.quantized == "int4":
-            from mmrs_tpu.ops.quant4 import similarities_int4
+            if self.mesh is not None:
+                from mmrs_tpu.parallel.quant4 import sharded_similarities_int4
 
-            sims = similarities_int4(q, self.gallery, self.gallery_scales)
+                sims = sharded_similarities_int4(
+                    q, self.gallery, self.gallery_scales, self.mesh)
+            else:
+                from mmrs_tpu.ops.quant4 import similarities_int4
+
+                sims = similarities_int4(q, self.gallery,
+                                         self.gallery_scales)
             return sims[:, :n]
         if self.quantized:
             from mmrs_tpu.ops.quant import quantize_rows

@@ -191,7 +191,47 @@ def test_auto_sizing():
     assert auto_clusters(1_000_000) == 1024
     assert auto_clusters(10_000_000) == 4096
     assert auto_clusters(1) == 1
-    assert auto_clusters(40) <= 5
+    # the documented invariant holds through the small-N clamp too
+    # (ADVICE r3): every result is a power of two
+    for n in (2, 3, 7, 40, 100, 999, 12345):
+        c = auto_clusters(n)
+        assert c & (c - 1) == 0, (n, c)
+        assert 1 <= c <= max(1, n)
+    assert auto_clusters(40) == 4  # clamp 40//8=5 rounds DOWN to 4
+
+
+def test_assignments_without_centroids_rejected():
+    """Reusing a prior assignment pass without the centroids that produced
+    it would train FRESH centroids that disagree with the stale row
+    placement — probe selection and bucket contents silently diverge
+    (ADVICE r3). Must raise, on both build paths."""
+    rng = np.random.default_rng(21)
+    g = _normed(rng, 64, 32)
+    stale = rng.integers(0, 4, 64).astype(np.int32)
+    with pytest.raises(ValueError, match="centroids"):
+        build_ivf(g, n_clusters=4, iters=2, assignments=stale)
+
+
+def test_engine_never_surfaces_sentinel_hits():
+    """When k exceeds the live rows in the probed buckets, ivf_topk pads
+    ids with -1; the engine must drop those instead of serving
+    paths[-1] as a fake last hit (ADVICE r3)."""
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(22)
+    g = _normed(rng, 64, 32)
+    idx = GalleryIndex(g, [f"p{i}.jpg" for i in range(64)], ["c"] * 64)
+    cfg = SearchConfig(ann="ivf", ann_clusters=8, ann_bucket_cap=8,
+                       ann_nprobe=1)
+    eng = SearchEngine(idx, cfg, device_dtype=jnp.float32)
+    q = jnp.asarray(_normed(rng, 2, 32))
+    for hits in eng.query_vectors(q, top_k=32):
+        assert 0 < len(hits) < 32          # padded tail dropped
+        assert [h.rank for h in hits] == list(range(len(hits)))
+        for h in hits:
+            assert h.score > -1e6          # no NEG_INF sentinels
 
 
 def test_engine_ivf_mode_matches_flat():

@@ -134,16 +134,77 @@ def test_engine_int4_mode():
 
 def test_engine_int4_guards():
     idx = _make_index()
-    from mmrs_tpu.config import MeshConfig
-    from mmrs_tpu.parallel import make_mesh
-
-    with pytest.raises(ValueError, match="mesh"):
-        SearchEngine(idx, SearchConfig(), mesh=make_mesh(MeshConfig()),
-                     quantize="int4")
     with pytest.raises(ValueError, match="int8"):
         SearchEngine(idx, SearchConfig(ann="ivf"), quantize="int4")
     with pytest.raises(ValueError, match="quantize"):
         SearchEngine(idx, SearchConfig(), quantize="int2")
+
+
+def test_engine_int4_mesh_matches_single():
+    """quantize='int4' + mesh: the sharded packed scan + candidate merge
+    returns the single-device int4 engine's hits exactly (VERDICT r3 #6 —
+    the capacity ladder's top rung composes with the mesh). Ragged N
+    exercises the pad-to-shard-multiple path."""
+    from mmrs_tpu.config import MeshConfig
+    from mmrs_tpu.parallel import make_mesh
+
+    idx = _make_index(n=1001, d=64, seed=11)
+    single = SearchEngine(idx, SearchConfig(), device_dtype=jnp.float32,
+                          quantize="int4")
+    mesh = make_mesh(MeshConfig())
+    sharded = SearchEngine(idx, SearchConfig(), mesh=mesh,
+                           device_dtype=jnp.float32, quantize="int4")
+    assert sharded.gallery.shape[1] % mesh.shape["data"] == 0
+    q = jnp.asarray(np.asarray(idx.embeddings)[[3, 1000, 500]])
+    h1 = single.query_vectors(q, top_k=5)
+    h2 = sharded.query_vectors(q, top_k=5)
+    for a, b in zip(h1, h2):
+        assert [x.path for x in a] == [x.path for x in b]
+        for x, y in zip(a, b):
+            assert x.score == pytest.approx(y.score, abs=1e-3)
+    assert h2[0][0].path == "img3.jpg"
+    assert h2[1][0].path == "img1000.jpg"  # tail row survives padding
+
+
+def test_sharded_similarities_int4_matches_single():
+    """The calibration path on the int4+mesh engine: device_similarities
+    equals the single-device int4 similarities row-for-row."""
+    from mmrs_tpu.config import MeshConfig
+    from mmrs_tpu.parallel import make_mesh
+
+    idx = _make_index(n=500, d=64, seed=12)
+    q = jnp.asarray(_unit_rows(4, 64, seed=13))
+    single = SearchEngine(idx, SearchConfig(), device_dtype=jnp.float32,
+                          quantize="int4")
+    mesh = make_mesh(MeshConfig())
+    sharded = SearchEngine(idx, SearchConfig(), mesh=mesh,
+                           device_dtype=jnp.float32, quantize="int4")
+    np.testing.assert_allclose(np.asarray(single.device_similarities(q)),
+                               np.asarray(sharded.device_similarities(q)),
+                               atol=1e-6)
+
+
+def test_chunked_quantize_init_matches_full():
+    """Engine init quantizes chunk-by-chunk (peak HBM = packed + one chunk,
+    ADVICE r3); numerics must equal the one-shot full-array quantize for
+    both rungs, including the L2-normalize of unnormalized inputs."""
+    from mmrs_tpu.ops.normalize import l2_normalize
+    from mmrs_tpu.ops.quant import quantize_rows
+    from mmrs_tpu.search.engine import _quantize_gallery_chunked
+
+    rng = np.random.default_rng(14)
+    emb = rng.normal(size=(333, 32)).astype(np.float32) * 1.7
+    norm = l2_normalize(jnp.asarray(emb))
+
+    g8, s8 = _quantize_gallery_chunked(emb, jnp.float32, "int8", chunk=128)
+    w8, x8 = quantize_rows(norm)
+    np.testing.assert_array_equal(np.asarray(g8), np.asarray(w8))
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(x8), atol=1e-7)
+
+    g4, s4 = _quantize_gallery_chunked(emb, jnp.float32, "int4", chunk=128)
+    w4, x4 = quantize_rows_int4(norm)
+    np.testing.assert_array_equal(np.asarray(g4), np.asarray(w4))
+    np.testing.assert_allclose(np.asarray(s4), np.asarray(x4), atol=1e-7)
 
 
 def test_engine_bool_backcompat():
