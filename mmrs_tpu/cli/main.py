@@ -114,24 +114,11 @@ def _make_engine(args, cfg, idx):
     quant = _quant_mode(args)
     nprobe = getattr(args, "ann_nprobe", 0)
     clusters = getattr(args, "ann_clusters", 0)
-    if nprobe or clusters:
-        if shards > 1:
-            print("--ann-nprobe/--ann-clusters do not compose with "
-                  "--gallery-shards yet (run one IVF engine per replica)",
-                  file=sys.stderr)
-            return 2
-        if quant == "int4":
-            print("--gallery-quant int4 does not compose with IVF yet "
-                  "(use --gallery-quant int8 for quantized buckets)",
-                  file=sys.stderr)
-            return 2
-        import dataclasses
-
-        search_cfg = dataclasses.replace(cfg.search, ann="ivf",
-                                         ann_clusters=max(clusters, 0),
-                                         ann_nprobe=max(nprobe, 0))
-        # int8 composes: int8 bucket rows + per-slot scales
-        return SearchEngine(idx, search_cfg, quantize=quant)
+    if (nprobe or clusters) and quant == "int4":
+        print("--gallery-quant int4 does not compose with IVF "
+              "(use --gallery-quant int8 for quantized buckets)",
+              file=sys.stderr)
+        return 2
     mesh = None
     if shards > 1:
         import jax
@@ -145,6 +132,15 @@ def _make_engine(args, cfg, idx):
             return 2
         mesh = make_mesh(MeshConfig(data_size=shards, model_size=1),
                          devices[:shards])
+    if nprobe or clusters:
+        import dataclasses
+
+        search_cfg = dataclasses.replace(cfg.search, ann="ivf",
+                                         ann_clusters=max(clusters, 0),
+                                         ann_nprobe=max(nprobe, 0))
+        # int8 composes (int8 bucket rows + per-slot scales); a mesh
+        # slot-shards the buckets (parallel/ivf.py)
+        return SearchEngine(idx, search_cfg, mesh=mesh, quantize=quant)
     return SearchEngine(idx, cfg.search, mesh=mesh, quantize=quant)
 
 

@@ -309,10 +309,14 @@ def build_ivf(
     centroids: Optional[jnp.ndarray] = None,  # reuse trained centroids
     assignments: Optional[np.ndarray] = None,  # reuse a prior full pass
     quantize: bool = False,           # int8 rows + per-slot scales
+    mesh=None,                        # slot-shard buckets over the mesh
 ) -> IVFIndex:
     """Train (or reuse) centroids, assign every row, and stream rows into
     the bucket structure. Host RSS stays ~one chunk; device residency is
-    the bucket array (~cap*C/N overhead over the raw rows) plus spill."""
+    the bucket array (~cap*C/N overhead over the raw rows) plus spill.
+    With `mesh`, the bucket/spill arrays are allocated ALREADY slot-
+    sharded (parallel/ivf.py layout) and rows stream straight into the
+    strips — a multi-chip-sized index never has single-chip residency."""
     n, d = embeddings.shape
     if n == 0:
         raise ValueError("empty gallery")
@@ -333,7 +337,8 @@ def build_ivf(
     return build_ivf_streaming(
         chunks, n, d, n_clusters=n_clusters, bucket_cap=bucket_cap,
         iters=iters, seed=seed, dtype=dtype, chunk=chunk, sample=sample,
-        centroids=centroids, assignments=assignments, quantize=quantize)
+        centroids=centroids, assignments=assignments, quantize=quantize,
+        mesh=mesh)
 
 
 def build_ivf_streaming(
@@ -351,12 +356,16 @@ def build_ivf_streaming(
     assignments: Optional[np.ndarray] = None,
     train_rows: int = 262_144,
     quantize: bool = False,
+    mesh=None,
 ) -> IVFIndex:
     """Build from a re-iterable chunk source (device arrays welcome — the
     10M bench generates chunks on device, CLAUDE.md rule). Chunks must be
     exactly `chunk` rows (zero-pad the tail); passes: [sample], assign,
     fill. If `sample` is None the training rows are strided out of the
-    stream itself (one extra pass)."""
+    stream itself (one extra pass). With `mesh`, bucket cap / spill pad
+    round up to 8*n_shards, arrays allocate sharded (slot-sharding,
+    parallel/ivf.py), and the fill scatters run under GSPMD — each chunk
+    broadcasts once over ICI and every shard keeps only its strip."""
     if n <= 0:
         raise ValueError("empty gallery")
     if assignments is not None and centroids is None:
@@ -403,11 +412,17 @@ def build_ivf_streaming(
     if bucket_cap <= 0:
         bucket_cap = _auto_cap(assignments, n_clusters, n)
     bucket_cap = min(bucket_cap, _round_up(n, 8))
+    n_shards = 1
+    if mesh is not None:
+        from mmrs_tpu.parallel.mesh import DATA_AXIS
+
+        n_shards = mesh.shape[DATA_AXIS]
+        bucket_cap = _round_up(bucket_cap, 8 * n_shards)
 
     bpos, spos, bucket_ids, spill_ids = _placement(assignments, n_clusters,
                                                    bucket_cap)
     n_spill = spill_ids.shape[0]
-    s_pad = max(8, _round_up(n_spill, 8))
+    s_pad = max(8, _round_up(n_spill, 8 * n_shards))
     item = 1 if quantize else jnp.dtype(dtype).itemsize
     log.info(
         "ivf: C=%d cap=%d -> %.2f GB buckets + %.2f GB spill (%d rows, "
@@ -417,12 +432,27 @@ def build_ivf_streaming(
         s_pad * dp * item / 1e9, n_spill, 100.0 * n_spill / n)
 
     row_dtype = jnp.int8 if quantize else dtype
-    buckets = jnp.zeros((n_clusters, bucket_cap, dp), row_dtype)
-    spill = jnp.zeros((s_pad, dp), row_dtype)
+    shardings = {}
+    if mesh is not None:
+        from mmrs_tpu.parallel.ivf import ivf_shardings
+
+        shardings = ivf_shardings(mesh)
+
+    def zeros(name, shape, zdtype):
+        if mesh is None:
+            return jnp.zeros(shape, zdtype)
+        # allocate straight into the sharded layout: each chip only ever
+        # holds its strip, never the whole array
+        return jax.jit(lambda: jnp.zeros(shape, zdtype),
+                       out_shardings=shardings[name])()
+
+    buckets = zeros("buckets", (n_clusters, bucket_cap, dp), row_dtype)
+    spill = zeros("spill", (s_pad, dp), row_dtype)
     bscales = sscales = None
     if quantize:
-        bscales = jnp.zeros((n_clusters, bucket_cap), jnp.float32)
-        sscales = jnp.zeros((s_pad,), jnp.float32)
+        bscales = zeros("bucket_scales", (n_clusters, bucket_cap),
+                        jnp.float32)
+        sscales = zeros("spill_scales", (s_pad,), jnp.float32)
     for ci, rows in enumerate(make_chunks()):
         a = ci * chunk
         b = min(a + chunk, n)
@@ -432,24 +462,42 @@ def build_ivf_streaming(
         sp[:b - a] = spos[a:b]
         bp = jnp.asarray(_oob(bp, n_clusters * bucket_cap))
         sp = jnp.asarray(_oob(sp, s_pad))
+        rows = jnp.asarray(rows)
+        if mesh is not None:
+            # replicate the chunk + positions so the donated sharded
+            # carries and the updates live on one device set (committed
+            # single-device operands can't mix with mesh-sharded ones)
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            rep = NamedSharding(mesh, PS())
+            rows = jax.device_put(rows, rep)
+            bp = jax.device_put(bp, rep)
+            sp = jax.device_put(sp, rep)
         if quantize:
             buckets, bscales, spill, sscales = _fill_chunk_q8(
-                buckets, bscales, spill, sscales, jnp.asarray(rows), bp, sp)
+                buckets, bscales, spill, sscales, rows, bp, sp)
         else:
-            buckets, spill = _fill_chunk(buckets, spill, jnp.asarray(rows),
-                                         bp, sp)
+            buckets, spill = _fill_chunk(buckets, spill, rows, bp, sp)
 
     sids = np.full(s_pad, -1, np.int32)
     sids[:n_spill] = spill_ids
     cents_p = cents
     if dp != d:
         cents_p = jnp.zeros((n_clusters, dp), cents.dtype).at[:, :d].set(cents)
+    centroids_out = cents_p.astype(dtype)
+    bucket_ids_out = jnp.asarray(bucket_ids.reshape(n_clusters, bucket_cap))
+    spill_ids_out = jnp.asarray(sids)
+    if mesh is not None:
+        centroids_out = jax.device_put(centroids_out, shardings["centroids"])
+        bucket_ids_out = jax.device_put(bucket_ids_out,
+                                        shardings["bucket_ids"])
+        spill_ids_out = jax.device_put(spill_ids_out, shardings["spill_ids"])
     return IVFIndex(
-        centroids=cents_p.astype(dtype),
+        centroids=centroids_out,
         buckets=buckets,
-        bucket_ids=jnp.asarray(bucket_ids.reshape(n_clusters, bucket_cap)),
+        bucket_ids=bucket_ids_out,
         spill=spill,
-        spill_ids=jnp.asarray(sids),
+        spill_ids=spill_ids_out,
         n_total=n,
         dim=d,
         bucket_scales=bscales,
@@ -591,11 +639,14 @@ def _probe_buckets_xla(q, probe, buckets, bucket_ids, scales, k: int):
     return vals, ids
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "impl",
-                                             "n_total", "dim"))
-def _ivf_topk(q, centroids, buckets, bucket_ids, spill, spill_ids,
-              bucket_scales, spill_scales,
-              k: int, nprobe: int, impl: str, n_total: int, dim: int):
+def _ivf_topk_body(q, centroids, buckets, bucket_ids, spill, spill_ids,
+                   bucket_scales, spill_scales,
+                   k: int, nprobe: int, impl: str):
+    """Probe + spill scan, returning ([Q, k] f32 cosines, [Q, k] int32
+    GLOBAL row ids, -1 padded). Shard-local by construction: ids are
+    stored global, so parallel/ivf.py runs this body per shard over a
+    slot strip and all-gather-merges (the bucket arrays just get
+    narrower on the cap axis)."""
     qn, d = q.shape
     dp = buckets.shape[2]
     if d != dp:
@@ -633,7 +684,16 @@ def _ivf_topk(q, centroids, buckets, bucket_ids, spill, spill_ids,
     mv = jnp.concatenate([vals, sv], axis=1)
     mi = jnp.concatenate([ids, sid], axis=1)
     fv, fi = jax.lax.top_k(mv, k)
-    return fv, jnp.take_along_axis(mi, fi, axis=1)
+    fi = jnp.take_along_axis(mi, fi, axis=1)
+    return jnp.where(fi < 0, NEG_INF, fv), fi
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "impl"))
+def _ivf_topk(q, centroids, buckets, bucket_ids, spill, spill_ids,
+              bucket_scales, spill_scales, k: int, nprobe: int, impl: str):
+    return _ivf_topk_body(q, centroids, buckets, bucket_ids, spill,
+                          spill_ids, bucket_scales, spill_scales,
+                          k, nprobe, impl)
 
 
 def ivf_topk(
@@ -654,8 +714,7 @@ def ivf_topk(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     return _ivf_topk(queries, ivf.centroids, ivf.buckets, ivf.bucket_ids,
                      ivf.spill, ivf.spill_ids, ivf.bucket_scales,
-                     ivf.spill_scales, k, nprobe, impl,
-                     ivf.n_total, ivf.dim)
+                     ivf.spill_scales, k, nprobe, impl)
 
 
 def ivf_recall(ivf: IVFIndex, embeddings, queries, k: int = 10,

@@ -135,11 +135,11 @@ class SearchEngine:
             # sub-linear ANN serving (index/ivf.py): the flat gallery is
             # never device-resident; residency = buckets (~1.25x rows).
             # quantize=True stores int8 bucket rows + per-slot scales
-            # (2x rows per chip, the flat int8 gallery trade).
-            if mesh is not None:
-                raise ValueError(
-                    "ann='ivf' does not compose with mesh yet — shard by "
-                    "running one IVF engine per replica")
+            # (2x rows per chip, the flat int8 gallery trade). With a
+            # mesh the buckets are SLOT-sharded (parallel/ivf.py): every
+            # chip holds cap/n_shards slots of every bucket, the probe
+            # list replicates, candidates all-gather-merge — per-chip
+            # scan traffic AND capacity both scale with the mesh.
             if self.quantized == "int4":
                 raise ValueError(
                     "ann='ivf' supports quantize='int8' buckets only — "
@@ -154,6 +154,7 @@ class SearchEngine:
                 iters=cfg.ann_train_iters,
                 dtype=device_dtype,
                 quantize=quantize,
+                mesh=mesh,
             )
             self.gallery = None
             return
@@ -195,7 +196,13 @@ class SearchEngine:
         if not self.quantized and self.gallery is not None:
             q = q.astype(self.gallery.dtype)
         with self.stats.timed("topk", count=q.shape[0]):
-            if self.ivf is not None:
+            if self.ivf is not None and self.mesh is not None:
+                from mmrs_tpu.parallel.ivf import sharded_ivf_topk
+
+                vals, idxs = sharded_ivf_topk(
+                    q, self.ivf, k=k, nprobe=self.config.ann_nprobe,
+                    mesh=self.mesh)
+            elif self.ivf is not None:
                 from mmrs_tpu.index.ivf import ivf_topk
 
                 vals, idxs = ivf_topk(q, self.ivf, k=k,
