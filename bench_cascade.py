@@ -193,10 +193,18 @@ def main():
 
     # warmup (compile)
     np.asarray(gate_scores(cparams, batches[0], class_embed))
-    t0 = time.perf_counter()
-    outs = [gate_scores(cparams, b, class_embed) for b in batches]  # async
-    scores = np.concatenate([np.asarray(o) for o in outs])
-    gate_s = time.perf_counter() - t0
+    from mmrs_tpu.utils.trials import fmt, summarize
+
+    gate_ts = []
+    scores = None
+    for _ in range(5):  # VERDICT r3 #2: distributions, not single trials
+        t0 = time.perf_counter()
+        outs = [gate_scores(cparams, b, class_embed) for b in batches]
+        scores = np.concatenate([np.asarray(o) for o in outs])
+        gate_ts.append(time.perf_counter() - t0)
+    gate_dist = summarize(gate_ts)
+    gate_s = gate_dist["median"]
+    log(fmt("gate pass", gate_dist, "ms", 1e3))
 
     thr = float(np.quantile(scores, 1.0 - SURVIVOR_FRACTION))
     survivors = int((scores >= thr).sum())
@@ -262,12 +270,17 @@ def main():
     jax.block_until_ready(imgs)
     out = np.asarray(verify(vparams, imgs, pre_ids, post_ids))  # warmup
     n_verify_batches = max(1, survivors // verify_batch)
-    t0 = time.perf_counter()
-    res = None
-    for i in range(n_verify_batches):
-        res = verify(vparams, imgs, pre_ids, post_ids)
-    np.asarray(res)
-    vlm_s = time.perf_counter() - t0
+    vlm_ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = None
+        for i in range(n_verify_batches):
+            res = verify(vparams, imgs, pre_ids, post_ids)
+        np.asarray(res)
+        vlm_ts.append(time.perf_counter() - t0)
+    vlm_dist = summarize(vlm_ts)
+    vlm_s = vlm_dist["median"]
+    log(fmt("verify pass", vlm_dist, "s"))
     per_image = vlm_s / (n_verify_batches * verify_batch)
     log(f"verify: {n_verify_batches * verify_batch} images in {vlm_s:.2f} s "
         f"({per_image*1e3:.0f} ms/img at batch {verify_batch}, "
@@ -283,6 +296,9 @@ def main():
         "vlm_ms_per_survivor": round(per_image * 1e3, 1),
         "total_ms": round(total_s * 1e3, 1),
         "total_ms_per_image": round(total_s * 1e3 / N_IMAGES, 2),
+        "trials": 5,
+        "gate_ms_iqr": round(gate_dist["iqr"] * 1e3, 2),
+        "vlm_ms_iqr": round(vlm_dist["iqr"] * 1e3, 1),
         "verifier": ("llava-7b-config "
                      + ("int8" if int8 else "bf16")
                      + (" kv-int8" if kv8 else "")

@@ -127,28 +127,34 @@ def main():
                    for r in range(got.shape[0]))
         recall = hits / float(got.size)
 
+        from mmrs_tpu.utils.trials import measure
+
         lat = {}
         for q in (1, 8, 64):
             # sub-ms per-call times need a deep pipeline or the 26 ms
-            # tunnel RTT noise swamps (total-single): 64 dispatches
+            # tunnel RTT noise swamps (total-single): 64 dispatches.
+            # 5 trials + median/IQR (VERDICT r3 #2 regression instrument)
             qs = [qd[:q]] * 64
-            per = pipelined_seconds(
+            lat[q] = measure(lambda: 1e3 * pipelined_seconds(
                 lambda x: ivf_topk(x, ivf, k=args.k, nprobe=nprobe,
                                    impl="auto"),
-                qs, lambda r: np.asarray(r[0][0, 0]))
-            lat[q] = max(per * 1e3, 1e-3)
+                qs, lambda r: np.asarray(r[0][0, 0])), n=5)
         log(f"nprobe={nprobe}: recall@{args.k}={recall:.3f}  "
-            f"p50 ms Q1/Q8/Q64 = {lat[1]:.2f}/{lat[8]:.2f}/{lat[64]:.2f}")
+            f"median ms Q1/Q8/Q64 = {lat[1]['median']:.2f}/"
+            f"{lat[8]['median']:.2f}/{lat[64]['median']:.2f}  "
+            f"(Q1 IQR {lat[1]['iqr']:.2f})")
         print(json.dumps({
             "metric": "ivf_topk_10m",
             "int8": args.int8,
             "nprobe": nprobe,
             "recall_at_k": round(recall, 4),
-            "q1_ms": round(lat[1], 3),
-            "q8_ms": round(lat[8], 3),
-            "q64_ms": round(lat[64], 3),
+            "q1_ms": {k: round(v, 3) if not isinstance(v, list)
+                      else [round(x, 3) for x in v]
+                      for k, v in lat[1].items()},
+            "q8_ms_median": round(lat[8]["median"], 3),
+            "q64_ms_median": round(lat[64]["median"], 3),
             "build_s": round(build_s, 1),
-            "vs_exact_scan_q1": round(EXACT_10M_MS / lat[1], 2),
+            "vs_exact_scan_q1": round(EXACT_10M_MS / lat[1]["median"], 2),
         }), flush=True)
 
 

@@ -107,11 +107,16 @@ def bench_decode(cfg, params, label, batch, prompt_len, new_tokens, reps=5,
         t0 = time.perf_counter()
         np.asarray(gen(params, tk))
         ts.append(time.perf_counter() - t0)
-    best = min(ts) - 0.027  # tunnel RTT
-    tps = batch * new_tokens / best
-    step_ms = best / new_tokens * 1e3
-    log(f"[{label}] decode: {tps:.0f} tokens/s (batch {batch}), "
-        f"{step_ms:.2f} ms/step incl. prefill amortized")
+    from mmrs_tpu.utils.trials import fmt, summarize
+
+    dist = summarize([t - 0.027 for t in ts])  # tunnel RTT per fetch
+    med = dist["median"]
+    tps = batch * new_tokens / med
+    step_ms = med / new_tokens * 1e3
+    log(fmt(f"[{label}] decode run", dist, "s")
+        + f" -> median {tps:.0f} tokens/s (batch {batch}), "
+        f"{step_ms:.2f} ms/step incl. prefill amortized "
+        f"(best-run {batch * new_tokens / dist['min']:.0f} tok/s)")
     return tps
 
 

@@ -5,11 +5,10 @@
 # bench_logs/<timestamp>/. Safe to re-run; each step is individually
 # timed out so one hang doesn't burn the window.
 #
-# Backlog (NEXT.md):
-#   #1 re-measure speculative mechanics (T=2 step-0 fold-in changed the
-#      round cost; recorded breakeven alpha 0.763 predates it)
-#   #4 itemize the 7B decode's ~4 ms/step gap vs the 11.7 ms roofline
-#   headline re-runs: bench_vlm / bench_cascade / bench.py
+# Backlog (round 4): re-run every headline with the NEW multi-trial
+# instrument (median/IQR, VERDICT r3 #2) so BENCH_r04 has distributions:
+#   bench.py (embed/query/dedup), bench_vlm (serving config),
+#   bench_cascade (stage table), bench_ivf 1M-quick (distribution Q1)
 set -u
 cd "$(dirname "$0")/.."
 ts=$(date +%Y%m%d_%H%M%S)
@@ -38,18 +37,15 @@ print('tunnel ok:', jax.devices())"; then
     exit 1
 fi
 
-# 2. the decode profile (NEXT.md #4): per-fusion device ms for the 7B
-#    decode loop — itemize before optimizing
-run profile_decode 1800 python profile_decode.py 32
+# 2. the driver headline with distributions (embed/query/dedup x5)
+run bench 2400 python bench.py
 
-# 3. speculative mechanics re-measure (NEXT.md #1)
-run bench_spec 2400 python bench_spec.py
-
-# 4. headline decode + cascade numbers (serving config)
+# 3. serving decode + cascade stage table, multi-trial
 run bench_vlm 2400 python bench_vlm.py
-run bench_cascade 2400 python bench_cascade.py --int8 --kv8 --fori --pc64
+run bench_cascade 3000 python bench_cascade.py --int8 --kv8 --fori --pc64
 
-# 5. the driver headline
-run bench 1800 python bench.py
+# 4. IVF at 1M rows quick (distribution Q1/Q8/Q64) — the 10M build is
+#    ~5 min; keep it if the window looks healthy
+run bench_ivf_1m 2400 python bench_ivf.py --rows 1048576 --clusters 1024 --iters 5
 
 echo "done — read $out/*.out, update COVERAGE.md/NEXT.md, commit"

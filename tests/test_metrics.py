@@ -63,3 +63,23 @@ def test_per_class_report():
     assert rep["a"].tp == 1 and rep["a"].fp == 1 and rep["a"].fn == 0
     assert rep["b"].tp == 2 and rep["b"].fn == 1 and rep["b"].fp == 0
     assert rep["c"].f1 == pytest.approx(1.0)
+
+
+def test_trials_summarize():
+    """The bench regression instrument (VERDICT r3 #2): quantiles match
+    numpy's linear interpolation, the median is robust to one outlier."""
+    import numpy as np
+
+    from mmrs_tpu.utils.trials import measure, summarize
+
+    xs = [3.0, 1.0, 2.0, 10.0, 4.0]
+    s = summarize(xs)
+    assert s["median"] == np.quantile(xs, 0.5)
+    assert s["iqr"] == np.quantile(xs, 0.75) - np.quantile(xs, 0.25)
+    assert s["min"] == 1.0 and s["max"] == 10.0 and s["n"] == 5
+    assert s["trials"] == sorted(xs)
+    assert summarize([7.0])["median"] == 7.0
+
+    it = iter([5.0, 6.0, 7.0])
+    m = measure(lambda: next(it), n=3)
+    assert m["median"] == 6.0
