@@ -275,8 +275,26 @@ def cmd_dedup(args) -> int:
         from mmrs_tpu.index.gallery import GalleryIndex
 
         idx = GalleryIndex.load(args.index)
+        mesh = None
+        shards = getattr(args, "gallery_shards", 1)
+        if shards > 1:
+            # TPU-scale governance (SURVEY §2.6 (c)): the O(N^2) scan
+            # rides the ring-ppermute path, one [N/S, D] column block
+            # resident per chip (parallel/dedup.py)
+            import jax
+
+            from mmrs_tpu.parallel.mesh import MeshConfig, make_mesh
+
+            devices = jax.local_devices()
+            if len(devices) < shards:
+                print(f"--gallery-shards {shards} needs {shards} local "
+                      f"devices; {len(devices)} available", file=sys.stderr)
+                return 2
+            mesh = make_mesh(MeshConfig(data_size=shards, model_size=1),
+                             devices[:shards])
         rep = dd.embedding_dedup(np.asarray(idx.embeddings, np.float32),
-                                 idx.paths, tau=args.tau, dry_run=dry)
+                                 idx.paths, tau=args.tau, dry_run=dry,
+                                 mesh=mesh)
     else:
         print(f"unknown mode {args.mode}", file=sys.stderr)
         return 2
@@ -1057,6 +1075,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--tau", type=float, default=0.96)
     d.add_argument("--workers", type=int, default=0,
                    help="hash thread pool size (0 = one per core)")
+    d.add_argument("--gallery-shards", type=int, default=1,
+                   help="embedding mode: shard the O(N^2) scan over the "
+                        "first N local devices (ring-ppermute column "
+                        "blocks, parallel/dedup.py)")
     add_dry(d)
     d.set_defaults(fn=cmd_dedup)
 

@@ -401,3 +401,39 @@ def test_cli_search_sharded_gallery_matches(tree, tmp_path):
     over = run8(["search", "--index", out, "--image", query,
                  "--config", cfgp, "--gallery-shards", "64"])
     assert over.returncode == 2 and "gallery-shards" in over.stderr
+
+
+def test_cli_dedup_embedding_sharded_matches_single(tmp_path, capsys):
+    """`mmrs dedup --mode embedding --gallery-shards N` routes through the
+    ring-ppermute O(N^2) path (parallel/dedup.py, VERDICT r3 #4) and
+    reports exactly the single-device duplicates — ragged N included."""
+    from mmrs_tpu.cli.main import main
+    from mmrs_tpu.index.gallery import _write_manifest, _write_shard
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(53, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x[20] = x[5]
+    x[40] = x[20]
+    x[52] = x[7]  # tail duplicate exercises the pad boundary
+    meta = [(f"img{i}.jpg", "c") for i in range(53)]
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    entry = _write_shard(d, 0, x, meta)
+    entry["samples"] = 53
+    _write_manifest(d, [entry], 16)
+
+    def run(argv):
+        with pytest.raises(SystemExit) as e:
+            main(argv)
+        assert e.value.code == 0
+        out = capsys.readouterr().out
+        return sorted(ln for ln in out.splitlines() if ln.startswith("DUP"))
+
+    single = run(["dedup", "--mode", "embedding", "--index", d,
+                  "--tau", "0.999"])
+    sharded = run(["dedup", "--mode", "embedding", "--index", d,
+                   "--tau", "0.999", "--gallery-shards", "8"])
+    assert single == sharded
+    assert any("img20.jpg" in ln and "img5.jpg" in ln for ln in single)
+    assert any("img52.jpg" in ln and "img7.jpg" in ln for ln in single)
