@@ -135,9 +135,13 @@ class TPULLaVAVerifier:
 
         if attn_impl == "auto":
             # fused Pallas MHA wins at the 336px tower's T=577 (see
-            # COVERAGE.md perf notes); CPU/tests fall back to the einsum
+            # COVERAGE.md perf notes); CPU/tests fall back to the einsum.
+            # Under a mesh, auto stays XLA: pallas_call with GSPMD-
+            # partitioned operands has never run on real ICI (NEXT.md),
+            # so no auto rule may pick it — pass attn_impl="pallas"
+            # explicitly to measure it on hardware (VERDICT r3 #5).
             attn_impl = ("pallas" if jax.default_backend() == "tpu"
-                         else "xla")
+                         and mesh is None else "xla")
         self.attn_impl = attn_impl
         if decode_attn == "auto":
             # measured at the 7B p576/b16 serving shape: XLA's fused
@@ -154,10 +158,12 @@ class TPULLaVAVerifier:
             # chunk kernel (ops/decode_attention.chunk_attention) wins
             # 15% only when prefill_chunk is None (725 -> 617 ms).
             # layers="scan" must stay XLA: a pallas_call inside lax.scan
-            # hangs this platform's compiler (CLAUDE.md).
+            # hangs this platform's compiler (CLAUDE.md). Under a mesh,
+            # auto stays XLA (same untested-GSPMD rule as attn_impl).
             prefill_attn = ("pallas" if prefill_chunk is None
                             and layers in ("fori", "unroll")
-                            and jax.default_backend() == "tpu" else "xla")
+                            and jax.default_backend() == "tpu"
+                            and mesh is None else "xla")
         self.prefill_attn = prefill_attn
         # int8 KV cache (llama.QKVCache) halves per-step KV traffic and
         # HBM residency of the ~600-token multimodal prompts; layers=
