@@ -28,8 +28,13 @@ MERGED_PIECES = [
     "ion", "estion", "▁qu", "▁question", "ye", "yes", "▁yes",
     "no", "▁no", "ld", "wor", "world", "▁world", "ll", "llo",
     "hello", "▁hello", "▁he",
+    # partial CJK coverage: some reference-prompt chars are PIECES and a
+    # merged pair exists, while the rest byte-fallback — the adversarial
+    # mixed boundary (a real tokenizer.model has exactly this shape)
+    "荔枝",
 ]
-CHARS = "▁abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.?!:,'0123456789"
+CHARS = ("▁abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+         ".?!:,'0123456789荔枝的图片一")
 
 TEXTS = [
     "hello world",
@@ -54,6 +59,23 @@ TEXTS = [
     "?",
     "!!??..",
     "   ",
+    # the reference's literal LLaVA prompt
+    # (/root/reference/code/union_clip_llava2.py:107)
+    "Is this picture of a chinese porcelain? If yes, answer yes. "
+    "If no, answer no",
+    # the commented CN variant (:106) — CJK pieces + byte fallback mixed
+    "请问这张图片里描述的是荔枝吗,请回答yes或no,不要包含其它输出",
+    # the reference's CN retrieval prompts, 一张{cls}的图片
+    # (CLIP-Chinese/lab_chinese.py:87, union_clip_llava2.py:144-152):
+    # 荔枝 rides the merged piece, 羽毛球拍 is pure byte fallback, T恤
+    # crosses the Latin/CJK boundary mid-word
+    "一张荔枝的图片",
+    "一张羽毛球拍的图片",
+    "一张T恤的图片",
+    "一张包子的图片",
+    "一张吉他的图片",
+    "T恤",
+    "lychee荔枝lychee",
 ]
 
 

@@ -70,16 +70,30 @@ def test_clip_bpe_matches_hf_algorithm():
             unk_token="<|endoftext|>", pad_token="<|endoftext|>",
         )
         for text in ["a photo of a cat", "dog!", "the CAT and the dog",
-                     "a photo of 2 dogs, one cat"]:
+                     "a photo of 2 dogs, one cat",
+                     # the reference's literal EN retrieval prompts:
+                     # f"a photo of {cls}" (/root/reference/CLIP/lab1.py:56)
+                     # over its class list (code/union_clip_llava2.py:
+                     # 153-158) — hyphens and case exercise the pre-BPE
+                     # regex split
+                     "a photo of T-shirt", "a photo of guitar",
+                     "a photo of badminton-racket", "a photo of baozi",
+                     "a photo of lychee"]:
             theirs = hf(text, add_special_tokens=False)["input_ids"]
             assert ours.encode(text) == theirs, text
 
 
 @pytest.fixture()
 def zh_vocab():
+    # covers the reference's CN class names (union_clip_llava2.py:144-152,
+    # lab_chinese.py pairs) — 拍 and 驴 are deliberately ABSENT so the
+    # [UNK] path is exercised on a real prompt
     toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
             "一", "张", "猫", "的", "图", "片", "狗",
-            "photo", "##graph", "ph", "##oto", "a"]
+            "photo", "##graph", "ph", "##oto", "a",
+            "恤", "吉", "他", "包", "子", "荔", "枝",
+            "羽", "毛", "球", "狼", "猞", "猁", "瓷", "器",
+            "水", "墨", "画", "油", "t", "##t", "T"]
     return {t: i for i, t in enumerate(toks)}
 
 
@@ -101,13 +115,20 @@ def test_wordpiece_matches_transformers(zh_vocab, tmp_path):
             f.write(t + "\n")
     hf = transformers.BertTokenizer(str(vocab_path))
     ours = BertWordPieceTokenizer(zh_vocab, max_length=32)
+    # the reference's literal Taiyi prompts f"一张{cls}的图片"
+    # (/root/reference/code/union_clip_llava2.py:127-152 CN classes,
+    # CLIP-Chinese/lab_chinese.py pairs): T恤 crosses the Latin/CJK
+    # boundary, 羽毛球拍 hits an out-of-vocab char ([UNK] path)
+    ref_prompts = [f"一张{cls}的图片"
+                   for cls in ("T恤", "吉他", "羽毛球拍", "包子", "荔枝",
+                               "狗", "猫", "瓷器", "水墨画", "油画")]
     for text in ["一张猫的图片", "photograph", "a photo", "狗猫",
                  "unknownword 猫",
                  # accent stripping (HF lowercases + NFD-drops Mn),
                  # control-char cleanup, tab/newline whitespace, and the
                  # 100-char wordpiece cap — all review-flagged gaps
                  "phötó", "a\tphoto\nof \x00猫", "PHOTO",
-                 "w" * 150 + " 猫"]:
+                 "w" * 150 + " 猫"] + ref_prompts:
         theirs = hf(text)["input_ids"]
         ids, mask = ours(text)
         n = mask[0].sum()
