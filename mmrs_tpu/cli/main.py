@@ -304,6 +304,29 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_lifecycle(args) -> int:
+    """The whole reference workflow in one run (mmrs_tpu/lifecycle.py):
+    normalize-report -> index -> calibrate -> union -> cascade(journal)
+    -> dedup/leakage -> VQA v4. Destructive stages stay dry-run."""
+    from mmrs_tpu.lifecycle import run_lifecycle
+
+    cfg = _load_config(args.config)
+    manifest = run_lifecycle(
+        args.root, args.out, args.positive_class, cfg=cfg,
+        shots=args.shots, test_root=args.test_root,
+        dedup_tau=args.dedup_tau, seed=args.seed)
+    print(json.dumps(manifest["cross_checks"] | {
+        "out": args.out,
+        "index_rows": manifest["index"]["rows"],
+        "best_threshold": manifest["calibrate"]["best_threshold"],
+        "union_pass": manifest["union"]["union_pass"],
+        "gate_passed": manifest["cascade"]["gate_passed"],
+        "duplicates": manifest["dedup"]["duplicates"],
+        "vqa_positives": manifest["vqa"]["positives"],
+    }))
+    return 0
+
+
 def cmd_leakage(args) -> int:
     from mmrs_tpu.govern.dedup import leakage_removal
 
@@ -1081,6 +1104,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "blocks, parallel/dedup.py)")
     add_dry(d)
     d.set_defaults(fn=cmd_dedup)
+
+    lc = sub.add_parser("lifecycle")
+    lc.add_argument("--root", required=True,
+                    help="labeled image tree (class folders; optional "
+                         "ez_negative / <cls>_negative folders feed VQA v4)")
+    lc.add_argument("--out", required=True, help="artifact output root")
+    lc.add_argument("--positive-class", required=True)
+    lc.add_argument("--config")
+    lc.add_argument("--shots", type=int, default=5)
+    lc.add_argument("--test-root",
+                    help="optional held-out tree for the leakage report")
+    lc.add_argument("--dedup-tau", type=float, default=0.995)
+    lc.add_argument("--seed", type=int, default=0)
+    lc.set_defaults(fn=cmd_lifecycle)
 
     lk = sub.add_parser("leakage")
     lk.add_argument("--train", required=True)
