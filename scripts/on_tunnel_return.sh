@@ -37,7 +37,11 @@ print('tunnel ok:', jax.devices())"; then
     exit 1
 fi
 
-# 2. the driver headline with distributions (embed/query/dedup x5)
+# 2. pallas-inside-shard_map on real hardware (1-device mesh): every
+#    sharded kernel path vs its single-device oracle (NEXT.md caveat)
+run mesh1 1200 python scripts/check_mesh1_tpu.py
+
+# 2b. the driver headline with distributions (embed/query/dedup x5)
 run bench 2400 python bench.py
 
 # 3. serving decode + cascade stage table, multi-trial
