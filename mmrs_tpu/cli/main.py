@@ -114,11 +114,6 @@ def _make_engine(args, cfg, idx):
     quant = _quant_mode(args)
     nprobe = getattr(args, "ann_nprobe", 0)
     clusters = getattr(args, "ann_clusters", 0)
-    if (nprobe or clusters) and quant == "int4":
-        print("--gallery-quant int4 does not compose with IVF "
-              "(use --gallery-quant int8 for quantized buckets)",
-              file=sys.stderr)
-        return 2
     mesh = None
     if shards > 1:
         import jax

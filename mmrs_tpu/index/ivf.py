@@ -80,20 +80,26 @@ class IVFIndex:
     """Device-resident IVF structure. All row ids are GLOBAL gallery rows,
     so results are interchangeable with ops/topk.cosine_topk's.
 
-    With `quantize=True` at build, bucket/spill rows are symmetric
-    per-row int8 (ops/quant.py convention) and `bucket_scales`/
+    With `quantize="int8"` (or True) at build, bucket/spill rows are
+    symmetric per-row int8 (ops/quant.py convention) and `bucket_scales`/
     `spill_scales` hold the per-slot f32 dequant factors — half the HBM
     residency (2x rows per chip) at ~0.3% score error, same trade as the
-    flat int8 gallery mode."""
+    flat int8 gallery mode. With `quantize="int4"`, buckets hold PACKED
+    int4 words in the flat gallery's transposed layout per bucket
+    ([C, Dp/8, cap] int32 — slots on lanes, word rows on sublanes, the
+    ops/quant4.py convention) and spill is one flat packed plane
+    ([Dp/8, S]) — quarter the residency (4x rows per chip, ~0.6% score
+    error), completing the capacity ladder inside the ANN index."""
 
-    centroids: jnp.ndarray    # [C, Dp]  (L2-normalized, dtype = buckets')
-    buckets: jnp.ndarray      # [C, cap, Dp] zero-padded rows (bf16 or int8)
+    centroids: jnp.ndarray    # [C, Dp]  (L2-normalized)
+    buckets: jnp.ndarray      # [C, cap, Dp] rows (bf16/int8) or
+    #                           [C, Dp/8, cap] int32 packed words (int4)
     bucket_ids: jnp.ndarray   # [C, cap] int32 global row ids, -1 pad
-    spill: jnp.ndarray        # [S, Dp]  overflow rows (dense, exact-scanned)
+    spill: jnp.ndarray        # [S, Dp] rows, or [Dp/8, S] packed (int4)
     spill_ids: jnp.ndarray    # [S] int32, -1 pad
     n_total: int              # live gallery rows
     dim: int                  # true embedding dim (Dp >= dim, zero-padded)
-    bucket_scales: Optional[jnp.ndarray] = None   # [C, cap] f32 (int8 mode)
+    bucket_scales: Optional[jnp.ndarray] = None   # [C, cap] f32 (int8/int4)
     spill_scales: Optional[jnp.ndarray] = None    # [S] f32
 
     @property
@@ -102,7 +108,16 @@ class IVFIndex:
 
     @property
     def bucket_cap(self) -> int:
-        return int(self.buckets.shape[1])
+        return int(self.bucket_ids.shape[1])
+
+    @property
+    def quant(self) -> str:
+        """"" (bf16) | "int8" | "int4" — from the stored dtypes."""
+        if self.buckets.dtype == jnp.int32:
+            return "int4"
+        if self.bucket_scales is not None:
+            return "int8"
+        return ""
 
     @property
     def quantized(self) -> bool:
@@ -231,6 +246,32 @@ def _fill_chunk_q8(buckets, bscales, spill, sscales, rows, bpos, spos):
     buckets = buckets.at[ci, si].set(q, mode="drop")
     bscales = bscales.at[ci, si].set(scale, mode="drop")
     spill = spill.at[spos].set(q, mode="drop")
+    sscales = sscales.at[spos].set(scale, mode="drop")
+    return buckets, bscales, spill, sscales
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _fill_chunk_q4(buckets, bscales, spill, sscales, rows, bpos, spos):
+    """int4 variant: rows quantize to packed words on device and scatter
+    COLUMN-wise into the per-bucket transposed planes (buckets
+    [C, Dp/8, cap]; row j's words land at [ci, :, si]) and the flat
+    spill plane ([Dp/8, S] at column spos)."""
+    from mmrs_tpu.ops.quant4 import quantize_rows_int4
+
+    rows = l2_normalize(rows.astype(jnp.float32))
+    d = rows.shape[1]
+    dp = buckets.shape[1] * 8
+    if d != dp:
+        rows = jnp.zeros((rows.shape[0], dp), jnp.float32).at[:, :d].set(rows)
+    words, scale = quantize_rows_int4(rows)       # [Dp/8, chunk], [chunk]
+    cap = buckets.shape[2]
+    ci = bpos // cap
+    si = bpos % cap
+    # advanced indices split by a slice put the index axis FIRST:
+    # buckets.at[ci, :, si] selects [chunk, Dp/8]
+    buckets = buckets.at[ci, :, si].set(words.T, mode="drop")
+    bscales = bscales.at[ci, si].set(scale, mode="drop")
+    spill = spill.at[:, spos].set(words, mode="drop")
     sscales = sscales.at[spos].set(scale, mode="drop")
     return buckets, bscales, spill, sscales
 
@@ -409,6 +450,9 @@ def build_ivf_streaming(
     if assignments.shape[0] != n:
         raise ValueError("assignments/rows mismatch")
 
+    quant = {True: "int8", False: "", None: ""}.get(quantize, quantize)
+    if quant not in ("", "int8", "int4"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     if bucket_cap <= 0:
         bucket_cap = _auto_cap(assignments, n_clusters, n)
     bucket_cap = min(bucket_cap, _round_up(n, 8))
@@ -418,12 +462,18 @@ def build_ivf_streaming(
 
         n_shards = mesh.shape[DATA_AXIS]
         bucket_cap = _round_up(bucket_cap, 8 * n_shards)
+    if quant == "int4":
+        # slots live on LANES in the packed layout ([C, Dp/8, cap]):
+        # cap must tile to 128 lanes (and stay shard-divisible)
+        bucket_cap = _round_up(bucket_cap, math.lcm(128, n_shards))
 
     bpos, spos, bucket_ids, spill_ids = _placement(assignments, n_clusters,
                                                    bucket_cap)
     n_spill = spill_ids.shape[0]
     s_pad = max(8, _round_up(n_spill, 8 * n_shards))
-    item = 1 if quantize else jnp.dtype(dtype).itemsize
+    if quant == "int4":
+        s_pad = max(128, _round_up(n_spill, math.lcm(128, n_shards)))
+    item = {"": jnp.dtype(dtype).itemsize, "int8": 1, "int4": 0.5}[quant]
     log.info(
         "ivf: C=%d cap=%d -> %.2f GB buckets + %.2f GB spill (%d rows, "
         "%.2f%% — scanned exactly)",
@@ -431,12 +481,11 @@ def build_ivf_streaming(
         n_clusters * bucket_cap * dp * item / 1e9,
         s_pad * dp * item / 1e9, n_spill, 100.0 * n_spill / n)
 
-    row_dtype = jnp.int8 if quantize else dtype
     shardings = {}
     if mesh is not None:
         from mmrs_tpu.parallel.ivf import ivf_shardings
 
-        shardings = ivf_shardings(mesh)
+        shardings = ivf_shardings(mesh, quant=quant)
 
     def zeros(name, shape, zdtype):
         if mesh is None:
@@ -446,10 +495,16 @@ def build_ivf_streaming(
         return jax.jit(lambda: jnp.zeros(shape, zdtype),
                        out_shardings=shardings[name])()
 
-    buckets = zeros("buckets", (n_clusters, bucket_cap, dp), row_dtype)
-    spill = zeros("spill", (s_pad, dp), row_dtype)
     bscales = sscales = None
-    if quantize:
+    if quant == "int4":
+        buckets = zeros("buckets", (n_clusters, dp // 8, bucket_cap),
+                        jnp.int32)
+        spill = zeros("spill", (dp // 8, s_pad), jnp.int32)
+    else:
+        row_dtype = jnp.int8 if quant else dtype
+        buckets = zeros("buckets", (n_clusters, bucket_cap, dp), row_dtype)
+        spill = zeros("spill", (s_pad, dp), row_dtype)
+    if quant:
         bscales = zeros("bucket_scales", (n_clusters, bucket_cap),
                         jnp.float32)
         sscales = zeros("spill_scales", (s_pad,), jnp.float32)
@@ -473,7 +528,10 @@ def build_ivf_streaming(
             rows = jax.device_put(rows, rep)
             bp = jax.device_put(bp, rep)
             sp = jax.device_put(sp, rep)
-        if quantize:
+        if quant == "int4":
+            buckets, bscales, spill, sscales = _fill_chunk_q4(
+                buckets, bscales, spill, sscales, rows, bp, sp)
+        elif quant:
             buckets, bscales, spill, sscales = _fill_chunk_q8(
                 buckets, bscales, spill, sscales, rows, bp, sp)
         else:
@@ -688,12 +746,203 @@ def _ivf_topk_body(q, centroids, buckets, bucket_ids, spill, spill_ids,
     return jnp.where(fi < 0, NEG_INF, fv), fi
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "impl"))
+def _ivf_kernel_q4(probe_ref, q_ref, qs_ref, rs_ref, b_ref, ids_ref,
+                   scale_ref, out_v_ref, out_i_ref, run_v, run_i, *,
+                   k: int):
+    """int4 bucket probe: the packed [1, Dp/8, cap] block unpacks via i32
+    nibble masks + sublane bitcast into the two int8 MXU operands (the
+    flat ops/quant4 kernel's math), scored against this step's query row
+    with the offset/scale epilogue, folded into the running top-k."""
+    from mmrs_tpu.ops.quant4 import MASK_HI, MASK_LO, _score_f32
+
+    qi = pl.program_id(0)
+    pi = pl.program_id(1)
+    nq = pl.num_programs(0)
+    np_ = pl.num_programs(1)
+    qn = q_ref.shape[0]
+
+    @pl.when((qi == 0) & (pi == 0))
+    def _init():
+        run_v[:] = jnp.full_like(run_v, NEG_INF)
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (qn, 1), 0) == qi)
+    # one live row per column -> the masked sum IS the row (int8-safe)
+    q = jnp.sum(jnp.where(rowmask, q_ref[:], 0), axis=0,
+                keepdims=True).astype(jnp.int8)         # [1, Dp]
+    qs = jnp.sum(jnp.where(rowmask, qs_ref[:], 0.0), axis=0,
+                 keepdims=True)                          # [1, 1]
+    rs = jnp.sum(jnp.where(rowmask, rs_ref[:], 0.0), axis=0,
+                 keepdims=True)                          # [1, 1]
+
+    w32 = b_ref[0]                                       # [Dp/8, cap]
+    lo = pltpu.bitcast(w32 & MASK_LO, jnp.int8)          # [Dp/2, cap]
+    hi = pltpu.bitcast(w32 & MASK_HI, jnp.int8)
+    h = lo.shape[0]
+    dlo = jax.lax.dot_general(q[:, :h], lo, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)  # [1, cap]
+    dhi = jax.lax.dot_general(q[:, h:], hi, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    scores = _score_f32(dlo, dhi, rs, qs, scale_ref[0])  # [1, cap]
+    ids = ids_ref[0]                                     # [1, cap]
+    scores = jnp.where(ids >= 0, scores, NEG_INF)
+
+    row_v = jnp.sum(jnp.where(rowmask, run_v[:], 0), axis=0, keepdims=True)
+    row_i = jnp.sum(jnp.where(rowmask, run_i[:], 0), axis=0, keepdims=True)
+    new_v, new_i = _topk_merge(
+        jnp.concatenate([row_v, scores], axis=1),
+        jnp.concatenate([row_i, ids], axis=1), k)
+    run_v[:] = jnp.where(rowmask, jnp.broadcast_to(new_v, (qn, k)), run_v[:])
+    run_i[:] = jnp.where(rowmask, jnp.broadcast_to(new_i, (qn, k)), run_i[:])
+
+    @pl.when((qi == nq - 1) & (pi == np_ - 1))
+    def _finish():
+        out_v_ref[:] = run_v[:]
+        out_i_ref[:] = run_i[:]
+
+
+def _probe_buckets_pallas_q4(q_q, q_scale, rs_q, probe, buckets, bucket_ids,
+                             scales, k: int, interpret: bool = False):
+    """int4 scalar-prefetch probe: only the probed packed planes leave
+    HBM (quarter the int8 probe's traffic)."""
+    qn, dp = q_q.shape
+    c, dw, cap = buckets.shape
+    p = probe.shape[1]
+    ids3 = bucket_ids.reshape(c, 1, cap)
+    scales3 = scales.reshape(c, 1, cap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qn, p),
+        in_specs=[
+            pl.BlockSpec((qn, dp), lambda i, j, pr: (0, 0)),
+            pl.BlockSpec((qn, 1), lambda i, j, pr: (0, 0)),
+            pl.BlockSpec((qn, 1), lambda i, j, pr: (0, 0)),
+            pl.BlockSpec((1, dw, cap), lambda i, j, pr: (pr[i, j], 0, 0)),
+            pl.BlockSpec((1, 1, cap), lambda i, j, pr: (pr[i, j], 0, 0)),
+            pl.BlockSpec((1, 1, cap), lambda i, j, pr: (pr[i, j], 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((qn, k), lambda i, j, pr: (0, 0)),
+            pl.BlockSpec((qn, k), lambda i, j, pr: (0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qn, k), jnp.float32),
+            pltpu.VMEM((qn, k), jnp.int32),
+        ],
+    )
+    out_v, out_i = pl.pallas_call(
+        functools.partial(_ivf_kernel_q4, k=k),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((qn, k), jnp.float32),
+            jax.ShapeDtypeStruct((qn, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * p * cap * dp,
+            bytes_accessed=qn * p * cap * dp // 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(probe, q_q, q_scale[:, None], rs_q[:, None], buckets, ids3, scales3)
+    return out_v, out_i
+
+
+def _probe_buckets_xla_q4(q_q, q_scale, rs_q, probe, buckets, bucket_ids,
+                          scales, k: int):
+    """Oracle / CPU path for int4 buckets — bit-identical epilogue math
+    (ops/quant4._score_f32), per-query gather bounded by lax.map."""
+    from mmrs_tpu.ops.quant4 import _score_f32, _unpack_planes_xla
+
+    c, dw, cap = buckets.shape
+    p = probe.shape[1]
+    kk = min(k, p * cap)
+
+    def per_query(args):
+        qv, qs, rs, pids = args
+        b = jnp.take(buckets, pids, axis=0)          # [P, dw, cap]
+        ids = jnp.take(bucket_ids, pids, axis=0)     # [P, cap]
+        w = jnp.transpose(b, (1, 0, 2)).reshape(dw, p * cap)
+        lo, hi = _unpack_planes_xla(w)               # [Dp/2, P*cap]
+        h = lo.shape[0]
+        dlo = jax.lax.dot_general(qv[None, :h], lo,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        dhi = jax.lax.dot_general(qv[None, h:], hi,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        s_tile = jnp.take(scales, pids, axis=0).reshape(1, -1)
+        s = _score_f32(dlo, dhi, rs, qs, s_tile)[0]
+        s = jnp.where(ids.reshape(-1) >= 0, s, NEG_INF)
+        v, i = jax.lax.top_k(s, kk)
+        return v, jnp.take(ids.reshape(-1), i).astype(jnp.int32)
+
+    vals, ids = jax.lax.map(per_query, (q_q, q_scale, rs_q, probe))
+    if kk < k:
+        pad_v = jnp.full((q_q.shape[0], k - kk), NEG_INF, jnp.float32)
+        pad_i = jnp.full((q_q.shape[0], k - kk), -1, jnp.int32)
+        vals = jnp.concatenate([vals, pad_v], axis=1)
+        ids = jnp.concatenate([ids, pad_i], axis=1)
+    return vals, ids
+
+
+def _ivf_topk_body_q4(q, centroids, buckets, bucket_ids, spill, spill_ids,
+                      bucket_scales, spill_scales,
+                      k: int, nprobe: int, impl: str):
+    """int4 probe + packed spill scan ([Q, k] f32, [Q, k] global ids)."""
+    from mmrs_tpu.ops.quant4 import (_prep_queries, _score_f32,
+                                     _unpack_planes_xla)
+
+    qn, d = q.shape
+    dp = buckets.shape[1] * 8
+    if d != dp:
+        q = jnp.zeros((qn, dp), q.dtype).at[:, :d].set(q)
+
+    csims = jax.lax.dot_general(
+        q.astype(centroids.dtype), centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [Q, C]
+    _, probe = jax.lax.top_k(csims, nprobe)
+    probe = probe.astype(jnp.int32)
+
+    q_q, q_scale, rs_q = _prep_queries(q.astype(jnp.float32))
+    if impl in ("pallas", "pallas_interpret"):
+        vals, ids = _probe_buckets_pallas_q4(
+            q_q, q_scale, rs_q, probe, buckets, bucket_ids, bucket_scales,
+            k, interpret=impl == "pallas_interpret")
+    else:
+        vals, ids = _probe_buckets_xla_q4(
+            q_q, q_scale, rs_q, probe, buckets, bucket_ids, bucket_scales, k)
+
+    # exact spill scan over the flat packed plane
+    lo, hi = _unpack_planes_xla(spill)                      # [Dp/2, S]
+    h = lo.shape[0]
+    dlo = jax.lax.dot_general(q_q[:, :h], lo, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    dhi = jax.lax.dot_general(q_q[:, h:], hi, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    ss = _score_f32(dlo, dhi, rs_q[:, None], q_scale[:, None],
+                    spill_scales[None, :])                  # [Q, S]
+    ss = jnp.where(spill_ids[None, :] >= 0, ss, NEG_INF)
+    ks = min(k, spill.shape[1])
+    sv, si = jax.lax.top_k(ss, ks)
+    sid = jnp.take(spill_ids, si)
+
+    mv = jnp.concatenate([vals, sv], axis=1)
+    mi = jnp.concatenate([ids, sid], axis=1)
+    fv, fi = jax.lax.top_k(mv, k)
+    fi = jnp.take_along_axis(mi, fi, axis=1)
+    return jnp.where(fi < 0, NEG_INF, fv), fi
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "impl",
+                                             "quant"))
 def _ivf_topk(q, centroids, buckets, bucket_ids, spill, spill_ids,
-              bucket_scales, spill_scales, k: int, nprobe: int, impl: str):
-    return _ivf_topk_body(q, centroids, buckets, bucket_ids, spill,
-                          spill_ids, bucket_scales, spill_scales,
-                          k, nprobe, impl)
+              bucket_scales, spill_scales, k: int, nprobe: int, impl: str,
+              quant: str = ""):
+    body = _ivf_topk_body_q4 if quant == "int4" else _ivf_topk_body
+    return body(q, centroids, buckets, bucket_ids, spill,
+                spill_ids, bucket_scales, spill_scales,
+                k, nprobe, impl)
 
 
 def ivf_topk(
@@ -714,7 +963,7 @@ def ivf_topk(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     return _ivf_topk(queries, ivf.centroids, ivf.buckets, ivf.bucket_ids,
                      ivf.spill, ivf.spill_ids, ivf.bucket_scales,
-                     ivf.spill_scales, k, nprobe, impl)
+                     ivf.spill_scales, k, nprobe, impl, quant=ivf.quant)
 
 
 def ivf_recall(ivf: IVFIndex, embeddings, queries, k: int = 10,
@@ -754,7 +1003,7 @@ def save_ivf(directory: str, ivf: IVFIndex) -> None:
     os.replace(tmp, os.path.join(directory, "ivf.npz"))
     meta = {"n_total": ivf.n_total, "dim": ivf.dim,
             "n_clusters": ivf.n_clusters, "bucket_cap": ivf.bucket_cap,
-            "quantized": ivf.quantized}
+            "quantized": ivf.quantized, "quant": ivf.quant}
     tmp_m = os.path.join(directory, "ivf.json.tmp")
     with open(tmp_m, "w", encoding="utf-8") as f:
         json.dump(meta, f)
@@ -787,13 +1036,17 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
     spos[spill_ids[slive]] = np.arange(spill_ids.shape[0],
                                        dtype=np.int32)[slive]
 
-    quantize = bool(meta.get("quantized", False))
+    quant = meta.get("quant", "int8" if meta.get("quantized") else "")
     s_rows = spill_ids.shape[0]
-    row_dtype = jnp.int8 if quantize else dtype
-    buckets = jnp.zeros((c, cap, dp), row_dtype)
-    spill = jnp.zeros((s_rows, dp), row_dtype)
     bscales = sscales = None
-    if quantize:
+    if quant == "int4":
+        buckets = jnp.zeros((c, dp // 8, cap), jnp.int32)
+        spill = jnp.zeros((dp // 8, s_rows), jnp.int32)
+    else:
+        row_dtype = jnp.int8 if quant else dtype
+        buckets = jnp.zeros((c, cap, dp), row_dtype)
+        spill = jnp.zeros((s_rows, dp), row_dtype)
+    if quant:
         bscales = jnp.zeros((c, cap), jnp.float32)
         sscales = jnp.zeros((s_rows,), jnp.float32)
     for a in range(0, n, chunk):
@@ -808,7 +1061,10 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
         sp[:b - a] = spos[a:b]
         bp = jnp.asarray(_oob(bp, c * cap))
         sp = jnp.asarray(_oob(sp, s_rows))
-        if quantize:
+        if quant == "int4":
+            buckets, bscales, spill, sscales = _fill_chunk_q4(
+                buckets, bscales, spill, sscales, jnp.asarray(rows), bp, sp)
+        elif quant:
             buckets, bscales, spill, sscales = _fill_chunk_q8(
                 buckets, bscales, spill, sscales, jnp.asarray(rows), bp, sp)
         else:

@@ -57,15 +57,23 @@ def _pad_axis(x: jnp.ndarray, axis: int, size: int, fill=0):
     return jnp.pad(x, pads, constant_values=fill)
 
 
-def ivf_shardings(mesh: Mesh, axis: str = DATA_AXIS) -> dict:
-    """NamedShardings for each IVFIndex array under slot-sharding."""
+def ivf_shardings(mesh: Mesh, axis: str = DATA_AXIS,
+                  quant: str = "") -> dict:
+    """NamedShardings for each IVFIndex array under slot-sharding. The
+    int4 layout stores slots on the LAST bucket axis ([C, Dp/8, cap])
+    and the spill as one flat packed plane ([Dp/8, S]), so the sharded
+    axis moves accordingly — the slots are still what splits."""
     ns = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
+    if quant == "int4":
+        buckets, spill = P(None, None, axis), P(None, axis)
+    else:
+        buckets, spill = P(None, axis, None), P(axis, None)
     return {
         "centroids": ns(P()),                  # replicated (C x Dp is tiny)
-        "buckets": ns(P(None, axis, None)),    # cap slots split over chips
+        "buckets": ns(buckets),                # cap slots split over chips
         "bucket_ids": ns(P(None, axis)),
         "bucket_scales": ns(P(None, axis)),
-        "spill": ns(P(axis, None)),            # spill rows split over chips
+        "spill": ns(spill),                    # spill rows split over chips
         "spill_ids": ns(P(axis)),
         "spill_scales": ns(P(axis)),
     }
@@ -79,17 +87,20 @@ def place_ivf(ivf: IVFIndex, mesh: Mesh, axis: str = DATA_AXIS) -> IVFIndex:
     never fits one chip: it allocates the bucket arrays ALREADY sharded
     and streams rows straight into the strips."""
     s = mesh.shape[axis]
-    sh = ivf_shardings(mesh, axis)
+    quant = ivf.quant
+    sh = ivf_shardings(mesh, axis, quant=quant)
     cap = _round_up(ivf.bucket_cap, s)
-    spl = _round_up(ivf.spill.shape[0], s)
+    cap_axis, spill_axis = (2, 1) if quant == "int4" else (1, 0)
+    spl = _round_up(ivf.spill.shape[spill_axis], s)
     out = dataclasses.replace(
         ivf,
         centroids=jax.device_put(ivf.centroids, sh["centroids"]),
         buckets=jax.device_put(
-            _pad_axis(ivf.buckets, 1, cap), sh["buckets"]),
+            _pad_axis(ivf.buckets, cap_axis, cap), sh["buckets"]),
         bucket_ids=jax.device_put(
             _pad_axis(ivf.bucket_ids, 1, cap, fill=-1), sh["bucket_ids"]),
-        spill=jax.device_put(_pad_axis(ivf.spill, 0, spl), sh["spill"]),
+        spill=jax.device_put(_pad_axis(ivf.spill, spill_axis, spl),
+                             sh["spill"]),
         spill_ids=jax.device_put(
             _pad_axis(ivf.spill_ids, 0, spl, fill=-1), sh["spill_ids"]),
     )
@@ -141,6 +152,7 @@ def sharded_ivf_topk(
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
+    quant = ivf.quant
     quantized = ivf.quantized
     if quantized:
         bscales, sscales = ivf.bucket_scales, ivf.spill_scales
@@ -149,9 +161,16 @@ def sharded_ivf_topk(
         bscales = jnp.zeros((1, 1), jnp.float32)
         sscales = jnp.zeros((1,), jnp.float32)
         scale_specs = (P(), P())
+    if quant == "int4":
+        from mmrs_tpu.index.ivf import _ivf_topk_body_q4 as body
+
+        bucket_spec, spill_spec = P(None, None, axis), P(None, axis)
+    else:
+        body = _ivf_topk_body
+        bucket_spec, spill_spec = P(None, axis, None), P(axis, None)
 
     def local(q, cents, buckets, bucket_ids, spill, spill_ids, bs, ss):
-        vals, idxs = _ivf_topk_body(
+        vals, idxs = body(
             q, cents, buckets, bucket_ids, spill, spill_ids,
             bs if quantized else None, ss if quantized else None,
             k=k, nprobe=nprobe, impl=impl)
@@ -160,8 +179,8 @@ def sharded_ivf_topk(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(None, axis, None), P(None, axis),
-                  P(axis, None), P(axis)) + scale_specs,
+        in_specs=(P(), P(), bucket_spec, P(None, axis),
+                  spill_spec, P(axis)) + scale_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )

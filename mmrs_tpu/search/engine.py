@@ -140,10 +140,9 @@ class SearchEngine:
             # chip holds cap/n_shards slots of every bucket, the probe
             # list replicates, candidates all-gather-merge — per-chip
             # scan traffic AND capacity both scale with the mesh.
-            if self.quantized == "int4":
-                raise ValueError(
-                    "ann='ivf' supports quantize='int8' buckets only — "
-                    "int4 is the flat-gallery capacity mode")
+            # the full residency ladder applies inside the index too:
+            # int8 bucket rows + per-slot scales (2x rows) or int4
+            # packed bucket planes (4x rows, ops/quant4 layout)
             from mmrs_tpu.index.ivf import build_ivf
 
             cfg = self.config

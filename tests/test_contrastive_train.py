@@ -31,6 +31,7 @@ def mesh():
                      jax.devices()[:8])
 
 
+@pytest.mark.slow
 def test_train_step_learns(mesh):
     """A few DP×TP steps on a fixed batch reduce the contrastive loss
     (the dryrun only checks one step is finite)."""

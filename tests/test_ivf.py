@@ -283,8 +283,7 @@ def test_cli_engine_factory_ann_flags():
     assert len(h2) == 2 and len(h2[0]) == 3
 
     # invalid combos exit with code 2, not a traceback
-    bad = argparse.Namespace(gallery_shards=2, gallery_int8=False,
-                             gallery_quant="int4",
+    bad = argparse.Namespace(gallery_shards=0, gallery_int8=False,
                              ann_nprobe=4, ann_clusters=0)
     assert _make_engine(bad, Config(), idx) == 2
 
@@ -316,6 +315,122 @@ def test_cli_calibrate_rejects_ann_flags(tmp_path):
         main(["calibrate", "--index", str(tmp_path), "--positive-class",
               "x", "--ann-nprobe", "4"])
     assert e.value.code == 2
+
+
+def test_int4_ivf_full_probe_matches_flat_int4():
+    """quantize='int4' buckets: at nprobe == C the index scans every row
+    through the SAME packed math as the flat int4 gallery, so ids must
+    match cosine_topk_int4 exactly (spill + bucket partition covers all
+    rows; scores are the bit-identical _score_f32 epilogue)."""
+    from mmrs_tpu.ops.quant4 import cosine_topk_int4, quantize_rows_int4
+
+    rng = np.random.default_rng(40)
+    g = _blobs(rng, 500, 64, 8)
+    q = jnp.asarray(_normed(rng, 5, 64))
+    ivf = build_ivf(g, n_clusters=8, bucket_cap=128, iters=3,
+                    quantize="int4")
+    assert ivf.quant == "int4"
+    assert ivf.buckets.dtype == jnp.int32
+    assert ivf.buckets.shape == (8, 128 // 8, 128)  # [C, Dp/8, cap]
+
+    packed, scales = quantize_rows_int4(l2_normalize(jnp.asarray(
+        np.pad(g, ((0, 0), (0, 64))))))  # flat oracle at the padded dim
+    fv, fi = cosine_topk_int4(jnp.asarray(np.pad(np.asarray(q),
+                                                 ((0, 0), (0, 64)))),
+                              packed, scales, k=7, impl="xla")
+    av, ai = ivf_topk(q, ivf, k=7, nprobe=8, impl="xla")
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(fi))
+    np.testing.assert_allclose(np.asarray(av), np.asarray(fv), atol=1e-5)
+
+
+def test_int4_ivf_pallas_interpret_matches_xla_and_roundtrips(tmp_path):
+    """The int4 probe kernel (interpret) == its XLA oracle bit-for-bit;
+    sidecar save/load rebuilds the packed planes."""
+    rng = np.random.default_rng(41)
+    g = _blobs(rng, 600, 64, 12)
+    q = jnp.asarray(_normed(rng, 4, 64))
+    ivf = build_ivf(g, n_clusters=12, bucket_cap=128, iters=3,
+                    quantize="int4")
+    vx, ix = ivf_topk(q, ivf, k=6, nprobe=3, impl="xla")
+    vp, ip = ivf_topk(q, ivf, k=6, nprobe=3, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+    np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
+
+    save_ivf(str(tmp_path), ivf)
+    ivf2 = load_ivf(str(tmp_path), g)
+    assert ivf2.quant == "int4"
+    v2, i2 = ivf_topk(q, ivf2, k=6, nprobe=3, impl="xla")
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ix))
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(vx), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_int4_ivf_recall_and_residency():
+    """int4 buckets keep recall on realistic planted-neighbor geometry
+    (sigma ~ 1/sqrt(D), the bench_ivf convention — blob data at larger
+    sigma is the documented near-tie regime where int4 measures ~0.82,
+    a property of the data, see test_quant4.test_recall_vs_f32_oracle)
+    and shrink device bytes ~2x vs int8 buckets (the ladder's point)."""
+    rng = np.random.default_rng(42)
+    d, n_q, per_q = 128, 16, 12
+    q = _normed(rng, n_q, d)
+    planted = np.concatenate([
+        q[i][None, :] + rng.standard_normal((per_q, d)).astype(np.float32)
+        / np.sqrt(d)
+        for i in range(n_q)
+    ])
+    g = np.concatenate([planted, _normed(rng, 1800, d)])
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    i8 = build_ivf(g, n_clusters=16, bucket_cap=256, iters=3,
+                   quantize="int8")
+    i4 = build_ivf(g, n_clusters=16, bucket_cap=256, iters=3,
+                   quantize="int4")
+    r = ivf_recall(i4, g, q, k=10, nprobe=16, impl="xla")
+    assert r >= 0.9, r
+    b8 = i8.hbm_bytes()
+    b4 = i4.hbm_bytes()
+    assert b4 < 0.62 * b8, (b4, b8)
+
+
+def test_int4_ivf_sharded_matches_single_device():
+    """The ladder's top rung x the mesh: slot-sharded int4 buckets (cap
+    on the packed plane's lane axis) == single-device int4 IVF."""
+    from mmrs_tpu.config import MeshConfig
+    from mmrs_tpu.parallel import make_mesh
+    from mmrs_tpu.parallel.ivf import place_ivf, sharded_ivf_topk
+
+    rng = np.random.default_rng(43)
+    g = _blobs(rng, 700, 64, 8)
+    q = jnp.asarray(_normed(rng, 4, 64))
+    ivf = build_ivf(g, n_clusters=8, bucket_cap=128, iters=3,
+                    quantize="int4")
+    mesh = make_mesh(MeshConfig())
+    sivf = place_ivf(ivf, mesh)
+    assert sivf.buckets.shape[2] % mesh.shape["data"] == 0
+    for nprobe in (2, 8):
+        v1, i1 = ivf_topk(q, ivf, k=6, nprobe=nprobe, impl="xla")
+        v2, i2 = sharded_ivf_topk(q, sivf, k=6, nprobe=nprobe, mesh=mesh,
+                                  impl="xla")
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   atol=1e-5)
+
+
+def test_engine_int4_ivf_mode():
+    """SearchEngine(ann='ivf', quantize='int4'): the top capacity rung
+    inside the ANN index, self-hit first."""
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(44)
+    g = _blobs(rng, 512, 64, 8)
+    idx = GalleryIndex(g, [f"p{i}.jpg" for i in range(512)], ["c"] * 512)
+    cfg = SearchConfig(ann="ivf", ann_clusters=8, ann_nprobe=8)
+    eng = SearchEngine(idx, cfg, quantize="int4", device_dtype=jnp.float32)
+    assert eng.ivf.quant == "int4"
+    hits = eng.query_vectors(jnp.asarray(g[[3]]), top_k=3)
+    assert hits[0][0].path == "p3.jpg"
 
 
 def test_sharded_ivf_matches_single_device():
@@ -373,6 +488,7 @@ def test_sharded_ivf_quantized_matches_single_device():
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_build_matches_placed_build():
     """build_ivf(mesh=) — bucket arrays allocated already sharded, rows
     streamed straight into the strips under GSPMD — produces the same

@@ -51,6 +51,7 @@ def test_sharded_topk_on_hybrid_mesh():
     assert list(np.asarray(idxs)[:, 0]) == [3, 997]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_topk(tmp_path):
     """REAL multi-process jax.distributed (2 processes x 4 forced CPU
     devices, TCP coordinator): make_hybrid_mesh's DCN x ICI grouping,

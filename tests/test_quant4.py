@@ -134,8 +134,6 @@ def test_engine_int4_mode():
 
 def test_engine_int4_guards():
     idx = _make_index()
-    with pytest.raises(ValueError, match="int8"):
-        SearchEngine(idx, SearchConfig(ann="ivf"), quantize="int4")
     with pytest.raises(ValueError, match="quantize"):
         SearchEngine(idx, SearchConfig(), quantize="int2")
 

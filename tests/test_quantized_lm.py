@@ -101,6 +101,7 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_checkpoint_loads_into_tp_placement(tmp_path):
     """load_npz(placement=llava_checkpoint_placement(mesh)) streams a
     (quantized) llava checkpoint straight into the Megatron layout: int8

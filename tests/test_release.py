@@ -367,6 +367,7 @@ def test_llava_original_sharded_dir(tmp_path):
     assert np.asarray(out).shape == (1, 3)
 
 
+@pytest.mark.slow
 def test_scan_pack_and_cli_release_gate(openai_pt, tmp_path, capsys):
     """The whole drop-in flow: a pack directory -> `mmrs parity --release`
     runs smoke + int8 + tokenizer differential and reports every section."""

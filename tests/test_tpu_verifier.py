@@ -349,6 +349,7 @@ def test_speculative_utilization_pins_at_one_for_self_draft(verifier):
     assert st == {"rounds": 6, "tokens": 30, "utilization": 1.0}, st
 
 
+@pytest.mark.slow
 def test_dp_tp_verifier_pads_odd_batches(verifier, tmp_path):
     """A 2-D (data x model) mesh shards verify batches over the data axis;
     odd batch sizes pad internally and single-row generate_text tiles —

@@ -164,6 +164,7 @@ def test_tp_generate_int8_weights_matches_single_device():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_tp_speculative_matches_single_device_replicated_draft():
     """TP-sharded target + REPLICATED draft (its kv_heads=1 can't split
     the model axis — the auto rule must pick replication): the speculative
@@ -192,6 +193,7 @@ def test_tp_speculative_matches_single_device_replicated_draft():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_tp_speculative_sharded_draft_ideal_rounds():
     """Target and draft both TP-sharded (draft == target, so every
     proposal is accepted): output matches greedy and the round count is
@@ -218,6 +220,7 @@ def test_tp_speculative_sharded_draft_ideal_rounds():
     assert int(stats["rounds"]) == -(-(max_new - 1) // (k + 1))
 
 
+@pytest.mark.slow
 def test_tp8_generate_matches_single_device():
     """TP=8 (the whole 8-device mesh on the model axis): heads, kv-heads,
     and MLP split 8 ways — the widest single-host ICI TP a v5e tray
