@@ -33,6 +33,9 @@ class GalleryIndex:
     embeddings: np.ndarray            # [N, D] L2-normalized (np.memmap ok)
     paths: List[str]
     classes: List[str]                # per-row class labels
+    # source directory when loaded/built from disk — lets derived
+    # structures (the IVF sidecar) cache themselves next to the shards
+    directory: Optional[str] = None
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -71,7 +74,8 @@ class GalleryIndex:
         if len(shards) == 1:
             embeddings = np.load(os.path.join(directory, shards[0]["data"]),
                                  mmap_mode=mode)
-            return GalleryIndex(embeddings, paths, classes)
+            return GalleryIndex(embeddings, paths, classes,
+                                directory=directory)
 
         if consolidate is None:
             consolidate = mmap
@@ -109,7 +113,8 @@ class GalleryIndex:
             embeddings = np.concatenate(
                 [np.asarray(np.load(os.path.join(directory, s["data"])))
                  for s in shards], axis=0)
-        return GalleryIndex(embeddings, paths, classes)
+        return GalleryIndex(embeddings, paths, classes,
+                            directory=directory)
 
 
 def _shard_fingerprint(directory: str, shards: List[dict]) -> List[list]:

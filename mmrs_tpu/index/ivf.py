@@ -988,10 +988,37 @@ def ivf_recall(ivf: IVFIndex, embeddings, queries, k: int = 10,
 # -- persistence --------------------------------------------------------------
 
 
-def save_ivf(directory: str, ivf: IVFIndex) -> None:
+def gallery_fingerprint(embeddings) -> str:
+    """Cheap content identity for a gallery: shape + md5 over ~64 strided
+    rows (memmap-friendly — only the sampled rows are read). Guards a
+    sidecar against a gallery that changed at unchanged shape: the
+    stored slot maps would then disagree with the rebuilt rows and
+    recall would degrade silently."""
+    import hashlib
+
+    n, d = embeddings.shape
+    h = hashlib.md5(f"{n}x{d}".encode())
+    for i in np.unique(np.linspace(0, n - 1, 64).astype(np.int64)):
+        h.update(np.ascontiguousarray(
+            np.asarray(embeddings[int(i)], np.float32)).tobytes())
+    return h.hexdigest()
+
+
+def sidecar_meta(directory: str) -> Optional[dict]:
+    """The saved sidecar's meta dict, or None if no sidecar exists."""
+    path = os.path.join(directory, "ivf.json")
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def save_ivf(directory: str, ivf: IVFIndex, embeddings=None) -> None:
     """Sidecar persistence next to a gallery: centroids + slot maps only
     (the bucket ROWS are rebuilt from the gallery on load — the sidecar
-    stays ~4 bytes/row, not another copy of the embeddings)."""
+    stays ~4 bytes/row, not another copy of the embeddings). Pass the
+    gallery `embeddings` to stamp a content fingerprint that load_ivf
+    verifies."""
     os.makedirs(directory, exist_ok=True)
     tmp = os.path.join(directory, "ivf.npz.tmp.npz")
     np.savez(
@@ -1004,6 +1031,8 @@ def save_ivf(directory: str, ivf: IVFIndex) -> None:
     meta = {"n_total": ivf.n_total, "dim": ivf.dim,
             "n_clusters": ivf.n_clusters, "bucket_cap": ivf.bucket_cap,
             "quantized": ivf.quantized, "quant": ivf.quant}
+    if embeddings is not None:
+        meta["fingerprint"] = gallery_fingerprint(embeddings)
     tmp_m = os.path.join(directory, "ivf.json.tmp")
     with open(tmp_m, "w", encoding="utf-8") as f:
         json.dump(meta, f)
@@ -1011,9 +1040,11 @@ def save_ivf(directory: str, ivf: IVFIndex) -> None:
 
 
 def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
-             chunk: int = _STREAM_CHUNK) -> IVFIndex:
+             chunk: int = _STREAM_CHUNK, mesh=None) -> IVFIndex:
     """Rebuild the device structure from a save_ivf sidecar + the gallery
-    rows (streamed; one pass, no training, no assignment)."""
+    rows (streamed; one pass, no training, no assignment). With `mesh`,
+    arrays allocate straight into the slot-sharded layout (as in
+    build_ivf(mesh=))."""
     with open(os.path.join(directory, "ivf.json"), encoding="utf-8") as f:
         meta = json.load(f)
     z = np.load(os.path.join(directory, "ivf.npz"))
@@ -1022,10 +1053,38 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
         raise ValueError(
             f"ivf sidecar built for {meta['n_total']}x{meta['dim']}, "
             f"gallery is {n}x{d} — rebuild with build_ivf")
+    if meta.get("fingerprint"):
+        got = gallery_fingerprint(embeddings)
+        if got != meta["fingerprint"]:
+            raise ValueError(
+                "ivf sidecar fingerprint mismatch: the gallery content "
+                "changed since the sidecar was saved (same shape, "
+                "different rows) — rebuild with build_ivf")
     bucket_ids = z["bucket_ids"]
     spill_ids = z["spill_ids"]
+    quant = meta.get("quant", "int8" if meta.get("quantized") else "")
     c, cap = bucket_ids.shape
     dp = _round_up(d, 128)
+    n_shards = 1
+    shardings = {}
+    if mesh is not None:
+        from mmrs_tpu.parallel.ivf import ivf_shardings
+        from mmrs_tpu.parallel.mesh import DATA_AXIS
+
+        n_shards = mesh.shape[DATA_AXIS]
+        shardings = ivf_shardings(mesh, quant=quant)
+        # slot-sharding needs shard-divisible cap/spill: pad with dead
+        # slots (id -1, zero rows — masked like any other padding)
+        cap_p = _round_up(cap, n_shards)
+        if cap_p != cap:
+            bucket_ids = np.pad(bucket_ids, ((0, 0), (0, cap_p - cap)),
+                                constant_values=-1)
+            cap = cap_p
+        spl_p = _round_up(spill_ids.shape[0], n_shards)
+        if spl_p != spill_ids.shape[0]:
+            spill_ids = np.pad(spill_ids,
+                               (0, spl_p - spill_ids.shape[0]),
+                               constant_values=-1)
 
     bpos = np.full(n, -1, np.int32)
     flat = bucket_ids.reshape(-1)
@@ -1036,19 +1095,25 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
     spos[spill_ids[slive]] = np.arange(spill_ids.shape[0],
                                        dtype=np.int32)[slive]
 
-    quant = meta.get("quant", "int8" if meta.get("quantized") else "")
     s_rows = spill_ids.shape[0]
+
+    def zeros(name, shape, zdtype):
+        if mesh is None:
+            return jnp.zeros(shape, zdtype)
+        return jax.jit(lambda: jnp.zeros(shape, zdtype),
+                       out_shardings=shardings[name])()
+
     bscales = sscales = None
     if quant == "int4":
-        buckets = jnp.zeros((c, dp // 8, cap), jnp.int32)
-        spill = jnp.zeros((dp // 8, s_rows), jnp.int32)
+        buckets = zeros("buckets", (c, dp // 8, cap), jnp.int32)
+        spill = zeros("spill", (dp // 8, s_rows), jnp.int32)
     else:
         row_dtype = jnp.int8 if quant else dtype
-        buckets = jnp.zeros((c, cap, dp), row_dtype)
-        spill = jnp.zeros((s_rows, dp), row_dtype)
+        buckets = zeros("buckets", (c, cap, dp), row_dtype)
+        spill = zeros("spill", (s_rows, dp), row_dtype)
     if quant:
-        bscales = jnp.zeros((c, cap), jnp.float32)
-        sscales = jnp.zeros((s_rows,), jnp.float32)
+        bscales = zeros("bucket_scales", (c, cap), jnp.float32)
+        sscales = zeros("spill_scales", (s_rows,), jnp.float32)
     for a in range(0, n, chunk):
         b = min(a + chunk, n)
         rows = np.asarray(embeddings[a:b])
@@ -1061,26 +1126,41 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
         sp[:b - a] = spos[a:b]
         bp = jnp.asarray(_oob(bp, c * cap))
         sp = jnp.asarray(_oob(sp, s_rows))
+        rows = jnp.asarray(rows)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            rep = NamedSharding(mesh, PS())
+            rows = jax.device_put(rows, rep)
+            bp = jax.device_put(bp, rep)
+            sp = jax.device_put(sp, rep)
         if quant == "int4":
             buckets, bscales, spill, sscales = _fill_chunk_q4(
-                buckets, bscales, spill, sscales, jnp.asarray(rows), bp, sp)
+                buckets, bscales, spill, sscales, rows, bp, sp)
         elif quant:
             buckets, bscales, spill, sscales = _fill_chunk_q8(
-                buckets, bscales, spill, sscales, jnp.asarray(rows), bp, sp)
+                buckets, bscales, spill, sscales, rows, bp, sp)
         else:
-            buckets, spill = _fill_chunk(buckets, spill, jnp.asarray(rows),
-                                         bp, sp)
+            buckets, spill = _fill_chunk(buckets, spill, rows, bp, sp)
 
     cents = jnp.asarray(z["centroids"], jnp.float32)
     if cents.shape[1] != dp:
         cents = jnp.zeros((c, dp), cents.dtype).at[:, :cents.shape[1]].set(
             cents)
+    centroids_out = cents.astype(dtype)
+    bucket_ids_out = jnp.asarray(bucket_ids)
+    spill_ids_out = jnp.asarray(spill_ids)
+    if mesh is not None:
+        centroids_out = jax.device_put(centroids_out, shardings["centroids"])
+        bucket_ids_out = jax.device_put(bucket_ids_out,
+                                        shardings["bucket_ids"])
+        spill_ids_out = jax.device_put(spill_ids_out, shardings["spill_ids"])
     return IVFIndex(
-        centroids=cents.astype(dtype),
+        centroids=centroids_out,
         buckets=buckets,
-        bucket_ids=jnp.asarray(bucket_ids),
+        bucket_ids=bucket_ids_out,
         spill=spill,
-        spill_ids=jnp.asarray(spill_ids),
+        spill_ids=spill_ids_out,
         n_total=n,
         dim=d,
         bucket_scales=bscales,

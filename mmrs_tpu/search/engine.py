@@ -21,7 +21,10 @@ from mmrs_tpu.index.gallery import GalleryIndex
 from mmrs_tpu.ops.normalize import l2_normalize
 from mmrs_tpu.ops.topk import cosine_topk
 from mmrs_tpu.search.prototypes import build_prototype
+from mmrs_tpu.utils.logging import get_logger
 from mmrs_tpu.utils.stats import StageStats
+
+log = get_logger(__name__)
 
 UPLOAD_CHUNK = 131072  # host->device staging rows (bounds host RSS)
 
@@ -142,19 +145,52 @@ class SearchEngine:
             # scan traffic AND capacity both scale with the mesh.
             # the full residency ladder applies inside the index too:
             # int8 bucket rows + per-slot scales (2x rows) or int4
-            # packed bucket planes (4x rows, ops/quant4 layout)
-            from mmrs_tpu.index.ivf import build_ivf
+            # packed bucket planes (4x rows, ops/quant4 layout).
+            # The trained sidecar (centroids + slot maps, ~4 B/row)
+            # auto-caches under <index_dir>/ivf so serve/search restarts
+            # skip the k-means + assignment passes (280 s at 10M rows);
+            # a fingerprint over the gallery rows invalidates it when
+            # content changes, and any shape/quant/knob mismatch
+            # triggers a rebuild + re-save.
+            from mmrs_tpu.index import ivf as ivf_mod
 
             cfg = self.config
-            self.ivf = build_ivf(
-                index.embeddings,
-                n_clusters=cfg.ann_clusters,
-                bucket_cap=cfg.ann_bucket_cap,
-                iters=cfg.ann_train_iters,
-                dtype=device_dtype,
-                quantize=quantize,
-                mesh=mesh,
-            )
+            sidecar = None
+            if getattr(index, "directory", None):
+                import os
+
+                sidecar = os.path.join(index.directory, "ivf")
+            if sidecar is not None:
+                meta = ivf_mod.sidecar_meta(sidecar)
+                compatible = meta is not None and (
+                    meta.get("quant", "") == self.quantized
+                    and cfg.ann_clusters in (0, meta.get("n_clusters"))
+                    and cfg.ann_bucket_cap in (0, meta.get("bucket_cap"))
+                )
+                if compatible:
+                    try:
+                        self.ivf = ivf_mod.load_ivf(
+                            sidecar, index.embeddings, dtype=device_dtype,
+                            mesh=mesh)
+                    except ValueError as e:
+                        log.warning("ivf sidecar rejected (%s); rebuilding",
+                                    e)
+            if self.ivf is None:
+                self.ivf = ivf_mod.build_ivf(
+                    index.embeddings,
+                    n_clusters=cfg.ann_clusters,
+                    bucket_cap=cfg.ann_bucket_cap,
+                    iters=cfg.ann_train_iters,
+                    dtype=device_dtype,
+                    quantize=quantize,
+                    mesh=mesh,
+                )
+                if sidecar is not None:
+                    try:
+                        ivf_mod.save_ivf(sidecar, self.ivf,
+                                         embeddings=index.embeddings)
+                    except OSError as e:  # read-only index dirs are fine
+                        log.warning("ivf sidecar not saved: %s", e)
             self.gallery = None
             return
         elif self.config.ann not in ("none", "", None):

@@ -91,6 +91,13 @@ def main() -> int:
                              mesh=mesh, impl=impl)
     check("IVF probe kernel under shard_map", si, want)
 
+    ivf4 = build_ivf(g, n_clusters=16, iters=3, quantize="int4")
+    _, want = ivf_topk(jnp.asarray(q), ivf4, k=k, nprobe=16, impl=impl)
+    sivf4 = place_ivf(ivf4, mesh)
+    _, si = sharded_ivf_topk(jnp.asarray(q), sivf4, k=k, nprobe=16,
+                             mesh=mesh, impl=impl)
+    check("int4 IVF probe kernel under shard_map", si, want)
+
     print("mesh1 pallas-under-shard_map:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
 

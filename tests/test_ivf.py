@@ -595,3 +595,84 @@ def test_engine_ivf_int8_mode():
     h1 = flat.query_vectors(q, top_k=1)
     h2 = eng.query_vectors(q, top_k=1)
     assert [x[0].path for x in h1] == [y[0].path for y in h2]
+
+
+def test_engine_ivf_sidecar_autocache(tmp_path, monkeypatch, caplog):
+    """First IVF engine on an on-disk index trains + saves the sidecar;
+    the second construction LOADS it (no k-means/assignment passes —
+    the 280s-at-10M serve-restart win) and returns identical hits. A
+    changed gallery at unchanged shape is caught by the fingerprint and
+    triggers a rebuild, never a silently-wrong index."""
+    import mmrs_tpu.index.ivf as ivf_mod
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.index.gallery import (GalleryIndex, _write_manifest,
+                                        _write_shard)
+    from mmrs_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(50)
+    g = _blobs(rng, 300, 64, 8)
+    d = str(tmp_path / "idx")
+    import os
+    os.makedirs(d)
+    entry = _write_shard(d, 0, g, [(f"p{i}.jpg", "c") for i in range(300)])
+    _write_manifest(d, [entry], 64)
+
+    idx = GalleryIndex.load(d)
+    assert idx.directory == d
+    cfg = SearchConfig(ann="ivf", ann_clusters=8, ann_nprobe=3)
+    e1 = SearchEngine(idx, cfg, device_dtype=jnp.float32)
+    assert os.path.exists(os.path.join(d, "ivf", "ivf.json"))
+    q = jnp.asarray(_normed(rng, 3, 64))
+    h1 = e1.query_vectors(q, top_k=5)
+
+    # second construction must LOAD, not retrain
+    def boom(*a, **k):
+        raise AssertionError("sidecar present — build_ivf must not run")
+
+    monkeypatch.setattr(ivf_mod, "train_centroids", boom)
+    e2 = SearchEngine(GalleryIndex.load(d), cfg, device_dtype=jnp.float32)
+    h2 = e2.query_vectors(q, top_k=5)
+    for a, b in zip(h1, h2):
+        assert [x.path for x in a] == [y.path for y in b]
+    monkeypatch.undo()
+
+    # knob mismatch -> rebuild (different cluster count requested)
+    e3 = SearchEngine(GalleryIndex.load(d),
+                      SearchConfig(ann="ivf", ann_clusters=4, ann_nprobe=2),
+                      device_dtype=jnp.float32)
+    assert e3.ivf.n_clusters == 4
+    # ... and the sidecar now reflects the rebuild
+    assert ivf_mod.sidecar_meta(os.path.join(d, "ivf"))["n_clusters"] == 4
+
+    # content change at unchanged shape -> fingerprint rejects, rebuilds
+    g2 = np.ascontiguousarray(g[::-1])
+    entry = _write_shard(d, 0, g2, [(f"p{i}.jpg", "c") for i in range(300)])
+    _write_manifest(d, [entry], 64)
+    idx2 = GalleryIndex.load(d)
+    e4 = SearchEngine(idx2, SearchConfig(ann="ivf", ann_clusters=4,
+                                         ann_nprobe=4),
+                      device_dtype=jnp.float32)
+    hits = e4.query_vectors(jnp.asarray(g2[[7]]), top_k=1)
+    assert hits[0][0].path == "p7.jpg"  # correct against the NEW rows
+
+
+def test_load_ivf_mesh_matches_place(tmp_path):
+    """load_ivf(mesh=) allocates straight into the slot-sharded layout;
+    results equal load-then-place."""
+    from mmrs_tpu.config import MeshConfig
+    from mmrs_tpu.parallel import make_mesh
+    from mmrs_tpu.parallel.ivf import place_ivf, sharded_ivf_topk
+
+    rng = np.random.default_rng(51)
+    g = _blobs(rng, 400, 64, 8)
+    q = jnp.asarray(_normed(rng, 3, 64))
+    ivf = build_ivf(g, n_clusters=8, bucket_cap=48, iters=3,
+                    dtype=jnp.float32)
+    save_ivf(str(tmp_path), ivf, embeddings=g)
+    mesh = make_mesh(MeshConfig())
+    a = place_ivf(load_ivf(str(tmp_path), g, dtype=jnp.float32), mesh)
+    b = load_ivf(str(tmp_path), g, dtype=jnp.float32, mesh=mesh)
+    v1, i1 = sharded_ivf_topk(q, a, k=5, nprobe=8, mesh=mesh, impl="xla")
+    v2, i2 = sharded_ivf_topk(q, b, k=5, nprobe=8, mesh=mesh, impl="xla")
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5)
