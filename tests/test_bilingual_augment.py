@@ -79,6 +79,7 @@ def test_augmented_epochs_deterministic(tmp_path):
     assert not np.array_equal(e1[0], e1[1])  # different views per epoch
 
 
+@pytest.mark.slow
 def test_hf_resize_matches_transformers_processor():
     """hf_resize_center_crop (the Chinese tower's stack) is an alias of
     resize_center_crop — differentially verified byte-identical to the

@@ -141,7 +141,8 @@ def _interp_chunk(monkeypatch):
     monkeypatch.setattr(da, "chunk_attention", interp)
 
 
-@pytest.mark.parametrize("kv_dtype", [jnp.int8, None])
+@pytest.mark.parametrize("kv_dtype", [
+    pytest.param(jnp.int8, marks=pytest.mark.slow), None])
 def test_greedy_generate_pallas_prefill_matches_xla(monkeypatch, kv_dtype):
     """End-to-end greedy decode with prefill_attn='pallas' (interpreted)
     produces the exact token stream of the einsum path."""

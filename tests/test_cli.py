@@ -123,6 +123,7 @@ def test_cli_cascade_gate(tree, tmp_path):
     assert "verifier calls: 7" in r.stdout
 
 
+@pytest.mark.slow
 def test_cli_adapter_train(tmp_path):
     rng = np.random.default_rng(0)
     d, nc = 16, 3

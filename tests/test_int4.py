@@ -61,6 +61,7 @@ def test_quantize_rejects_bad_group():
         quantize_weight_int4(jnp.ones((96, 64)), group=64)
 
 
+@pytest.mark.slow
 def test_llama_decode_runs_on_int4_and_matches_dequant_model():
     """greedy_generate on int4 weights == the same model with explicitly
     dequantized bf16 weights (the dispatch is the ONLY difference)."""

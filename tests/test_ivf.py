@@ -619,7 +619,8 @@ def test_engine_ivf_sidecar_autocache(tmp_path, monkeypatch, caplog):
 
     idx = GalleryIndex.load(d)
     assert idx.directory == d
-    cfg = SearchConfig(ann="ivf", ann_clusters=8, ann_nprobe=3)
+    cfg = SearchConfig(ann="ivf", ann_clusters=8, ann_nprobe=3,
+                       ann_train_iters=2)
     e1 = SearchEngine(idx, cfg, device_dtype=jnp.float32)
     assert os.path.exists(os.path.join(d, "ivf", "ivf.json"))
     q = jnp.asarray(_normed(rng, 3, 64))
@@ -638,7 +639,8 @@ def test_engine_ivf_sidecar_autocache(tmp_path, monkeypatch, caplog):
 
     # knob mismatch -> rebuild (different cluster count requested)
     e3 = SearchEngine(GalleryIndex.load(d),
-                      SearchConfig(ann="ivf", ann_clusters=4, ann_nprobe=2),
+                      SearchConfig(ann="ivf", ann_clusters=4, ann_nprobe=2,
+                                   ann_train_iters=2),
                       device_dtype=jnp.float32)
     assert e3.ivf.n_clusters == 4
     # ... and the sidecar now reflects the rebuild
@@ -650,7 +652,8 @@ def test_engine_ivf_sidecar_autocache(tmp_path, monkeypatch, caplog):
     _write_manifest(d, [entry], 64)
     idx2 = GalleryIndex.load(d)
     e4 = SearchEngine(idx2, SearchConfig(ann="ivf", ann_clusters=4,
-                                         ann_nprobe=4),
+                                         ann_nprobe=4,
+                                         ann_train_iters=2),
                       device_dtype=jnp.float32)
     hits = e4.query_vectors(jnp.asarray(g2[[7]]), top_k=1)
     assert hits[0][0].path == "p7.jpg"  # correct against the NEW rows

@@ -72,6 +72,7 @@ def test_any_draft_matches_greedy(models, k):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_eos_desync_rows(models):
     """Rows finishing at different times (per-row positions, frozen rows,
     EOS padding) still match greedy exactly. EOS is picked from the greedy

@@ -240,6 +240,7 @@ def test_tp_hosted_verifier_with_draft_matches_single_device(verifier):
     assert vt.generate_text(img, q) == v.generate_text(img, q)
 
 
+@pytest.mark.slow
 def test_tp_hosted_verifier_int8_weights(verifier):
     """mesh= + quantize_llava int8 weights (the --verifier-int8 --tp CLI
     config): answers match the single-device int8 verifier."""

@@ -245,6 +245,7 @@ def test_tp8_generate_matches_single_device():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_dp_tp_generate_matches_single_device():
     """2x2 mesh = batch-DP x decoder-TP in one program: prompt rows split
     over the data axis while the Megatron decoder shards over model —
