@@ -34,8 +34,10 @@ def place_gallery_int4(gallery: jnp.ndarray, mesh: Mesh | None,
                        axis: str = DATA_AXIS):
     """Quantize [N, D] (L2-normalized) rows to the packed int4 layout and
     shard over the mesh: words [D/8, N_pad] column-sharded, scales [N_pad]
-    row-sharded. Padding rows quantize to zero words with zero scales
-    (score exactly 0.0) and are masked by global id in the merge."""
+    row-sharded. Padding rows carry all-zero CODES (their packed words
+    are the offset-8 pattern, not zero bytes — the epilogue's
+    8*rowsum(q_lo) correction cancels them to an exact 0.0 score at a
+    ~1e-13 scale) and are masked by global id in the merge anyway."""
     from mmrs_tpu.ops.quant4 import quantize_rows_int4
 
     if mesh is None:
