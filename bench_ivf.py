@@ -33,6 +33,9 @@ from mmrs_tpu.ops.topk import cosine_topk
 CHUNK = 65536
 DIM = 512
 EXACT_10M_MS = 14.41  # bench_stream.py resident-scan p50 (the baseline)
+# the exact scan is HBM-bandwidth-linear in rows, so scale the baseline
+# to the benched gallery size (the r4 1M run wrongly divided the 10M
+# constant by 1M latencies — a 10x-flattering ratio)
 
 
 def log(*a):
@@ -154,7 +157,8 @@ def main():
             "q8_ms_median": round(lat[8]["median"], 3),
             "q64_ms_median": round(lat[64]["median"], 3),
             "build_s": round(build_s, 1),
-            "vs_exact_scan_q1": round(EXACT_10M_MS / lat[1]["median"], 2),
+            "vs_exact_scan_q1": round(
+                EXACT_10M_MS * (n / 10_027_008) / lat[1]["median"], 2),
         }), flush=True)
 
 
