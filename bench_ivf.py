@@ -99,7 +99,14 @@ def main():
     ap.add_argument("--recall-queries", type=int, default=64)
     ap.add_argument("--int8", action="store_true",
                     help="int8 bucket rows + per-slot scales (2x capacity)")
+    ap.add_argument("--quant", default="", choices=("", "int8", "int4"),
+                    help="bucket residency rung (int4 = packed planes, "
+                         "4x capacity); supersedes --int8")
+    ap.add_argument("--sidecar", default="",
+                    help="dir: save the sidecar after build and time a "
+                         "load_ivf rebuild (the serve-restart path)")
     args = ap.parse_args()
+    quant = args.quant or ("int8" if args.int8 else "")
 
     n_chunks = args.rows // CHUNK
     n = n_chunks * CHUNK
@@ -109,12 +116,33 @@ def main():
     ivf = build_ivf_streaming(
         make_chunks(n_chunks), n, DIM, n_clusters=args.clusters,
         iters=args.iters, chunk=CHUNK, dtype=jnp.bfloat16,
-        quantize=args.int8)
+        quantize=quant)
     jax.block_until_ready(ivf.buckets)
     build_s = time.perf_counter() - t0
     spill = int(np.sum(np.asarray(ivf.spill_ids) >= 0))
     log(f"build: {build_s:.1f} s  cap={ivf.bucket_cap}  spill={spill} "
         f"({100.0 * spill / n:.2f}%)  hbm={ivf.hbm_bytes() / 1e9:.2f} GB")
+
+    if args.sidecar:
+        # the serve-restart path: save the sidecar, then rebuild from it
+        # (placement + fill only — no k-means, no assignment pass)
+        from mmrs_tpu.index.ivf import load_ivf, save_ivf
+
+        save_ivf(args.sidecar, ivf)
+        t0 = time.perf_counter()
+        ivf2 = load_ivf(args.sidecar, make_chunks=make_chunks(n_chunks),
+                        n=n, d=DIM, dtype=jnp.bfloat16, chunk=CHUNK)
+        jax.block_until_ready(ivf2.buckets)
+        load_s = time.perf_counter() - t0
+        log(f"sidecar restart: load {load_s:.1f} s vs build {build_s:.1f}"
+            f" s ({build_s / load_s:.1f}x)")
+        print(json.dumps({"metric": "ivf_sidecar_restart", "rows": n,
+                          "quant": quant, "build_s": round(build_s, 1),
+                          "load_s": round(load_s, 1)}), flush=True)
+        for leaf in jax.tree.leaves((ivf2.buckets, ivf2.spill,
+                                     ivf2.bucket_scales, ivf2.spill_scales)):
+            if leaf is not None:
+                leaf.delete()
 
     # queries from the same distribution as the gallery (mixed anchors)
     qd = _gen_chunk(jax.random.key(10_000))[: args.recall_queries]
@@ -148,7 +176,7 @@ def main():
             f"(Q1 IQR {lat[1]['iqr']:.2f})")
         print(json.dumps({
             "metric": "ivf_topk_10m",
-            "int8": args.int8,
+            "quant": quant,
             "nprobe": nprobe,
             "recall_at_k": round(recall, 4),
             "q1_ms": {k: round(v, 3) if not isinstance(v, list)

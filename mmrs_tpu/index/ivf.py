@@ -1039,21 +1039,28 @@ def save_ivf(directory: str, ivf: IVFIndex, embeddings=None) -> None:
     os.replace(tmp_m, os.path.join(directory, "ivf.json"))
 
 
-def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
-             chunk: int = _STREAM_CHUNK, mesh=None) -> IVFIndex:
+def load_ivf(directory: str, embeddings=None, dtype=jnp.bfloat16,
+             chunk: int = _STREAM_CHUNK, mesh=None, make_chunks=None,
+             n: int = 0, d: int = 0) -> IVFIndex:
     """Rebuild the device structure from a save_ivf sidecar + the gallery
     rows (streamed; one pass, no training, no assignment). With `mesh`,
     arrays allocate straight into the slot-sharded layout (as in
-    build_ivf(mesh=))."""
+    build_ivf(mesh=)). Rows come from `embeddings` (host array-like,
+    fingerprint-verified) OR a `make_chunks` device-chunk source with
+    explicit n/d (build_ivf_streaming's contract; no fingerprint —
+    the caller vouches the stream matches the sidecar)."""
     with open(os.path.join(directory, "ivf.json"), encoding="utf-8") as f:
         meta = json.load(f)
     z = np.load(os.path.join(directory, "ivf.npz"))
-    n, d = embeddings.shape
+    if embeddings is not None:
+        n, d = embeddings.shape
+    elif make_chunks is None or n <= 0 or d <= 0:
+        raise ValueError("need embeddings, or make_chunks with n and d")
     if n != meta["n_total"] or d != meta["dim"]:
         raise ValueError(
             f"ivf sidecar built for {meta['n_total']}x{meta['dim']}, "
             f"gallery is {n}x{d} — rebuild with build_ivf")
-    if meta.get("fingerprint"):
+    if embeddings is not None and meta.get("fingerprint"):
         got = gallery_fingerprint(embeddings)
         if got != meta["fingerprint"]:
             raise ValueError(
@@ -1114,19 +1121,27 @@ def load_ivf(directory: str, embeddings, dtype=jnp.bfloat16,
     if quant:
         bscales = zeros("bucket_scales", (c, cap), jnp.float32)
         sscales = zeros("spill_scales", (s_rows,), jnp.float32)
-    for a in range(0, n, chunk):
+    def row_chunks():
+        if make_chunks is not None:
+            for ci, rows in enumerate(make_chunks()):
+                yield ci * chunk, jnp.asarray(rows)
+            return
+        for a in range(0, n, chunk):
+            b = min(a + chunk, n)
+            rows = np.asarray(embeddings[a:b])
+            if b - a < chunk:
+                rows = np.concatenate(
+                    [rows, np.zeros((chunk - (b - a), d), rows.dtype)])
+            yield a, jnp.asarray(rows)
+
+    for a, rows in row_chunks():
         b = min(a + chunk, n)
-        rows = np.asarray(embeddings[a:b])
-        if b - a < chunk:
-            rows = np.concatenate(
-                [rows, np.zeros((chunk - (b - a), d), rows.dtype)])
         bp = np.full(chunk, -1, np.int32)
         sp = np.full(chunk, -1, np.int32)
         bp[:b - a] = bpos[a:b]
         sp[:b - a] = spos[a:b]
         bp = jnp.asarray(_oob(bp, c * cap))
         sp = jnp.asarray(_oob(sp, s_rows))
-        rows = jnp.asarray(rows)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as PS
 
