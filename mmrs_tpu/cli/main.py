@@ -127,12 +127,18 @@ def _make_engine(args, cfg, idx):
             return 2
         mesh = make_mesh(MeshConfig(data_size=shards, model_size=1),
                          devices[:shards])
-    if nprobe or clusters:
+    target = getattr(args, "ann_target_recall", 0.0)
+    if target and nprobe:
+        print("--ann-target-recall and --ann-nprobe are mutually "
+              "exclusive (the target MEASURES an nprobe)", file=sys.stderr)
+        return 2
+    if nprobe or clusters or target:
         import dataclasses
 
         search_cfg = dataclasses.replace(cfg.search, ann="ivf",
                                          ann_clusters=max(clusters, 0),
-                                         ann_nprobe=max(nprobe, 0))
+                                         ann_nprobe=max(nprobe, 0),
+                                         ann_target_recall=max(target, 0.0))
         # int8 composes (int8 bucket rows + per-slot scales); a mesh
         # slot-shards the buckets (parallel/ivf.py)
         return SearchEngine(idx, search_cfg, mesh=mesh, quantize=quant)
@@ -157,6 +163,11 @@ def _add_engine_flags(parser) -> None:
                         help="enable IVF ANN search probing N clusters "
                              "per query (sub-linear; nprobe == clusters "
                              "is exact; 0 = exact scan)")
+    parser.add_argument("--ann-target-recall", type=float, default=0.0,
+                        help="measure recall on a gallery sample at start "
+                             "and pick the smallest nprobe reaching this "
+                             "(tuned value persists in the IVF sidecar); "
+                             "mutually exclusive with --ann-nprobe")
     parser.add_argument("--ann-clusters", type=int, default=0,
                         help="IVF cluster count (0 = auto, pow2 near "
                              "sqrt(rows)); implies IVF when set")

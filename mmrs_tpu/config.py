@@ -61,6 +61,11 @@ class SearchConfig:
     ann_nprobe: int = 0
     ann_bucket_cap: int = 0
     ann_train_iters: int = 10
+    # > 0: measure recall on a strided row sample at engine start and
+    # pick the smallest pow2 nprobe reaching it (index/ivf.tune_nprobe);
+    # mutually exclusive with an explicit ann_nprobe. The tuned value
+    # persists in the sidecar and is reused on restarts.
+    ann_target_recall: float = 0.0
 
 
 @dataclass

@@ -966,6 +966,67 @@ def ivf_topk(
                      ivf.spill_scales, k, nprobe, impl, quant=ivf.quant)
 
 
+def tune_nprobe(
+    ivf: IVFIndex,
+    embeddings,               # [N, D] host array-like (memmap ok)
+    target_recall: float = 0.95,
+    k: int = 10,
+    n_queries: int = 64,
+    impl: str = "auto",
+    mesh=None,
+) -> dict:
+    """Smallest power-of-two nprobe whose measured recall@k against the
+    exact scan reaches `target_recall`, on a strided row sample as
+    queries. Probe sets NEST as nprobe grows (top-nprobe centroids),
+    so recall is monotone and a doubling walk suffices — the faiss-style
+    recall/latency knob, measured per corpus instead of guessed
+    (`auto_nprobe` is the blind default). The exact oracle streams
+    chunk-at-a-time (index/stream.py): the flat gallery is never fully
+    device-resident next to the buckets.
+
+    Returns {"nprobe", "recall", "target", "k", "curve": {nprobe: r}}.
+    """
+    from mmrs_tpu.index.stream import streaming_topk
+
+    n = embeddings.shape[0]
+    sel = np.unique(np.linspace(0, n - 1, n_queries).astype(np.int64))
+    q_host = np.asarray(embeddings[sel], np.float32)
+    q = l2_normalize(jnp.asarray(q_host))
+    k = min(k, n)
+    _, exact = streaming_topk(embeddings, q_host, k=k, mesh=mesh)
+    exact = np.asarray(exact)
+
+    def recall_at(nprobe: int) -> float:
+        if mesh is not None:
+            from mmrs_tpu.parallel.ivf import sharded_ivf_topk
+
+            _, got = sharded_ivf_topk(q, ivf, k=k, nprobe=nprobe,
+                                      mesh=mesh, impl=impl)
+        else:
+            _, got = ivf_topk(q, ivf, k=k, nprobe=nprobe, impl=impl)
+        got = np.asarray(got)
+        return sum(len(set(exact[i]) & set(got[i]))
+                   for i in range(got.shape[0])) / float(got.size)
+
+    curve = {}
+    nprobe = 1
+    chosen = None
+    while True:
+        nprobe = min(nprobe, ivf.n_clusters)
+        r = recall_at(nprobe)
+        curve[nprobe] = r
+        if r >= target_recall or nprobe >= ivf.n_clusters:
+            chosen = nprobe
+            break
+        nprobe *= 2
+    log.info("tune_nprobe: target %.3f -> nprobe=%d (recall %.4f; curve %s)",
+             target_recall, chosen, curve[chosen],
+             {p: round(r, 4) for p, r in curve.items()})
+    return {"nprobe": chosen, "recall": curve[chosen],
+            "target": target_recall, "k": k,
+            "curve": {int(p): float(r) for p, r in curve.items()}}
+
+
 def ivf_recall(ivf: IVFIndex, embeddings, queries, k: int = 10,
                nprobe: int = 0, impl: str = "auto") -> float:
     """Measured recall@k vs the exact scan for a query sample — the knob
@@ -1011,6 +1072,19 @@ def sidecar_meta(directory: str) -> Optional[dict]:
         return None
     with open(path, encoding="utf-8") as f:
         return json.load(f)
+
+
+def update_sidecar_meta(directory: str, **extra) -> None:
+    """Merge extra keys (e.g. the tuned-nprobe record) into ivf.json
+    atomically."""
+    meta = sidecar_meta(directory)
+    if meta is None:
+        raise FileNotFoundError(f"no ivf sidecar in {directory}")
+    meta.update(extra)
+    tmp = os.path.join(directory, "ivf.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(directory, "ivf.json"))
 
 
 def save_ivf(directory: str, ivf: IVFIndex, embeddings=None) -> None:

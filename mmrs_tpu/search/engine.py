@@ -155,7 +155,12 @@ class SearchEngine:
             from mmrs_tpu.index import ivf as ivf_mod
 
             cfg = self.config
+            if cfg.ann_target_recall > 0 and cfg.ann_nprobe > 0:
+                raise ValueError(
+                    "set ann_nprobe or ann_target_recall, not both")
             sidecar = None
+            meta = None
+            loaded = False
             if getattr(index, "directory", None):
                 import os
 
@@ -172,6 +177,7 @@ class SearchEngine:
                         self.ivf = ivf_mod.load_ivf(
                             sidecar, index.embeddings, dtype=device_dtype,
                             mesh=mesh)
+                        loaded = True
                     except ValueError as e:
                         log.warning("ivf sidecar rejected (%s); rebuilding",
                                     e)
@@ -189,8 +195,36 @@ class SearchEngine:
                     try:
                         ivf_mod.save_ivf(sidecar, self.ivf,
                                          embeddings=index.embeddings)
+                        meta = ivf_mod.sidecar_meta(sidecar)
                     except OSError as e:  # read-only index dirs are fine
                         log.warning("ivf sidecar not saved: %s", e)
+                        sidecar = None
+            if cfg.ann_target_recall > 0:
+                # measured recall/latency knob (faiss practice): reuse a
+                # persisted tuning only when the index came FROM that
+                # sidecar and the target matches; otherwise measure and
+                # persist alongside the slot maps.
+                import dataclasses
+
+                tuned = (meta or {}).get("tuned")
+                if not (loaded and tuned
+                        and tuned.get("target") == cfg.ann_target_recall
+                        and tuned.get("k") == cfg.top_k):
+                    tuned = ivf_mod.tune_nprobe(
+                        self.ivf, index.embeddings,
+                        target_recall=cfg.ann_target_recall,
+                        k=cfg.top_k, mesh=mesh)
+                    if sidecar is not None:
+                        try:
+                            ivf_mod.update_sidecar_meta(sidecar,
+                                                        tuned=tuned)
+                        except OSError as e:
+                            log.warning("tuned nprobe not saved: %s", e)
+                self.config = dataclasses.replace(
+                    self.config, ann_nprobe=int(tuned["nprobe"]))
+                log.info("ann_target_recall %.3f -> nprobe %d "
+                         "(measured recall %.4f)", cfg.ann_target_recall,
+                         tuned["nprobe"], tuned["recall"])
             self.gallery = None
             return
         elif self.config.ann not in ("none", "", None):

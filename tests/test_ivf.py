@@ -679,3 +679,69 @@ def test_load_ivf_mesh_matches_place(tmp_path):
     v2, i2 = sharded_ivf_topk(q, b, k=5, nprobe=8, mesh=mesh, impl="xla")
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5)
+
+
+def test_tune_nprobe_monotone_and_hits_target():
+    """The measured recall/latency knob: the doubling walk's curve is
+    monotone (probe sets nest) and the chosen nprobe reaches the target
+    (or tops out at C = exact)."""
+    from mmrs_tpu.index.ivf import tune_nprobe
+
+    rng = np.random.default_rng(60)
+    g = _blobs(rng, 1500, 64, 16)
+    ivf = build_ivf(g, n_clusters=16, iters=4, dtype=jnp.float32)
+    out = tune_nprobe(ivf, g, target_recall=0.9, k=10, n_queries=32,
+                      impl="xla")
+    probes = sorted(out["curve"])
+    rs = [out["curve"][p] for p in probes]
+    assert all(b >= a - 1e-9 for a, b in zip(rs, rs[1:])), out["curve"]
+    assert out["recall"] >= 0.9 or out["nprobe"] == 16
+    assert out["nprobe"] <= 16
+
+    # unreachable target tops out at full probe (= exact, recall 1.0)
+    out2 = tune_nprobe(ivf, g, target_recall=1.01, k=10, n_queries=16,
+                       impl="xla")
+    assert out2["nprobe"] == 16
+    assert out2["recall"] == 1.0
+
+
+def test_engine_target_recall_tunes_and_persists(tmp_path, monkeypatch):
+    """ann_target_recall measures an nprobe at engine start, persists it
+    in the sidecar, and restarts REUSE it without re-measuring."""
+    import mmrs_tpu.index.ivf as ivf_mod
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.index.gallery import (GalleryIndex, _write_manifest,
+                                        _write_shard)
+    from mmrs_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(61)
+    g = _blobs(rng, 400, 64, 8)
+    d = str(tmp_path / "idx")
+    import os
+    os.makedirs(d)
+    entry = _write_shard(d, 0, g, [(f"p{i}.jpg", "c") for i in range(400)])
+    _write_manifest(d, [entry], 64)
+
+    cfg = SearchConfig(ann="ivf", ann_clusters=8, ann_train_iters=2,
+                       ann_target_recall=0.9)
+    e1 = SearchEngine(GalleryIndex.load(d), cfg, device_dtype=jnp.float32)
+    assert e1.config.ann_nprobe > 0
+    meta = ivf_mod.sidecar_meta(os.path.join(d, "ivf"))
+    assert meta["tuned"]["target"] == 0.9
+    assert meta["tuned"]["nprobe"] == e1.config.ann_nprobe
+
+    def boom(*a, **k):
+        raise AssertionError("tuned record present — must not re-measure")
+
+    monkeypatch.setattr(ivf_mod, "tune_nprobe", boom)
+    e2 = SearchEngine(GalleryIndex.load(d), cfg, device_dtype=jnp.float32)
+    assert e2.config.ann_nprobe == e1.config.ann_nprobe
+    q = jnp.asarray(g[[5]])
+    assert e2.query_vectors(q, top_k=3)[0][0].path == "p5.jpg"
+
+    # both knobs set is a usage error
+    with pytest.raises(ValueError, match="not both"):
+        SearchEngine(GalleryIndex.load(d),
+                     SearchConfig(ann="ivf", ann_nprobe=2,
+                                  ann_target_recall=0.9),
+                     device_dtype=jnp.float32)
