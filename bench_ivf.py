@@ -102,6 +102,10 @@ def main():
     ap.add_argument("--quant", default="", choices=("", "int8", "int4"),
                     help="bucket residency rung (int4 = packed planes, "
                          "4x capacity); supersedes --int8")
+    ap.add_argument("--cover", type=float, default=0.98,
+                    help="auto-cap slot budget (spill fraction = 1-cover)")
+    ap.add_argument("--slots-frac", type=float, default=1.3,
+                    help="total-slots ceiling (x rows)")
     ap.add_argument("--sidecar", default="",
                     help="dir: save the sidecar after build and time a "
                          "load_ivf rebuild (the serve-restart path)")
@@ -116,7 +120,7 @@ def main():
     ivf = build_ivf_streaming(
         make_chunks(n_chunks), n, DIM, n_clusters=args.clusters,
         iters=args.iters, chunk=CHUNK, dtype=jnp.bfloat16,
-        quantize=quant)
+        quantize=quant, cover=args.cover, slots_frac=args.slots_frac)
     jax.block_until_ready(ivf.buckets)
     build_s = time.perf_counter() - t0
     spill = int(np.sum(np.asarray(ivf.spill_ids) >= 0))

@@ -135,10 +135,13 @@ def _make_engine(args, cfg, idx):
     if nprobe or clusters or target:
         import dataclasses
 
-        search_cfg = dataclasses.replace(cfg.search, ann="ivf",
-                                         ann_clusters=max(clusters, 0),
-                                         ann_nprobe=max(nprobe, 0),
-                                         ann_target_recall=max(target, 0.0))
+        search_cfg = dataclasses.replace(
+            cfg.search, ann="ivf",
+            ann_clusters=max(clusters, 0),
+            ann_nprobe=max(nprobe, 0),
+            ann_target_recall=max(target, 0.0),
+            ann_cover=getattr(args, "ann_cover", 0.98),
+            ann_slots_frac=getattr(args, "ann_slots_frac", 1.3))
         # int8 composes (int8 bucket rows + per-slot scales); a mesh
         # slot-shards the buckets (parallel/ivf.py)
         return SearchEngine(idx, search_cfg, mesh=mesh, quantize=quant)
@@ -168,6 +171,16 @@ def _add_engine_flags(parser) -> None:
                              "and pick the smallest nprobe reaching this "
                              "(tuned value persists in the IVF sidecar); "
                              "mutually exclusive with --ann-nprobe")
+    parser.add_argument("--ann-cover", type=float, default=0.98,
+                        help="IVF auto-cap slot budget: fraction of rows "
+                             "held in buckets (rest spill to the exact "
+                             "scan; raise on skewed corpora to cut "
+                             "small-Q latency)")
+    parser.add_argument("--ann-slots-frac", type=float, default=1.3,
+                        help="IVF total-slots ceiling (x rows); on skewed "
+                             "corpora this binds before --ann-cover — "
+                             "raise both to cut spill-bound small-Q "
+                             "latency")
     parser.add_argument("--ann-clusters", type=int, default=0,
                         help="IVF cluster count (0 = auto, pow2 near "
                              "sqrt(rows)); implies IVF when set")

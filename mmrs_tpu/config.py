@@ -66,6 +66,14 @@ class SearchConfig:
     # mutually exclusive with an explicit ann_nprobe. The tuned value
     # persists in the sidecar and is reused on restarts.
     ann_target_recall: float = 0.0
+    # auto-cap slot budget: smallest cap covering this fraction of rows
+    # in buckets (the rest spill to the exact per-query scan). Small-Q
+    # latency is spill-bound on skewed corpora — raising cover trades
+    # slot padding for spill bytes (measured at 10M: see COVERAGE.md).
+    # On skewed corpora the slots ceiling (ann_slots_frac, total slots
+    # <= frac * rows) binds FIRST — raise both to actually cut spill.
+    ann_cover: float = 0.98
+    ann_slots_frac: float = 1.3
 
 
 @dataclass

@@ -351,6 +351,8 @@ def build_ivf(
     assignments: Optional[np.ndarray] = None,  # reuse a prior full pass
     quantize: bool = False,           # int8 rows + per-slot scales
     mesh=None,                        # slot-shard buckets over the mesh
+    cover: float = 0.98,              # auto-cap slot budget (spill = 1-cover)
+    slots_frac: float = 1.3,          # total-slots ceiling (x n rows)
 ) -> IVFIndex:
     """Train (or reuse) centroids, assign every row, and stream rows into
     the bucket structure. Host RSS stays ~one chunk; device residency is
@@ -379,7 +381,7 @@ def build_ivf(
         chunks, n, d, n_clusters=n_clusters, bucket_cap=bucket_cap,
         iters=iters, seed=seed, dtype=dtype, chunk=chunk, sample=sample,
         centroids=centroids, assignments=assignments, quantize=quantize,
-        mesh=mesh)
+        mesh=mesh, cover=cover, slots_frac=slots_frac)
 
 
 def build_ivf_streaming(
@@ -398,6 +400,8 @@ def build_ivf_streaming(
     train_rows: int = 262_144,
     quantize: bool = False,
     mesh=None,
+    cover: float = 0.98,
+    slots_frac: float = 1.3,
 ) -> IVFIndex:
     """Build from a re-iterable chunk source (device arrays welcome — the
     10M bench generates chunks on device, CLAUDE.md rule). Chunks must be
@@ -454,7 +458,8 @@ def build_ivf_streaming(
     if quant not in ("", "int8", "int4"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
     if bucket_cap <= 0:
-        bucket_cap = _auto_cap(assignments, n_clusters, n)
+        bucket_cap = _auto_cap(assignments, n_clusters, n, cover=cover,
+                               max_slots_frac=slots_frac)
     bucket_cap = min(bucket_cap, _round_up(n, 8))
     n_shards = 1
     if mesh is not None:

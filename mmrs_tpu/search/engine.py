@@ -171,6 +171,12 @@ class SearchEngine:
                     meta.get("quant", "") == self.quantized
                     and cfg.ann_clusters in (0, meta.get("n_clusters"))
                     and cfg.ann_bucket_cap in (0, meta.get("bucket_cap"))
+                    # auto-cap derives from cover; an explicit cap
+                    # overrides it, otherwise a changed cover rebuilds
+                    and (cfg.ann_bucket_cap != 0
+                         or (meta.get("cover", 0.98) == cfg.ann_cover
+                             and meta.get("slots_frac", 1.3)
+                             == cfg.ann_slots_frac))
                 )
                 if compatible:
                     try:
@@ -190,11 +196,16 @@ class SearchEngine:
                     dtype=device_dtype,
                     quantize=quantize,
                     mesh=mesh,
+                    cover=cfg.ann_cover,
+                    slots_frac=cfg.ann_slots_frac,
                 )
                 if sidecar is not None:
                     try:
                         ivf_mod.save_ivf(sidecar, self.ivf,
                                          embeddings=index.embeddings)
+                        ivf_mod.update_sidecar_meta(
+                            sidecar, cover=cfg.ann_cover,
+                            slots_frac=cfg.ann_slots_frac)
                         meta = ivf_mod.sidecar_meta(sidecar)
                     except OSError as e:  # read-only index dirs are fine
                         log.warning("ivf sidecar not saved: %s", e)

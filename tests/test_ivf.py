@@ -745,3 +745,19 @@ def test_engine_target_recall_tunes_and_persists(tmp_path, monkeypatch):
                      SearchConfig(ann="ivf", ann_nprobe=2,
                                   ann_target_recall=0.9),
                      device_dtype=jnp.float32)
+
+
+def test_auto_cap_cover_budget():
+    """Raising cover shrinks the spill (the rest pay slot padding); the
+    engine rebuilds when cover changes (auto-cap derives from it)."""
+    rng = np.random.default_rng(70)
+    # skewed corpus: half the rows in 2 of 16 clusters
+    g = np.concatenate([_blobs(rng, 800, 64, 2), _blobs(rng, 800, 64, 14)])
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    lo = build_ivf(g, n_clusters=16, iters=3, cover=0.9)
+    hi = build_ivf(g, n_clusters=16, iters=3, cover=0.999,
+                   slots_frac=4.0)  # the 1.3x slots ceiling binds first
+                                    # on skew — both knobs must rise
+    spill = lambda ivf: int(np.sum(np.asarray(ivf.spill_ids) >= 0))
+    assert spill(hi) < spill(lo)
+    assert hi.bucket_cap >= lo.bucket_cap
