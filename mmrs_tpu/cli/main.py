@@ -17,9 +17,16 @@ to apply.
   mmrs rename        --root DIR          (canonical two-phase rename)
   mmrs merge         --root DIR --map 'src=dst' ...
   mmrs dataset make  --variant v1..v5 --root DIR --out PATH ...
+  mmrs lifecycle     --root DIR --out DIR --positive-class NAME
+                     (the whole reference workflow in one run)
   mmrs adapter train --features NPZ ... (Tip-Adapter-F over cached features)
   mmrs weights convert --source hf_clip|openai_clip|taiyi --in PT --out NPZ
   mmrs parity        --rank-gate | --checkpoint NPZ --image CLIP.png ...
+
+Shared engine flags on search/serve/calibrate: --gallery-shards N
+(rows over a data mesh), --gallery-quant int8|int4 (residency ladder),
+--ann-nprobe/--ann-clusters/--ann-cover/--ann-slots-frac (IVF), and
+--ann-target-recall (measured nprobe, persisted in the IVF sidecar).
 """
 
 from __future__ import annotations
