@@ -470,14 +470,17 @@ def build_ivf_streaming(
     if quant == "int4":
         # slots live on LANES in the packed layout ([C, Dp/8, cap]):
         # cap must tile to 128 lanes (and stay shard-divisible)
-        bucket_cap = _round_up(bucket_cap, math.lcm(128, n_shards))
+        # slots live on LANES: the PER-SHARD strip (cap / n_shards under
+        # slot-sharding) must stay a 128-lane multiple for the probe
+        # kernel's block shape, so round cap to 128 * n_shards
+        bucket_cap = _round_up(bucket_cap, 128 * n_shards)
 
     bpos, spos, bucket_ids, spill_ids = _placement(assignments, n_clusters,
                                                    bucket_cap)
     n_spill = spill_ids.shape[0]
     s_pad = max(8, _round_up(n_spill, 8 * n_shards))
     if quant == "int4":
-        s_pad = max(128, _round_up(n_spill, math.lcm(128, n_shards)))
+        s_pad = max(128, _round_up(n_spill, 128 * n_shards))
     item = {"": jnp.dtype(dtype).itemsize, "int8": 1, "int4": 0.5}[quant]
     log.info(
         "ivf: C=%d cap=%d -> %.2f GB buckets + %.2f GB spill (%d rows, "
@@ -1160,8 +1163,10 @@ def load_ivf(directory: str, embeddings=None, dtype=jnp.bfloat16,
         n_shards = mesh.shape[DATA_AXIS]
         shardings = ivf_shardings(mesh, quant=quant)
         # slot-sharding needs shard-divisible cap/spill: pad with dead
-        # slots (id -1, zero rows — masked like any other padding)
-        cap_p = _round_up(cap, n_shards)
+        # slots (id -1, zero rows — masked like any other padding);
+        # int4 strips sit on lanes, so each must stay a 128-multiple
+        cap_p = _round_up(cap, 128 * n_shards if quant == "int4"
+                          else n_shards)
         if cap_p != cap:
             bucket_ids = np.pad(bucket_ids, ((0, 0), (0, cap_p - cap)),
                                 constant_values=-1)

@@ -89,7 +89,12 @@ def place_ivf(ivf: IVFIndex, mesh: Mesh, axis: str = DATA_AXIS) -> IVFIndex:
     s = mesh.shape[axis]
     quant = ivf.quant
     sh = ivf_shardings(mesh, axis, quant=quant)
-    cap = _round_up(ivf.bucket_cap, s)
+    if quant == "int4":
+        # slots sit on LANES in the packed layout: each shard's strip
+        # (cap / s) must stay a 128-lane multiple for the probe kernel
+        cap = _round_up(ivf.bucket_cap, 128 * s)
+    else:
+        cap = _round_up(ivf.bucket_cap, s)
     cap_axis, spill_axis = (2, 1) if quant == "int4" else (1, 0)
     spl = _round_up(ivf.spill.shape[spill_axis], s)
     out = dataclasses.replace(
