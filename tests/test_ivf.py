@@ -761,3 +761,32 @@ def test_auto_cap_cover_budget():
     spill = lambda ivf: int(np.sum(np.asarray(ivf.spill_ids) >= 0))
     assert spill(hi) < spill(lo)
     assert hi.bucket_cap >= lo.bucket_cap
+
+
+@pytest.mark.slow
+def test_int4_sharded_build_matches_placed_build():
+    """build_ivf(quantize='int4', mesh=): the GSPMD scatter into the
+    TRANSPOSED packed layout ([C, Dp/8, cap] column writes) must equal
+    build-then-place at the same cap."""
+    from mmrs_tpu.config import MeshConfig
+    from mmrs_tpu.parallel import make_mesh
+    from mmrs_tpu.parallel.ivf import place_ivf, sharded_ivf_topk
+
+    rng = np.random.default_rng(71)
+    g = _blobs(rng, 600, 64, 8)
+    q = jnp.asarray(_normed(rng, 4, 64))
+    mesh = make_mesh(MeshConfig())
+    cap = 128 * 8  # already the int4 x 8-shard alignment: same placement
+    a = place_ivf(build_ivf(g, n_clusters=8, bucket_cap=cap, iters=3,
+                            seed=5, quantize="int4"), mesh)
+    b = build_ivf(g, n_clusters=8, bucket_cap=cap, iters=3, seed=5,
+                  quantize="int4", mesh=mesh)
+    assert b.buckets.shape == a.buckets.shape
+    for nprobe in (2, 8):
+        v1, i1 = sharded_ivf_topk(q, a, k=6, nprobe=nprobe, mesh=mesh,
+                                  impl="xla")
+        v2, i2 = sharded_ivf_topk(q, b, k=6, nprobe=nprobe, mesh=mesh,
+                                  impl="xla")
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   atol=1e-5)
