@@ -151,8 +151,10 @@ class SearchService:
                 body["ann"] = {
                     "kind": "ivf",
                     "clusters": ivf.n_clusters,
+                    # the tuned value when --ann-target-recall measured one
                     "nprobe": (self.engine.config.ann_nprobe
                                or "auto"),
+                    "bucket_quant": ivf.quant or "bf16",
                 }
         if self.verifier is not None:
             v = {"kind": type(self.verifier).__name__}
