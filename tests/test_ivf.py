@@ -303,7 +303,8 @@ def test_healthz_reports_ann_shape():
     svc = SearchService(eng, None)
     try:
         h = svc.healthz()
-        assert h["ann"] == {"kind": "ivf", "clusters": 4, "nprobe": 2}
+        assert h["ann"] == {"kind": "ivf", "clusters": 4, "nprobe": 2,
+                            "bucket_quant": "bf16"}
     finally:
         svc.close()
 
