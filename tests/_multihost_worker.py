@@ -49,6 +49,18 @@ def main() -> None:
     garr = place_global_rows(g[lo:hi], n, mesh)
     vals, idxs = sharded_cosine_topk(q, garr, k=5, mesh=mesh, n_valid=n)
 
+    # slot-sharded IVF across processes: buckets strip over the
+    # DCN-spanning data axis (replicated over model), probed at
+    # nprobe == C — exact by contract, so ids must match the same
+    # brute-force oracle the flat path was checked against
+    from mmrs_tpu.index.ivf import build_ivf
+    from mmrs_tpu.parallel.ivf import place_ivf, sharded_ivf_topk
+
+    ivf = place_ivf(build_ivf(g, n_clusters=8, iters=3, seed=1,
+                              dtype=np.float32), mesh)
+    _, ivf_idxs = sharded_ivf_topk(np.asarray(q), ivf, k=5, nprobe=8,
+                                   mesh=mesh, impl="xla")
+
     # The pod VLM serving shape: decoder TP over each host's ICI domain
     # (model axis never crosses processes — proc_grid above proves it),
     # batch rows over the DCN-spanning data axis. Params/prompts are
@@ -78,6 +90,7 @@ def main() -> None:
             "local_rows": [lo, hi],
             "vals": np.asarray(vals).tolist(),
             "idxs": np.asarray(idxs).tolist(),
+            "ivf_idxs": np.asarray(ivf_idxs).tolist(),
             "decode": np.asarray(toks).tolist(),
         }, f)
 

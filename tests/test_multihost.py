@@ -111,6 +111,11 @@ def test_two_process_distributed_topk(tmp_path):
     oracle = np.argsort(-scores, axis=1)[:, :5]
     assert np.array_equal(np.asarray(r0["idxs"]), oracle)
 
+    # the slot-sharded IVF across processes at nprobe == C is exact:
+    # same oracle, replicated-identical on both processes
+    assert r0["ivf_idxs"] == r1["ivf_idxs"]
+    assert np.array_equal(np.asarray(r0["ivf_idxs"]), oracle)
+
     # the cross-process DP x TP decode (batch over the DCN data axis,
     # Megatron TP inside each host's ICI domain) is replicated-identical
     # across processes and token-exact vs the single-process decode
