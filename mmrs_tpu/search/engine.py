@@ -116,9 +116,10 @@ class SearchEngine:
         (ops/quant4.py — quarter the HBM, 4x rows per chip, ~0.6% score
         error). Both compose with `mesh` (rows/scales sharded over the
         data axis, candidates all-gather-merged) and with `ann="ivf"`
-        (int8 buckets; int4 stays flat). Ragged row counts are padded to
-        the shard multiple and masked at query time, so any index size
-        runs on any mesh. Single-device quantized construction streams
+        (int8 bucket rows or int4 packed bucket planes — the whole
+        ladder applies inside the index). Ragged row counts are padded
+        to the shard multiple and masked at query time, so any index
+        size runs on any mesh. Single-device quantized construction streams
         chunk-by-chunk, so peak HBM at init is the packed gallery + one
         chunk (the mesh path uploads bf16 first — per-chip headroom is
         n_shards x)."""
