@@ -1121,6 +1121,79 @@ def save_ivf(directory: str, ivf: IVFIndex, embeddings=None) -> None:
     os.replace(tmp_m, os.path.join(directory, "ivf.json"))
 
 
+def extend_sidecar(directory: str, embeddings,
+                   chunk: int = _STREAM_CHUNK) -> dict:
+    """Extend a saved sidecar to cover rows APPENDED to the gallery since
+    it was saved (the `mmrs index update` flow): assign only the new
+    rows with the SAVED centroids, place them into each cluster's free
+    slots (overflow appends to the spill — scanned exactly, so recall
+    never degrades; only small-Q latency grows with repeated extends,
+    rebuild when spill gets heavy), and rewrite the sidecar atomically.
+    The k-means training and the assignment pass over the OLD rows —
+    the expensive build passes — never re-run. Returns the new meta."""
+    meta = sidecar_meta(directory)
+    if meta is None:
+        raise FileNotFoundError(f"no ivf sidecar in {directory}")
+    n_old, d = meta["n_total"], meta["dim"]
+    n = embeddings.shape[0]
+    if embeddings.shape[1] != d:
+        raise ValueError(f"dim {embeddings.shape[1]} != sidecar {d}")
+    if n < n_old:
+        raise ValueError(
+            f"gallery shrank ({n} < {n_old}): extend only handles "
+            "appends — rebuild with build_ivf")
+    if meta.get("fingerprint"):
+        got = gallery_fingerprint(embeddings[:n_old])
+        if got != meta["fingerprint"]:
+            raise ValueError(
+                "sidecar fingerprint mismatch on the OLD prefix — the "
+                "existing rows changed, not just appended; rebuild")
+    z = np.load(os.path.join(directory, "ivf.npz"))
+    # stored centroids are lane-padded to Dp with zeros and unit-norm:
+    # slicing back to the true dim preserves every assignment sim
+    cents = jnp.asarray(z["centroids"][:, :d], jnp.float32)
+    bucket_ids = np.array(z["bucket_ids"])            # [C, cap]
+    spill_ids = list(z["spill_ids"][z["spill_ids"] >= 0])
+    c, cap = bucket_ids.shape
+
+    # assign only the appended rows (chunked device matmuls)
+    parts = []
+    for a in range(n_old, n, chunk):
+        rows = np.asarray(embeddings[a:min(a + chunk, n)], np.float32)
+        parts.append(np.asarray(_assign_chunk(jnp.asarray(rows), cents)))
+    assign_new = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+
+    # next free slot per cluster (ids fill front-to-back at build)
+    free = (bucket_ids >= 0).sum(axis=1).astype(np.int64)   # [C]
+    for j, cl in enumerate(assign_new):
+        row = n_old + j
+        s = free[cl]
+        if s < cap:
+            bucket_ids[cl, s] = row
+            free[cl] += 1
+        else:
+            spill_ids.append(row)
+
+    s_pad = max(8, _round_up(len(spill_ids), 8))   # never a 0-row spill
+    spill_arr = np.full(s_pad, -1, np.int32)
+    spill_arr[: len(spill_ids)] = spill_ids
+    tmp = os.path.join(directory, "ivf.npz.tmp.npz")
+    np.savez(tmp, centroids=z["centroids"], bucket_ids=bucket_ids,
+             spill_ids=spill_arr)
+    os.replace(tmp, os.path.join(directory, "ivf.npz"))
+    new_meta = dict(meta)
+    new_meta["n_total"] = n
+    new_meta["fingerprint"] = gallery_fingerprint(embeddings)
+    new_meta.pop("tuned", None)   # recall drifted; re-measure on demand
+    tmp_m = os.path.join(directory, "ivf.json.tmp")
+    with open(tmp_m, "w", encoding="utf-8") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp_m, os.path.join(directory, "ivf.json"))
+    log.info("ivf sidecar extended: %d -> %d rows (%d new; spill now %d)",
+             n_old, n, n - n_old, len(spill_ids))
+    return new_meta
+
+
 def load_ivf(directory: str, embeddings=None, dtype=jnp.bfloat16,
              chunk: int = _STREAM_CHUNK, mesh=None, make_chunks=None,
              n: int = 0, d: int = 0) -> IVFIndex:

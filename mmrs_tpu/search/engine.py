@@ -179,6 +179,17 @@ class SearchEngine:
                              and meta.get("slots_frac", 1.3)
                              == cfg.ann_slots_frac))
                 )
+                if compatible and meta["n_total"] < len(index):
+                    # gallery grew (mmrs index update): assign ONLY the
+                    # appended rows with the saved centroids — the
+                    # k-means + old-row assignment passes never re-run
+                    try:
+                        meta = ivf_mod.extend_sidecar(sidecar,
+                                                      index.embeddings)
+                    except (ValueError, OSError) as e:
+                        log.warning("ivf sidecar extend failed (%s); "
+                                    "rebuilding", e)
+                        compatible = False
                 if compatible:
                     try:
                         self.ivf = ivf_mod.load_ivf(

@@ -791,3 +791,79 @@ def test_int4_sharded_build_matches_placed_build():
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
         np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
                                    atol=1e-5)
+
+
+def test_extend_sidecar_appends_without_retraining(tmp_path, monkeypatch):
+    """Gallery growth (the `mmrs index update` flow): the sidecar extends
+    by assigning ONLY the appended rows with the saved centroids —
+    k-means and the old-row assignment never re-run — and the extended
+    index is exact at full probe over the grown gallery."""
+    import mmrs_tpu.index.ivf as ivf_mod
+    from mmrs_tpu.index.ivf import extend_sidecar
+
+    rng = np.random.default_rng(80)
+    g_old = _blobs(rng, 400, 64, 8)
+    g_new = _blobs(rng, 80, 64, 8)
+    g_all = np.concatenate([g_old, g_new])
+    ivf = build_ivf(g_old, n_clusters=8, bucket_cap=64, iters=3,
+                    dtype=jnp.float32)
+    save_ivf(str(tmp_path), ivf, embeddings=g_old)
+
+    def boom(*a, **k):
+        raise AssertionError("extend must not retrain")
+
+    monkeypatch.setattr(ivf_mod, "train_centroids", boom)
+    meta = extend_sidecar(str(tmp_path), g_all)
+    assert meta["n_total"] == 480
+    ivf2 = load_ivf(str(tmp_path), g_all, dtype=jnp.float32)
+    # every row (old + new) indexed exactly once
+    ids = np.concatenate([np.asarray(ivf2.bucket_ids).reshape(-1),
+                          np.asarray(ivf2.spill_ids)])
+    np.testing.assert_array_equal(np.sort(ids[ids >= 0]), np.arange(480))
+    # full probe over the grown gallery is exact brute force
+    q = jnp.asarray(_normed(rng, 4, 64))
+    ev, ei = cosine_topk(q, jnp.asarray(g_all, jnp.float32), 5, impl="xla")
+    av, ai = ivf_topk(q, ivf2, k=5, nprobe=8, impl="xla")
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(ei))
+
+    # changed OLD rows are refused (fingerprint over the prefix)
+    g_bad = np.concatenate([np.ascontiguousarray(g_old[::-1]), g_new])
+    with pytest.raises(ValueError, match="fingerprint"):
+        extend_sidecar(str(tmp_path), np.concatenate([g_bad, g_new]))
+    with pytest.raises(ValueError, match="shrank"):
+        extend_sidecar(str(tmp_path), g_old)
+
+
+def test_engine_auto_extends_sidecar_on_growth(tmp_path, monkeypatch):
+    """A grown on-disk index auto-extends the cached sidecar at engine
+    start (no retrain) and serves the new rows."""
+    import mmrs_tpu.index.ivf as ivf_mod
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.index.gallery import (GalleryIndex, _write_manifest,
+                                        _write_shard)
+    from mmrs_tpu.search.engine import SearchEngine
+
+    rng = np.random.default_rng(81)
+    g = _blobs(rng, 300, 64, 8)
+    d = str(tmp_path / "idx")
+    import os
+    os.makedirs(d)
+    e0 = _write_shard(d, 0, g, [(f"p{i}.jpg", "c") for i in range(300)])
+    _write_manifest(d, [e0], 64)
+    cfg = SearchConfig(ann="ivf", ann_clusters=8, ann_nprobe=8,
+                       ann_train_iters=2)
+    SearchEngine(GalleryIndex.load(d), cfg, device_dtype=jnp.float32)
+
+    # append a shard (the index update flow)
+    g2 = _blobs(rng, 60, 64, 8)
+    e1 = _write_shard(d, 1, g2, [(f"q{i}.jpg", "c") for i in range(60)])
+    _write_manifest(d, [e0, e1], 64)
+
+    def boom(*a, **k):
+        raise AssertionError("growth must extend, not retrain")
+
+    monkeypatch.setattr(ivf_mod, "train_centroids", boom)
+    eng = SearchEngine(GalleryIndex.load(d), cfg, device_dtype=jnp.float32)
+    assert eng.ivf.n_total == 360
+    hits = eng.query_vectors(jnp.asarray(g2[[7]]), top_k=1)
+    assert hits[0][0].path == "q7.jpg"   # a NEW row serves correctly
