@@ -10,6 +10,8 @@ to apply.
   mmrs search        --index DIR (--image PATH... | --text "query") [-k 10]
   mmrs serve         --index DIR --port 8080     (HTTP JSON search API)
   mmrs calibrate     --index DIR --positive-class NAME (per-class sweep)
+  mmrs ann build     --index DIR [--target-recall R]  (prebuild/tune
+                     the IVF sidecar offline; prints spill stats)
   mmrs dedup         --mode exact|perceptual|embedding ...
   mmrs leakage       --train DIR --test DIR
   mmrs convert       --root DIR          (format normalization to JPEG)
@@ -327,6 +329,61 @@ def cmd_dedup(args) -> int:
     print(rep.summary())
     for dup, keeper in rep.duplicates:
         print(f"DUP\t{dup}\t-> keeper {keeper}")
+    return 0
+
+
+def cmd_ann_build(args) -> int:
+    """Prebuild (or refresh) the IVF sidecar offline so the first serve
+    start pays a 0.4 s load instead of the k-means + assignment passes
+    (ops can run this from a cron after `mmrs index update`). Also the
+    inspection surface: prints cluster/cap/spill stats, and with
+    --target-recall runs the measured nprobe tuner and persists it."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.index import ivf as ivf_mod
+    from mmrs_tpu.index.gallery import GalleryIndex
+    from mmrs_tpu.search.engine import SearchEngine
+
+    cfg = _load_config(args.config)
+    idx = GalleryIndex.load(args.index)
+    search_cfg = dataclasses.replace(
+        cfg.search, ann="ivf",
+        ann_clusters=max(args.clusters, 0),
+        ann_bucket_cap=max(args.bucket_cap, 0),
+        ann_cover=args.cover, ann_slots_frac=args.slots_frac,
+        ann_target_recall=max(args.target_recall, 0.0),
+        ann_nprobe=0)
+    quant = _quant_mode(args)
+    # the engine's load-or-extend-or-build-and-save path IS the build
+    eng = SearchEngine(idx, search_cfg, quantize=quant,
+                       device_dtype=jnp.bfloat16)
+    ivf = eng.ivf
+    spill = int((ivf.spill_ids >= 0).sum())
+    out = {
+        "index": args.index,
+        "rows": ivf.n_total,
+        "clusters": ivf.n_clusters,
+        "bucket_cap": ivf.bucket_cap,
+        "spill_rows": spill,
+        "spill_frac": round(spill / max(ivf.n_total, 1), 4),
+        "quant": ivf.quant or "bf16",
+        "hbm_gb": round(ivf.hbm_bytes() / 1e9, 3),
+        "sidecar": (ivf_mod.sidecar_meta(
+            os.path.join(idx.directory, "ivf")) is not None
+            if idx.directory else False),
+    }
+    if args.target_recall > 0:
+        out["tuned_nprobe"] = eng.config.ann_nprobe
+    print(json.dumps(out))
+    if out["spill_frac"] > 0.05:
+        print(f"note: {out['spill_frac']:.1%} of rows spill — small-Q "
+              "latency pays an exact scan of them every query; consider "
+              "--slots-frac above "
+              f"{args.slots_frac} (needs int8/int4 HBM headroom)",
+              file=sys.stderr)
     return 0
 
 
@@ -1046,6 +1103,21 @@ def build_parser() -> argparse.ArgumentParser:
     def add_dry(sp):
         sp.add_argument("--no-dry-run", action="store_true",
                         help="actually apply destructive changes")
+
+    ann = sub.add_parser("ann").add_subparsers(dest="subcmd", required=True)
+    ab = ann.add_parser("build")
+    ab.add_argument("--index", required=True)
+    ab.add_argument("--config")
+    ab.add_argument("--clusters", type=int, default=0)
+    ab.add_argument("--bucket-cap", type=int, default=0)
+    ab.add_argument("--cover", type=float, default=0.98)
+    ab.add_argument("--slots-frac", type=float, default=1.3)
+    ab.add_argument("--target-recall", type=float, default=0.0,
+                    help="also run the measured nprobe tuner and persist "
+                         "the result in the sidecar")
+    ab.add_argument("--gallery-int8", action="store_true")
+    ab.add_argument("--gallery-quant", choices=("int8", "int4"), default="")
+    ab.set_defaults(fn=cmd_ann_build)
 
     index = sub.add_parser("index").add_subparsers(dest="subcmd", required=True)
     b = index.add_parser("build")

@@ -867,3 +867,41 @@ def test_engine_auto_extends_sidecar_on_growth(tmp_path, monkeypatch):
     assert eng.ivf.n_total == 360
     hits = eng.query_vectors(jnp.asarray(g2[[7]]), top_k=1)
     assert hits[0][0].path == "q7.jpg"   # a NEW row serves correctly
+
+
+def test_cli_ann_build_prebuilds_and_tunes(tmp_path, capsys, monkeypatch):
+    """`mmrs ann build` prebuilds the sidecar offline (serve starts then
+    LOAD it) and --target-recall persists a tuned nprobe."""
+    import json as _json
+
+    import mmrs_tpu.index.ivf as ivf_mod
+    from mmrs_tpu.cli.main import main
+    from mmrs_tpu.index.gallery import _write_manifest, _write_shard
+
+    rng = np.random.default_rng(90)
+    g = _blobs(rng, 300, 64, 8)
+    d = str(tmp_path / "idx")
+    import os
+    os.makedirs(d)
+    entry = _write_shard(d, 0, g, [(f"p{i}.jpg", "c") for i in range(300)])
+    _write_manifest(d, [entry], 64)
+
+    with pytest.raises(SystemExit) as e:
+        main(["ann", "build", "--index", d, "--clusters", "8",
+              "--target-recall", "0.9"])
+    assert e.value.code == 0
+    out = _json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["rows"] == 300 and out["clusters"] == 8
+    assert out["sidecar"] is True and out["tuned_nprobe"] >= 1
+    meta = ivf_mod.sidecar_meta(os.path.join(d, "ivf"))
+    assert meta["tuned"]["nprobe"] == out["tuned_nprobe"]
+
+    # a serve-style engine start must now LOAD (no retrain)
+    def boom(*a, **k):
+        raise AssertionError("prebuilt sidecar — must not retrain")
+
+    monkeypatch.setattr(ivf_mod, "train_centroids", boom)
+    with pytest.raises(SystemExit) as e:
+        main(["ann", "build", "--index", d, "--clusters", "8",
+              "--target-recall", "0.9"])
+    assert e.value.code == 0
