@@ -168,9 +168,9 @@ def _add_engine_flags(parser) -> None:
     parser.add_argument("--gallery-quant", choices=("int8", "int4"),
                         default="",
                         help="gallery residency ladder: int8 (2x rows per "
-                             "chip, composes with shards/IVF) or int4 "
-                             "(4x rows, packed nibbles, composes with "
-                             "shards); supersedes --gallery-int8")
+                             "chip) or int4 (4x rows, packed nibbles); "
+                             "both compose with --gallery-shards and the "
+                             "IVF flags; supersedes --gallery-int8")
     parser.add_argument("--ann-nprobe", type=int, default=0,
                         help="enable IVF ANN search probing N clusters "
                              "per query (sub-linear; nprobe == clusters "
