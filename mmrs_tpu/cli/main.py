@@ -195,7 +195,52 @@ def _add_engine_flags(parser) -> None:
                              "sqrt(rows)); implies IVF when set")
 
 
+def _search_via_server(args) -> int:
+    """Thin HTTP client for a running `mmrs serve` instance: no tower
+    compile, no gallery upload per invocation — queries take the
+    server's micro-batched path like any other client."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    url = args.server.rstrip("/") + "/v1/search"
+    if args.image:
+        blobs = []
+        for p in args.image:
+            with open(p, "rb") as f:
+                blobs.append(base64.b64encode(f.read()).decode())
+        body = {"images_b64": blobs, "k": args.k}
+    elif args.text:
+        body = {"text": args.text, "k": args.k}
+    else:
+        print("need --image or --text", file=sys.stderr)
+        return 2
+    req = urllib.request.Request(
+        url, data=_json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = _json.loads(resp.read())
+    except urllib.error.URLError as e:
+        print(f"server {args.server} unreachable: {e}", file=sys.stderr)
+        return 2
+    results = out.get("hits", out)
+    for qi, qhits in enumerate(results):
+        for h in qhits:
+            print(f"{qi}\t{h['rank']}\t{h['score']:.4f}\t{h['cls']}\t"
+                  f"{h['path']}")
+    return 0
+
+
 def cmd_search(args) -> int:
+    if getattr(args, "server", None):
+        return _search_via_server(args)
+    if not args.index:
+        print("need --index (local engine) or --server URL",
+              file=sys.stderr)
+        return 2
+
     from mmrs_tpu.index.gallery import GalleryIndex
     from mmrs_tpu.io.images import load_image
     from mmrs_tpu.pipeline import build_towers
@@ -1146,7 +1191,12 @@ def build_parser() -> argparse.ArgumentParser:
     cp.set_defaults(fn=cmd_index_compact)
 
     s = sub.add_parser("search")
-    s.add_argument("--index", required=True)
+    s.add_argument("--index",
+                   help="index dir (omit with --server)")
+    s.add_argument("--server",
+                   help="query a RUNNING `mmrs serve` instance over HTTP "
+                        "instead of building a local engine (no tower "
+                        "compile / gallery upload per invocation)")
     s.add_argument("--image", nargs="*")
     s.add_argument("--text")
     s.add_argument("-k", type=int, default=10)

@@ -443,3 +443,29 @@ def test_stats_surface_speculative_acceptance():
     finally:
         srv.shutdown()
         svc.close()
+
+
+def test_cli_search_server_mode(server, tmp_path, capsys):
+    """`mmrs search --server URL` queries a running serve instance over
+    HTTP — no local engine, no tower compile (r4 ops surface)."""
+    from mmrs_tpu.cli.main import main
+
+    base, blobs, _ = server
+    img = tmp_path / "q.jpg"
+    img.write_bytes(blobs["red"])
+    with pytest.raises(SystemExit) as e:
+        main(["search", "--server", base, "--image", str(img), "-k", "3"])
+    assert e.value.code == 0
+    lines = [ln.split("\t") for ln in capsys.readouterr().out.splitlines()]
+    assert len(lines) == 3
+    assert lines[0][3] == "red"          # top hit is the query's class
+
+    # no index and no server is a usage error, not a traceback
+    with pytest.raises(SystemExit) as e:
+        main(["search", "--text", "x"])
+    assert e.value.code == 2
+
+    # unreachable server reports cleanly
+    with pytest.raises(SystemExit) as e:
+        main(["search", "--server", "http://127.0.0.1:9", "--text", "x"])
+    assert e.value.code == 2
