@@ -289,6 +289,7 @@ def compact_index(
     # (ids are parsed from names: repeated compactions keep growing them)
     next_id = _next_shard_id(man["shards"])
     stale_files: List[str] = []
+    global_mask: List[bool] = []     # kept-row mask in global row order
     for s in man["shards"]:
         with open(os.path.join(out_dir, s["meta"]), encoding="utf-8") as f:
             meta = [(m[0], m[1]) for m in json.load(f)]
@@ -298,6 +299,7 @@ def compact_index(
             if ok and drop_missing and not os.path.exists(p):
                 ok = False
             mask.append(ok)
+        global_mask += mask
         if all(mask):
             new_shards.append(s)
             continue
@@ -321,4 +323,19 @@ def compact_index(
             pass
     log.info("index compact: dropped %d rows, %d shards remain",
              dropped, len(new_shards))
-    return GalleryIndex.load(out_dir)
+    idx = GalleryIndex.load(out_dir)
+    sidecar = os.path.join(out_dir, "ivf")
+    if dropped and os.path.exists(os.path.join(sidecar, "ivf.json")):
+        # keep the trained ANN sidecar in step: renumber + re-front-fill
+        # instead of re-running k-means (280 s at 10M rows). Any
+        # mismatch (e.g. an un-extended sidecar) just warns — the next
+        # engine build detects it and retrains.
+        try:
+            from mmrs_tpu.index.ivf import shrink_sidecar
+
+            shrink_sidecar(sidecar, np.asarray(global_mask, bool),
+                           idx.embeddings)
+        except (ValueError, OSError) as e:
+            log.warning("ivf sidecar not shrunk (%s); the next engine "
+                        "build retrains it", e)
+    return idx

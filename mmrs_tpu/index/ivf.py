@@ -1194,6 +1194,87 @@ def extend_sidecar(directory: str, embeddings,
     return new_meta
 
 
+def shrink_sidecar(directory: str, kept_mask, embeddings,
+                   chunk: int = _STREAM_CHUNK) -> dict:
+    """Shrink a saved sidecar after rows were DELETED from the gallery —
+    the index side of the governance deletions (dedup/leakage/delete →
+    `mmrs index compact`, which calls this; the reference instead
+    re-embeds from scratch after its tool/delete*.py passes,
+    /root/reference/tool/delete repeated.py:1-40). `kept_mask` is a bool
+    array over the PRE-compaction row order; `embeddings` is the
+    post-compaction gallery (the kept rows, original relative order —
+    compact_index's contract). Ids renumber in place and each bucket
+    re-front-fills (so a later extend_sidecar append stays valid), then
+    former SPILL rows are re-placed into the freed slots using the SAVED
+    centroids — deletions make queries cheaper, never looser. The
+    k-means training pass never re-runs. Returns the new meta."""
+    meta = sidecar_meta(directory)
+    if meta is None:
+        raise FileNotFoundError(f"no ivf sidecar in {directory}")
+    kept = np.asarray(kept_mask, bool)
+    if kept.shape[0] != meta["n_total"]:
+        raise ValueError(f"mask covers {kept.shape[0]} rows, sidecar "
+                         f"has {meta['n_total']}")
+    n_new, d = int(kept.sum()), meta["dim"]
+    if embeddings.shape[0] != n_new or embeddings.shape[1] != d:
+        raise ValueError(
+            f"post-compaction gallery is {embeddings.shape}, mask keeps "
+            f"{n_new}x{d} — pass the compacted gallery and its mask")
+    z = np.load(os.path.join(directory, "ivf.npz"))
+    # old row id -> new row id (-1 for dropped); np.where evaluates the
+    # gather on -1 pad ids too (wraps to the last element) — harmless,
+    # the where picks -1 for those lanes
+    new_of = np.where(kept, np.cumsum(kept) - 1, -1).astype(np.int32)
+    old_ids = np.array(z["bucket_ids"])               # [C, cap]
+    c, cap = old_ids.shape
+    bucket_ids = np.where(old_ids >= 0, new_of[old_ids], -1)
+    # re-front-fill every bucket: dropped rows left holes, and both the
+    # probe mask and extend_sidecar's free-slot counter assume the live
+    # prefix is contiguous
+    order = np.argsort(bucket_ids < 0, axis=1, kind="stable")
+    bucket_ids = np.take_along_axis(bucket_ids, order, axis=1)
+    sp = z["spill_ids"]
+    spill = np.where(sp >= 0, new_of[sp], -1)
+    spill = spill[spill >= 0]
+    # re-place surviving spill rows into freed bucket slots (saved
+    # centroids, chunked device matmuls): the spill strip is scanned by
+    # EVERY query, so shrinking it is the latency win of a delete
+    if spill.size:
+        cents = jnp.asarray(z["centroids"][:, :d], jnp.float32)
+        free = (bucket_ids >= 0).sum(axis=1).astype(np.int64)
+        still_spilled = []
+        for a in range(0, spill.size, chunk):
+            ids = spill[a:a + chunk]
+            rows = np.asarray(embeddings[ids], np.float32)
+            assign = np.asarray(_assign_chunk(jnp.asarray(rows), cents))
+            for rid, cl in zip(ids, assign):
+                s = free[cl]
+                if s < cap:
+                    bucket_ids[cl, s] = rid
+                    free[cl] += 1
+                else:
+                    still_spilled.append(int(rid))
+        spill = np.asarray(still_spilled, np.int32)
+    s_pad = max(8, _round_up(spill.size, 8))   # never a 0-row spill
+    spill_arr = np.full(s_pad, -1, np.int32)
+    spill_arr[: spill.size] = spill
+    tmp = os.path.join(directory, "ivf.npz.tmp.npz")
+    np.savez(tmp, centroids=z["centroids"], bucket_ids=bucket_ids,
+             spill_ids=spill_arr)
+    os.replace(tmp, os.path.join(directory, "ivf.npz"))
+    new_meta = dict(meta)
+    new_meta["n_total"] = n_new
+    new_meta["fingerprint"] = gallery_fingerprint(embeddings)
+    new_meta.pop("tuned", None)   # recall drifted; re-measure on demand
+    tmp_m = os.path.join(directory, "ivf.json.tmp")
+    with open(tmp_m, "w", encoding="utf-8") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp_m, os.path.join(directory, "ivf.json"))
+    log.info("ivf sidecar shrunk: %d -> %d rows (spill now %d)",
+             kept.shape[0], n_new, spill.size)
+    return new_meta
+
+
 def load_ivf(directory: str, embeddings=None, dtype=jnp.bfloat16,
              chunk: int = _STREAM_CHUNK, mesh=None, make_chunks=None,
              n: int = 0, d: int = 0) -> IVFIndex:

@@ -107,3 +107,42 @@ def test_update_after_compact_never_overwrites_live_shard(index_dir):
     with open(os.path.join(out, "manifest.json")) as f:
         names = [s["data"] for s in json.load(f)["shards"]]
     assert len(names) == len(set(names))
+
+
+def test_compact_shrinks_ivf_sidecar(index_dir, monkeypatch):
+    """`mmrs index compact` keeps the cached ANN sidecar in step: after
+    governance deletions the sidecar shrinks in place (saved centroids,
+    no k-means) and the next engine start LOADS it instead of
+    retraining."""
+    import jax.numpy as jnp
+
+    import mmrs_tpu.index.ivf as ivf_mod
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.search.engine import SearchEngine
+
+    root, out = index_dir
+    cfg = SearchConfig(ann="ivf", ann_clusters=4, ann_nprobe=4,
+                       ann_train_iters=2)
+    # first engine start trains + caches the sidecar under the index dir
+    SearchEngine(GalleryIndex.load(out), cfg, device_dtype=jnp.float32)
+    meta = ivf_mod.sidecar_meta(os.path.join(out, "ivf"))
+    assert meta is not None and meta["n_total"] == 10
+
+    idx = compact_index(out, keep=lambda p, c: c != "blue",
+                        drop_missing=False)
+    assert len(idx) == 5
+    meta = ivf_mod.sidecar_meta(os.path.join(out, "ivf"))
+    assert meta["n_total"] == 5   # shrunk alongside the shards
+
+    def boom(*a, **k):
+        raise AssertionError("compacted sidecar must load, not retrain")
+
+    monkeypatch.setattr(ivf_mod, "train_centroids", boom)
+    eng = SearchEngine(GalleryIndex.load(out), cfg,
+                       device_dtype=jnp.float32)
+    assert eng.ivf.n_total == 5
+    # _fake_encode gives same-class rows near-identical embeddings, so
+    # assert on the class (top-1 may tie within "red"), not the path
+    hits = eng.query_vectors(
+        jnp.asarray(np.asarray(idx.embeddings)[[3]]), top_k=1)
+    assert hits[0][0].cls == "red" and hits[0][0].score > 0.99

@@ -905,3 +905,66 @@ def test_cli_ann_build_prebuilds_and_tunes(tmp_path, capsys, monkeypatch):
         main(["ann", "build", "--index", d, "--clusters", "8",
               "--target-recall", "0.9"])
     assert e.value.code == 0
+
+
+def test_shrink_sidecar_deletes_without_retraining(tmp_path, monkeypatch):
+    """Row deletion (the governance → `mmrs index compact` flow): the
+    sidecar renumbers with the SAVED centroids — k-means never re-runs —
+    buckets re-front-fill, former spill rows move into the freed slots,
+    and the shrunk index is exact at full probe over the compacted
+    gallery."""
+    import mmrs_tpu.index.ivf as ivf_mod
+    from mmrs_tpu.index.ivf import shrink_sidecar
+
+    rng = np.random.default_rng(82)
+    g = _blobs(rng, 400, 64, 8)
+    # tight cap forces a real spill strip so re-placement is exercised
+    ivf = build_ivf(g, n_clusters=8, bucket_cap=48, iters=3,
+                    dtype=jnp.float32)
+    save_ivf(str(tmp_path), ivf, embeddings=g)
+    spill_before = int((np.asarray(ivf.spill_ids) >= 0).sum())
+    assert spill_before > 0
+
+    kept = np.ones(400, bool)
+    kept[rng.choice(400, 120, replace=False)] = False
+    g2 = g[kept]
+
+    def boom(*a, **k):
+        raise AssertionError("shrink must not retrain")
+
+    monkeypatch.setattr(ivf_mod, "train_centroids", boom)
+    meta = shrink_sidecar(str(tmp_path), kept, g2)
+    assert meta["n_total"] == 280
+    ivf2 = load_ivf(str(tmp_path), g2, dtype=jnp.float32)
+    # every kept row indexed exactly once, ids renumbered to 0..279
+    bids = np.asarray(ivf2.bucket_ids)
+    ids = np.concatenate([bids.reshape(-1), np.asarray(ivf2.spill_ids)])
+    np.testing.assert_array_equal(np.sort(ids[ids >= 0]), np.arange(280))
+    # buckets re-front-filled: the live prefix is contiguous per bucket
+    # (extend_sidecar's free-slot counter depends on this invariant)
+    live = bids >= 0
+    counts = live.sum(axis=1)
+    for r, cnt in zip(live, counts):
+        assert r[:cnt].all() and not r[cnt:].any()
+    # deletions freed slots, so the spill strip can only have shrunk
+    assert int((np.asarray(ivf2.spill_ids) >= 0).sum()) <= spill_before
+    # full probe over the compacted gallery is exact brute force
+    q = jnp.asarray(_normed(rng, 4, 64))
+    ev, ei = cosine_topk(q, jnp.asarray(g2, jnp.float32), 5, impl="xla")
+    av, ai = ivf_topk(q, ivf2, k=5, nprobe=8, impl="xla")
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(ei))
+
+    # a later append still works on the shrunk sidecar (front-fill held)
+    g3 = np.concatenate([g2, _blobs(rng, 40, 64, 8)])
+    ivf_mod.extend_sidecar(str(tmp_path), g3)
+    ivf3 = load_ivf(str(tmp_path), g3, dtype=jnp.float32)
+    ids3 = np.concatenate([np.asarray(ivf3.bucket_ids).reshape(-1),
+                           np.asarray(ivf3.spill_ids)])
+    np.testing.assert_array_equal(np.sort(ids3[ids3 >= 0]),
+                                  np.arange(320))
+
+    # wrong mask length / wrong compacted shape are refused
+    with pytest.raises(ValueError, match="mask covers"):
+        shrink_sidecar(str(tmp_path), kept, g2)
+    with pytest.raises(ValueError, match="compacted gallery"):
+        shrink_sidecar(str(tmp_path), np.ones(320, bool), g2)
