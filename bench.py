@@ -218,7 +218,28 @@ def _dist_json(dist, scale=1.0):
             for k, v in dist.items()}
 
 
+def health_gate(timeout_s: int = 120) -> bool:
+    """The tunneled TPU goes down for hours at a time; when it is down a
+    trivial matmul hangs forever (not errors). Probe in a SUBPROCESS with
+    a hard timeout so a dead tunnel turns into a fast, visible exit
+    instead of an indefinite hang of the driver's bench step."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((512, 512)); (x @ x).block_until_ready()")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not health_gate():
+        log("TPU tunnel is down (512x512 matmul hung >120 s); no bench "
+            "numbers this run — previous round's artifact stands")
+        sys.exit(2)
     log(f"devices: {jax.devices()}")
     extras = {}
     # secondary benches FIRST: the embed bench's live buffers perturb the
