@@ -71,6 +71,12 @@ class GalleryIndex:
 
         shards = man["shards"]
         mode = "r" if mmap else None
+        if not shards:
+            # a compaction can legitimately drop every row; an empty
+            # index must load (len()==0) so callers decide what's next
+            embeddings = np.zeros((0, int(man["embed_dim"])), np.float32)
+            return GalleryIndex(embeddings, paths, classes,
+                                directory=directory)
         if len(shards) == 1:
             embeddings = np.load(os.path.join(directory, shards[0]["data"]),
                                  mmap_mode=mode)
@@ -290,6 +296,7 @@ def compact_index(
     next_id = _next_shard_id(man["shards"])
     stale_files: List[str] = []
     global_mask: List[bool] = []     # kept-row mask in global row order
+    masks: List[List[bool]] = []     # per-shard, computed before any rewrite
     for s in man["shards"]:
         with open(os.path.join(out_dir, s["meta"]), encoding="utf-8") as f:
             meta = [(m[0], m[1]) for m in json.load(f)]
@@ -300,6 +307,21 @@ def compact_index(
                 ok = False
             mask.append(ok)
         global_mask += mask
+        masks.append(mask)
+    # Validate the ANN sidecar against the OLD gallery while it is still
+    # loadable: a stale sidecar whose n_total happens to match (gallery
+    # re-embedded in place at the same row count) must NOT be renumbered
+    # and restamped with a fresh fingerprint — its cluster assignments
+    # belong to the old embedding space. Checked here, consumed after the
+    # rewrite (post-rewrite the old rows are gone and unverifiable).
+    sidecar = os.path.join(out_dir, "ivf")
+    shrink_ok = True
+    if (not all(global_mask)
+            and os.path.exists(os.path.join(sidecar, "ivf.json"))):
+        shrink_ok = _sidecar_matches_old_gallery(out_dir, man, sidecar)
+    for s, mask in zip(man["shards"], masks):
+        with open(os.path.join(out_dir, s["meta"]), encoding="utf-8") as f:
+            meta = [(m[0], m[1]) for m in json.load(f)]
         if all(mask):
             new_shards.append(s)
             continue
@@ -324,18 +346,63 @@ def compact_index(
     log.info("index compact: dropped %d rows, %d shards remain",
              dropped, len(new_shards))
     idx = GalleryIndex.load(out_dir)
-    sidecar = os.path.join(out_dir, "ivf")
-    if dropped and os.path.exists(os.path.join(sidecar, "ivf.json")):
+    if (dropped and shrink_ok
+            and os.path.exists(os.path.join(sidecar, "ivf.json"))):
         # keep the trained ANN sidecar in step: renumber + re-front-fill
         # instead of re-running k-means (280 s at 10M rows). Any
         # mismatch (e.g. an un-extended sidecar) just warns — the next
-        # engine build detects it and retrains.
+        # engine build detects it and retrains. Best-effort by contract,
+        # so ANY failure degrades to warn-and-retrain, never a crash.
         try:
             from mmrs_tpu.index.ivf import shrink_sidecar
 
             shrink_sidecar(sidecar, np.asarray(global_mask, bool),
                            idx.embeddings)
-        except (ValueError, OSError) as e:
+        except Exception as e:
             log.warning("ivf sidecar not shrunk (%s); the next engine "
                         "build retrains it", e)
     return idx
+
+
+def _sidecar_matches_old_gallery(out_dir: str, man: dict,
+                                 sidecar: str) -> bool:
+    """True if the saved IVF sidecar's fingerprint matches the CURRENT
+    (pre-compaction) gallery content, so shrink_sidecar may safely
+    renumber it. Reads only the ~64 strided fingerprint rows via a lazy
+    shard-routing view — no consolidation, no full residency."""
+    try:
+        from mmrs_tpu.index.ivf import gallery_fingerprint, sidecar_meta
+
+        meta = sidecar_meta(sidecar)
+        want = (meta or {}).get("fingerprint")
+        if not want:          # pre-fingerprint sidecar: nothing to verify
+            return True
+        got = gallery_fingerprint(_ShardRowView(out_dir, man))
+        if got == want:
+            return True
+        log.warning("ivf sidecar fingerprint does not match the "
+                    "pre-compaction gallery (stale sidecar from an "
+                    "earlier embedding run?) — skipping shrink; the "
+                    "next engine build retrains it")
+        return False
+    except Exception as e:                      # best-effort gate
+        log.warning("ivf sidecar pre-compaction check failed (%s); "
+                    "skipping shrink", e)
+        return False
+
+
+class _ShardRowView:
+    """Minimal [N, D] row-indexable view over the on-disk shards (mmap),
+    just enough surface for gallery_fingerprint: `.shape` + `view[i]`."""
+
+    def __init__(self, out_dir: str, man: dict):
+        self._dir = out_dir
+        self._shards = man["shards"]
+        self._starts = np.cumsum([0] + [s["rows"] for s in self._shards])
+        self.shape = (int(self._starts[-1]), int(man["embed_dim"]))
+
+    def __getitem__(self, i: int):
+        s = int(np.searchsorted(self._starts, i, side="right")) - 1
+        data = np.load(os.path.join(self._dir, self._shards[s]["data"]),
+                       mmap_mode="r")
+        return data[i - int(self._starts[s])]

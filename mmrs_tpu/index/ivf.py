@@ -1067,7 +1067,9 @@ def gallery_fingerprint(embeddings) -> str:
 
     n, d = embeddings.shape
     h = hashlib.md5(f"{n}x{d}".encode())
-    for i in np.unique(np.linspace(0, n - 1, 64).astype(np.int64)):
+    # n == 0: shape-only hash (linspace(0, -1) would index row -1)
+    for i in (np.unique(np.linspace(0, n - 1, 64).astype(np.int64))
+              if n else ()):
         h.update(np.ascontiguousarray(
             np.asarray(embeddings[int(i)], np.float32)).tobytes())
     return h.hexdigest()
@@ -1216,6 +1218,11 @@ def shrink_sidecar(directory: str, kept_mask, embeddings,
         raise ValueError(f"mask covers {kept.shape[0]} rows, sidecar "
                          f"has {meta['n_total']}")
     n_new, d = int(kept.sum()), meta["dim"]
+    if n_new == 0:
+        # a compaction that deletes every row leaves nothing to index;
+        # ValueError keeps compact_index on its warn-and-retrain path
+        raise ValueError("compaction kept 0 rows — nothing to shrink; "
+                         "rebuild the sidecar when rows return")
     if embeddings.shape[0] != n_new or embeddings.shape[1] != d:
         raise ValueError(
             f"post-compaction gallery is {embeddings.shape}, mask keeps "

@@ -146,3 +146,72 @@ def test_compact_shrinks_ivf_sidecar(index_dir, monkeypatch):
     hits = eng.query_vectors(
         jnp.asarray(np.asarray(idx.embeddings)[[3]]), top_k=1)
     assert hits[0][0].cls == "red" and hits[0][0].score > 0.99
+
+
+def test_compact_skips_stale_sidecar(index_dir, monkeypatch, caplog):
+    """A sidecar whose fingerprint does NOT match the pre-compaction
+    gallery (e.g. the gallery was re-embedded in place at the same row
+    count while ivf/ was left behind) must not be renumbered — its
+    cluster assignments belong to the old embedding space. compact must
+    skip the shrink and leave the warn-and-retrain path to the next
+    engine start (ADVICE r4 medium)."""
+    import jax.numpy as jnp
+
+    import mmrs_tpu.index.ivf as ivf_mod
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.search.engine import SearchEngine
+
+    root, out = index_dir
+    cfg = SearchConfig(ann="ivf", ann_clusters=4, ann_nprobe=4,
+                       ann_train_iters=2)
+    SearchEngine(GalleryIndex.load(out), cfg, device_dtype=jnp.float32)
+    side = os.path.join(out, "ivf")
+    meta0 = ivf_mod.sidecar_meta(side)
+    assert meta0["n_total"] == 10 and meta0.get("fingerprint")
+
+    # simulate an in-place re-embed at the SAME row count: rewrite every
+    # shard's rows with different values, leaving the sidecar behind
+    import json
+
+    with open(os.path.join(out, "manifest.json")) as f:
+        for s in json.load(f)["shards"]:
+            p = os.path.join(out, s["data"])
+            np.save(p, -np.asarray(np.load(p)))   # .npy save keeps name
+    assert ivf_mod.sidecar_meta(side)["fingerprint"] == meta0["fingerprint"]
+
+    idx = compact_index(out, keep=lambda p, c: c != "blue",
+                        drop_missing=False)
+    assert len(idx) == 5
+    # sidecar untouched (NOT shrunk/restamped) — stale as it should be
+    meta1 = ivf_mod.sidecar_meta(side)
+    assert meta1["n_total"] == 10
+    assert meta1["fingerprint"] == meta0["fingerprint"]
+    # next engine start detects the mismatch and retrains cleanly
+    calls = {"n": 0}
+    real = ivf_mod.train_centroids
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(ivf_mod, "train_centroids", counting)
+    eng = SearchEngine(GalleryIndex.load(out), cfg,
+                       device_dtype=jnp.float32)
+    assert calls["n"] == 1 and eng.ivf.n_total == 5
+
+
+def test_compact_to_zero_rows_is_soft(index_dir):
+    """Deleting EVERY row leaves nothing to index: the sidecar shrink
+    must degrade to warn-and-retrain, not crash with IndexError
+    (ADVICE r4 low)."""
+    import jax.numpy as jnp
+
+    from mmrs_tpu.config import SearchConfig
+    from mmrs_tpu.search.engine import SearchEngine
+
+    root, out = index_dir
+    cfg = SearchConfig(ann="ivf", ann_clusters=4, ann_nprobe=4,
+                       ann_train_iters=2)
+    SearchEngine(GalleryIndex.load(out), cfg, device_dtype=jnp.float32)
+    idx = compact_index(out, keep=lambda p, c: False, drop_missing=False)
+    assert len(idx) == 0
