@@ -45,7 +45,7 @@ def init(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> Params:
 
 @partial(jax.jit,
          static_argnames=("cfg", "compute_dtype", "normalize", "unroll",
-                          "attn_impl"))
+                          "attn_impl", "mlp_impl"))
 def encode_image(
     params: Params,
     images: jnp.ndarray,
@@ -54,9 +54,10 @@ def encode_image(
     normalize: bool = True,
     unroll: int = 1,
     attn_impl: str = "xla",
+    mlp_impl: str = "xla",
 ) -> jnp.ndarray:
     feats = vit.apply(params["visual"], images, cfg.vision, compute_dtype,
-                      unroll=unroll, attn_impl=attn_impl)
+                      unroll=unroll, attn_impl=attn_impl, mlp_impl=mlp_impl)
     return l2_normalize(feats) if normalize else feats
 
 

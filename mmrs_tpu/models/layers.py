@@ -94,7 +94,14 @@ def unpack_int4(kernel: QTensor4, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def _quantize_act(x: jnp.ndarray):
-    """Dynamic per-row symmetric int8 quantization of activations."""
+    """Dynamic per-row symmetric int8 quantization of activations.
+
+    The f32 upcast feeding both the reduce and the round looks like a
+    relayout-copy source in traces, but a reduce-on-own-dtype variant
+    measured NEUTRAL on chip (interleaved A/B, scripts/probe_quantfix_ab:
+    16.09 vs 16.05 ms/batch median) — XLA fuses the upcast either way;
+    the copies the trace blames on this line belong to the projection
+    operands (fixed by the head-outermost layout in `attention`)."""
     x32 = x.astype(jnp.float32)
     sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
                      1e-12) / 127.0
@@ -185,6 +192,15 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
 
 
+def _mask_hb(mask: jnp.ndarray) -> jnp.ndarray:
+    """Additive mask in the caller contract ([B, H, Q, K]-broadcastable)
+    re-axised for the head-outermost [H, B, Q, K] logits: 4-D masks swap
+    their two leading axes (bert's [B,1,1,T] -> [1,B,1,T], the causal
+    [1,1,T,T] is unchanged); <=2-D masks broadcast the same either way."""
+    m = mask.astype(jnp.float32)
+    return m.transpose(1, 0, 2, 3) if m.ndim == 4 else m
+
+
 def attention(
     x: jnp.ndarray,             # [B, T, W]
     p: Params,                  # {wq, wk, wv, wo: [W, W]; bq, bk, bv, bo: [W]}
@@ -196,16 +212,19 @@ def attention(
     b, t, w = x.shape
     hd = w // heads
     cd = compute_dtype
-    # 1/sqrt(d) folded into q BEFORE the score matmul (one [B,H,T,hd]
+    # 1/sqrt(d) folded into q BEFORE the score matmul (one [H,B,T,hd]
     # multiply instead of a [B,H,T,T] f32 multiply).
     scale = jnp.asarray(1.0 / np.sqrt(hd), cd)
 
-    # HEAD-MAJOR projections: einsum btw,whd->bhtd asks the matmul for the
-    # [B,H,T,hd] output the score einsum's batch dims need, so XLA's layout
-    # assignment absorbs the head-split transposes into the matmul
-    # epilogues. The naive reshape([B,T,H,hd]) form left 3.4 ms/batch of
-    # raw `copy` ops inside the ViT-B/32 layer scan (trace-verified on
-    # v5e; this form: +6.8% tower throughput, 12.4k -> 13.3k img/s bf16).
+    # HEAD-OUTERMOST projections: einsum btw,whd->hbtd asks the matmul for
+    # the [H,B,T,hd] output whose two MAJOR dims are the score einsum's
+    # batch dims — the layout a standard batched matmul wants — so layout
+    # assignment keeps the operand copies cheap. r2 measured the head-major
+    # bhtd form at +6.8% over naive reshape; r5 re-traced and found bhtd
+    # still paying 2.6-2.9 ms/batch of {0,3,2,1}->{3,2,1,0} operand copies
+    # in the ViT-B/32 scan; hbtd is +5-6% over bhtd for BOTH dtypes
+    # (scripts/probe_attn_layouts.py: bf16 16.96->16.02 ms/batch, int8
+    # 16.52->15.73 on v5e).
     int8 = isinstance(p["wq"], QTensor)
 
     if attn_impl != "xla" and mask is None:
@@ -228,52 +247,72 @@ def attention(
     if int8:
         # quantize the (shared) layer input once for all three projections
         xq, sx = _quantize_act(x)
-        sxh = sx.reshape(b, 1, t, 1)
+        sxh = sx.reshape(1, b, t, 1)
 
         def proj(kernel: QTensor, bias):
             acc = jnp.einsum(
-                "btw,whd->bhtd", xq, kernel.q.reshape(w, heads, hd),
+                "btw,whd->hbtd", xq, kernel.q.reshape(w, heads, hd),
                 preferred_element_type=jnp.int32)
             y = (acc.astype(jnp.float32) * sxh
-                 * kernel.s.astype(jnp.float32).reshape(1, heads, 1, hd))
-            return y + bias.astype(jnp.float32).reshape(1, heads, 1, hd)
+                 * kernel.s.astype(jnp.float32)
+                 .reshape(heads, 1, 1, hd))
+            return y + bias.astype(jnp.float32).reshape(heads, 1, 1, hd)
     else:
         xc = x.astype(cd)
 
         def proj(kernel, bias):
-            y = jnp.einsum("btw,whd->bhtd", xc,
+            y = jnp.einsum("btw,whd->hbtd", xc,
                            kernel.astype(cd).reshape(w, heads, hd),
                            preferred_element_type=jnp.float32)
-            return y + bias.astype(jnp.float32).reshape(1, heads, 1, hd)
+            return y + bias.astype(jnp.float32).reshape(heads, 1, 1, hd)
 
-    q = proj(p["wq"], p["bq"]).astype(cd) * scale        # [B, H, T, hd]
+    q = proj(p["wq"], p["bq"]).astype(cd) * scale        # [H, B, T, hd]
     k = proj(p["wk"], p["bk"]).astype(cd)
     v = proj(p["wv"], p["bv"]).astype(cd)
 
-    logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+    logits = jnp.einsum("hbtd,hbsd->hbts", q, k,
                         preferred_element_type=jnp.float32)
     if mask is not None:
-        logits = logits + mask.astype(jnp.float32)
+        logits = logits + _mask_hb(mask)
     # Softmax in the compute dtype: with bf16 serving this removes the
-    # [B,H,T,T] f32 materialization (measured 10.3k -> 12.7k img/s for
+    # [H,B,T,T] f32 materialization (measured 10.3k -> 12.7k img/s for
     # ViT-B/32; embedding cosine to the f32 tower unchanged at 0.99995).
     # f32 compute keeps f32 softmax, so CPU parity tests see the exact
     # reference math.
     probs = jax.nn.softmax(logits.astype(cd), axis=-1)
-    out = jnp.einsum("bhts,bhsd->bhtd", probs, v,
+    out = jnp.einsum("hbts,hbsd->hbtd", probs, v,
                      preferred_element_type=jnp.float32).astype(cd)
     if int8:
         # per-(b,t)-row dynamic quant needs the W-contiguous layout; one
         # transpose here replaces the three the projections used to pay
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, w)
+        out = out.transpose(1, 2, 0, 3).reshape(b, t, w)
         return dense(out, p["wo"], p["bo"], cd)
     wo = p["wo"].astype(cd).reshape(heads, hd, w)
-    y = jnp.einsum("bhtd,hdw->btw", out, wo,
+    y = jnp.einsum("hbtd,hdw->btw", out, wo,
                    preferred_element_type=jnp.float32)
     return (y + p["bo"].astype(jnp.float32)).astype(cd)
 
 
-def mlp(x: jnp.ndarray, p: Params, act, compute_dtype: jnp.dtype) -> jnp.ndarray:
+def mlp(x: jnp.ndarray, p: Params, act, compute_dtype: jnp.dtype,
+        mlp_impl: str = "xla") -> jnp.ndarray:
+    if mlp_impl != "xla" and isinstance(p["w1"], QTensor):
+        # one fused Pallas kernel: quant -> int8 w1 -> GELU -> quant ->
+        # int8 w2, everything in VMEM (ops/mlp_int8.py). Measured 0.38 vs
+        # 0.44 ms/layer for XLA's form at the ViT-B/32 serving batch, but
+        # END-TO-END it LOSES (16.71 vs 15.7-16.1 ms/batch on chip):
+        # pallas_call inside lax.scan hangs Mosaic here, and the unrolled
+        # Python-loop tower forfeits more scan pipelining than the kernel
+        # saves at 12 layers. Kept opt-in for deeper towers; default xla.
+        from mmrs_tpu.ops.mlp_int8 import mlp_int8_fused
+
+        b, t, w = x.shape
+        act_name = "quick_gelu" if act is quick_gelu else "gelu"
+        y = mlp_int8_fused(
+            x.reshape(b * t, w).astype(compute_dtype),
+            p["w1"].q, p["w1"].s, p["b1"], p["w2"].q, p["w2"].s, p["b2"],
+            act=act_name,
+            interpret=(mlp_impl == "pallas_interpret"))
+        return y.reshape(b, t, p["w2"].q.shape[-1])
     h = dense(x, p["w1"], p["b1"], compute_dtype)
     h = act(h)
     return dense(h, p["w2"], p["b2"], compute_dtype)
@@ -287,12 +326,13 @@ def pre_ln_block(
     act,
     compute_dtype: jnp.dtype,
     attn_impl: str = "xla",
+    mlp_impl: str = "xla",
 ) -> jnp.ndarray:
     """CLIP-style pre-LayerNorm residual block."""
     x = x + attention(layer_norm(x, p["ln1_scale"], p["ln1_bias"]), p["attn"],
                       heads, mask, compute_dtype, attn_impl)
     x = x + mlp(layer_norm(x, p["ln2_scale"], p["ln2_bias"]), p["mlp"],
-                act, compute_dtype)
+                act, compute_dtype, mlp_impl)
     return x
 
 
@@ -305,27 +345,29 @@ def scan_blocks(
     compute_dtype: jnp.dtype,
     unroll: int = 1,
     attn_impl: str = "xla",
+    mlp_impl: str = "xla",
 ) -> jnp.ndarray:
     """Run all transformer blocks over stacked per-layer params.
 
     Default: one lax.scan (single compiled layer, minimal compile time).
-    With a Pallas attention impl the layers run as a Python loop over
-    static slices of the stacked params instead — on this platform a
+    With a Pallas attention or MLP impl the layers run as a Python loop
+    over static slices of the stacked params instead — on this platform a
     pallas_call inside lax.scan hangs Mosaic compilation, and the serving
     towers are shallow enough (12-24 layers) that the unrolled graph
     compiles fine.
     """
-    if attn_impl.startswith("pallas"):
+    if attn_impl.startswith("pallas") or mlp_impl.startswith("pallas"):
         n_layers = jax.tree.leaves(stacked)[0].shape[0]
         h = x
         for i in range(n_layers):
             layer = jax.tree.map(lambda a: a[i], stacked)
             h = pre_ln_block(h, layer, heads, mask, act, compute_dtype,
-                             attn_impl)
+                             attn_impl, mlp_impl)
         return h
 
     def body(h, layer_params):
-        return pre_ln_block(h, layer_params, heads, mask, act, compute_dtype), None
+        return pre_ln_block(h, layer_params, heads, mask, act,
+                            compute_dtype, attn_impl=attn_impl), None
 
     out, _ = jax.lax.scan(body, x, stacked, unroll=unroll)
     return out

@@ -59,6 +59,7 @@ def apply(
     compute_dtype=jnp.bfloat16,
     unroll: int = 1,               # lax.scan unroll for the block stack
     attn_impl: str = "xla",        # "pallas" = fused short-seq MHA kernel
+    mlp_impl: str = "xla",         # "pallas" = fused int8 MLP (QTensor only)
 ) -> jnp.ndarray:                   # [B, embed_dim]
     x = patchify(images, cfg.patch_size)                       # [B, N, P*P*3]
     x = dense(x, params["patch_kernel"], None, compute_dtype)  # [B, N, W]
@@ -71,7 +72,7 @@ def apply(
     x = layer_norm(x, params["ln_pre_scale"], params["ln_pre_bias"])
     act = quick_gelu if cfg.quick_gelu else gelu
     x = scan_blocks(x, params["blocks"], cfg.heads, None, act, compute_dtype,
-                    unroll=unroll, attn_impl=attn_impl)
+                    unroll=unroll, attn_impl=attn_impl, mlp_impl=mlp_impl)
 
     cls_tok = x[:, 0, :]
     cls_tok = layer_norm(cls_tok, params["ln_post_scale"], params["ln_post_bias"])
