@@ -168,9 +168,14 @@ def _add_engine_flags(parser) -> None:
     parser.add_argument("--gallery-quant", choices=("int8", "int4"),
                         default="",
                         help="gallery residency ladder: int8 (2x rows per "
-                             "chip) or int4 (4x rows, packed nibbles); "
-                             "both compose with --gallery-shards and the "
-                             "IVF flags; supersedes --gallery-int8")
+                             "chip, rank-parity gated) or int4 (4x rows, "
+                             "packed nibbles — a CAPACITY rung: on "
+                             "near-tie score geometry top-10 recall "
+                             "plateaus ~0.80 vs f32 ranks; prefer int8/"
+                             "bf16 when exact top-k id agreement matters; "
+                             "measured analysis in COVERAGE.md); both "
+                             "compose with --gallery-shards and the IVF "
+                             "flags; supersedes --gallery-int8")
     parser.add_argument("--ann-nprobe", type=int, default=0,
                         help="enable IVF ANN search probing N clusters "
                              "per query (sub-linear; nprobe == clusters "
