@@ -1,10 +1,13 @@
-"""Worker for test_multihost.py::test_two_process_distributed_topk.
+"""Worker for test_multihost.py's real multi-process rehearsals.
 
 Runs as one of N coordinated processes (jax.distributed over TCP on the
-CPU backend, 4 forced host devices each): builds the hybrid DCN x ICI
-mesh, loads only ITS process-local gallery rows, and answers a sharded
-top-k. Results are written as JSON for the parent test to cross-check
+CPU backend, `local_devices` forced host devices each): builds the hybrid
+DCN x ICI mesh, loads only ITS process-local gallery rows, and answers a
+sharded top-k, a slot-sharded IVF probe, a dedup ring pass, and a DP x TP
+decode. Results are written as JSON for the parent test to cross-check
 against the single-process numpy oracle.
+
+argv: coord nproc pid out_path [local_devices=4] [model_size=2]
 """
 
 import json
@@ -13,6 +16,8 @@ import sys
 
 def main() -> None:
     coord, nproc, pid, out_path = sys.argv[1:5]
+    local_devices = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    model_size = int(sys.argv[6]) if len(sys.argv) > 6 else 2
 
     import jax
 
@@ -31,9 +36,9 @@ def main() -> None:
 
     assert distributed_init(coord, int(nproc), int(pid)) is True
     assert jax.process_count() == int(nproc)
-    assert jax.local_device_count() == 4
+    assert jax.local_device_count() == local_devices
 
-    mesh = make_hybrid_mesh(MeshConfig(model_size=2))
+    mesh = make_hybrid_mesh(MeshConfig(model_size=model_size))
     dev = np.asarray(mesh.devices)                    # [data, model]
     proc_grid = [[int(d.process_index) for d in row] for row in dev]
 
@@ -60,6 +65,25 @@ def main() -> None:
                               dtype=np.float32), mesh)
     _, ivf_idxs = sharded_ivf_topk(np.asarray(q), ivf, k=5, nprobe=8,
                                    mesh=mesh, impl="xla")
+
+    # dedup ring across DCN: keep-first first-match over row shards that
+    # ppermute around the data axis (planted near-duplicates at known
+    # rows; the parent re-derives the oracle with numpy)
+    from mmrs_tpu.parallel.dedup import sharded_first_match
+
+    rng_d = np.random.default_rng(7)
+    xd = rng_d.normal(size=(96, 16)).astype(np.float32)
+    xd[41] = xd[3] + 1e-4 * rng_d.normal(size=16).astype(np.float32)
+    xd[77] = xd[3] + 1e-4 * rng_d.normal(size=16).astype(np.float32)
+    xd[90] = xd[58]
+    xd /= np.linalg.norm(xd, axis=1, keepdims=True)
+    dedup_first = sharded_first_match(np.asarray(xd), tau=0.999, mesh=mesh,
+                                      intra=True, impl="xla")
+    # output is row-sharded across processes; gather it host-side so the
+    # parent can compare the FULL vector from every process
+    from jax.experimental import multihost_utils
+
+    dedup_first = multihost_utils.process_allgather(dedup_first, tiled=True)
 
     # The pod VLM serving shape: decoder TP over each host's ICI domain
     # (model axis never crosses processes — proc_grid above proves it),
@@ -91,6 +115,7 @@ def main() -> None:
             "vals": np.asarray(vals).tolist(),
             "idxs": np.asarray(idxs).tolist(),
             "ivf_idxs": np.asarray(ivf_idxs).tolist(),
+            "dedup_first": np.asarray(dedup_first).tolist(),
             "decode": np.asarray(toks).tolist(),
         }, f)
 
