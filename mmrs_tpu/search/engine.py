@@ -122,7 +122,25 @@ class SearchEngine:
         size runs on any mesh. Single-device quantized construction streams
         chunk-by-chunk, so peak HBM at init is the packed gallery + one
         chunk (the mesh path uploads bf16 first — per-chip headroom is
-        n_shards x)."""
+        n_shards x).
+
+        A device-OOM during init is re-raised with a pointer at
+        `mmrs plan` (mmrs_tpu/plan.py), which predicts residency for
+        every quant x flat/IVF x shards rung before building."""
+        try:
+            self._init(index, config, mesh, device_dtype, quantize)
+        except Exception as e:
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
+                from mmrs_tpu.plan import oom_hint
+
+                dim = index.embeddings.shape[1] if len(index) else 0
+                raise RuntimeError(
+                    f"{oom_hint(len(index), dim)} (device error: "
+                    f"{msg[:300]})") from e
+            raise
+
+    def _init(self, index, config, mesh, device_dtype, quantize):
         self.index = index
         self.config = config or SearchConfig()
         self.mesh = mesh
