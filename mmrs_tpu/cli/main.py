@@ -877,12 +877,22 @@ def cmd_serve(args) -> int:
     verifier = _make_verifier(args)
     if verifier == 2:
         return 2
+    engine_factory = None
+    if getattr(args, "watch_index", 0) > 0:
+        def engine_factory():
+            e = _make_engine(args, cfg, GalleryIndex.load(args.index))
+            if e == 2:
+                raise RuntimeError("engine rebuild failed")
+            return e
+
     service = SearchService(engine, towers, verifier=verifier,
                             verify_batch=args.verify_batch,
                             logit_scale=cfg.search.logit_scale,
                             max_batch=args.max_batch,
                             batch_window=args.batch_window,
-                            serialize_fetch=not args.concurrent_fetch)
+                            serialize_fetch=not args.concurrent_fetch,
+                            engine_factory=engine_factory,
+                            watch_interval=getattr(args, "watch_index", 0.0))
     server = make_server(service, host=args.host, port=args.port)
     print(f"serving {len(idx)} rows on http://{args.host}:{args.port} "
           f"(POST /v1/search, POST /v1/verify, GET /healthz)")
@@ -1242,6 +1252,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="allow concurrent device result fetches "
                          "(PCIe/ICI-attached hosts; keep OFF for "
                          "tunneled/remote runtimes)")
+    sv.add_argument("--watch-index", type=float, default=0.0, metavar="SEC",
+                    help="hot-reload: poll the index manifest at most "
+                         "every SEC seconds and atomically swap in a "
+                         "rebuilt engine when `mmrs index update`/"
+                         "`compact` changed it (0 = off; old gallery "
+                         "stays resident during the swap — 2x headroom, "
+                         "see mmrs plan)")
     _add_engine_flags(sv)
     _add_verifier_flags(sv)
     sv.set_defaults(fn=cmd_serve)

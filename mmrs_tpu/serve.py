@@ -65,6 +65,9 @@ from typing import List, Optional
 import numpy as np
 
 from mmrs_tpu.microbatch import MicroBatcher
+from mmrs_tpu.utils.logging import get_logger
+
+log = get_logger("serve")
 
 
 class SearchService:
@@ -87,9 +90,27 @@ class SearchService:
                  verify_batch: int = 8, logit_scale: float = 100.0,
                  max_batch: int = 64, batch_window: float = 0.002,
                  verify_pipeline_depth: int = 2,
-                 serialize_fetch: bool = True):
+                 serialize_fetch: bool = True,
+                 engine_factory=None, watch_interval: float = 0.0):
         self.engine = engine
         self.towers = towers
+        # hot-reload (VERDICT r5 #4): with an engine_factory the service
+        # watches the index manifest's content fingerprint (at most every
+        # watch_interval seconds, checked on the device worker thread
+        # between micro-batches) and swaps in a freshly-built engine when
+        # `mmrs index update`/`compact` rewrote it — replacing the
+        # reference's rebuild-the-pickle-and-restart workflow
+        # (code/search_image.py:142-165). The swap is a plain attribute
+        # assignment on the only thread that queries the engine, so no
+        # request ever sees a half-built engine; the OLD gallery stays
+        # device-resident until the new one is up (peak 2x residency —
+        # budget for it with `mmrs plan`, or serve IVF where the sidecar
+        # reload is cheap).
+        self.engine_factory = engine_factory
+        self.watch_interval = watch_interval
+        self.reloads = 0
+        self._last_watch = 0.0
+        self._index_fp = self._current_index_fp()
         self.image_size = image_size
         self.verifier = verifier
         self.verify_batch = verify_batch
@@ -121,12 +142,63 @@ class SearchService:
         self._device.close()
         self._vlm.close()
 
+    # -- index hot-reload ------------------------------------------------
+
+    def _current_index_fp(self) -> Optional[str]:
+        """Content hash of the live index's manifest (None when the
+        engine has no backing directory — in-RAM indexes don't reload)."""
+        d = getattr(getattr(self.engine, "index", None), "directory", None)
+        if not d:
+            return None
+        import hashlib
+        import os
+
+        try:
+            with open(os.path.join(d, "manifest.json"), "rb") as f:
+                return hashlib.md5(f.read()).hexdigest()
+        except OSError:
+            return None
+
+    def maybe_reload(self, force: bool = False) -> bool:
+        """Swap in a freshly-built engine if the index manifest changed.
+
+        Runs on the device worker thread between micro-batches (also
+        callable directly, e.g. from tests or an ops hook). Returns True
+        when a swap happened. A failed rebuild keeps the old engine
+        serving and logs the error."""
+        if self.engine_factory is None:
+            return False
+        import time
+
+        now = time.monotonic()
+        if not force and (now - self._last_watch) < self.watch_interval:
+            return False
+        self._last_watch = now
+        fp = self._current_index_fp()
+        if not force and (fp is None or fp == self._index_fp):
+            return False
+        try:
+            new_engine = self.engine_factory()
+        except Exception as e:  # noqa: BLE001 — keep serving the old index
+            log.warning("index hot-reload failed (%s); keeping the "
+                        "current engine", e)
+            return False
+        self.engine = new_engine
+        self._index_fp = self._current_index_fp()
+        self.reloads += 1
+        log.info("index hot-reload: engine swapped (%d rows)",
+                 len(new_engine.index))
+        return True
+
     def healthz(self) -> dict:
         """Liveness + deployment shape: gallery size/sharding/dtype and
         the verifier's hosting (TP width, draft) in one ops-facing call."""
         from mmrs_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
         body = {"ok": True}
+        if self.engine_factory is not None:
+            body["index_reloads"] = self.reloads
+            body["watch_interval"] = self.watch_interval
         if self.engine is not None:
             mesh = getattr(self.engine, "mesh", None)
             # rows shard over the DATA axis only (place_gallery) — a 2-D
@@ -261,6 +333,10 @@ class SearchService:
 
     def _device_handler(self, key, payloads):
         kind = key[0]
+        # hot-reload check rides the device worker thread, so an engine
+        # swap can never race a query (both happen here, sequentially)
+        if self.watch_interval > 0:
+            self.maybe_reload()
         with self._fetch_lock:
             if kind == "text":
                 k = key[1]
