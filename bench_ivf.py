@@ -65,20 +65,87 @@ def _gen_chunk(key):
     return x.astype(jnp.bfloat16)
 
 
-def make_chunks(n_chunks):
+def make_tower_corpus(tower_name: str, n_families: int,
+                      sub_batch: int = 256):
+    """VERDICT r5 #6: a gallery that approximates the reference's actual
+    manifold — CLIP-tower embeddings of photograph-like structured images
+    (code/search_image.py:142-165 embeds real photos) instead of Gaussian
+    anchor blobs. Images are procedurally generated ON DEVICE in families
+    (family = shared sinusoidal-grating frequencies + base color; instance
+    = phase/amplitude jitter + pixel noise — the 'same scene, different
+    shot' analogue), then encoded by a RANDOM-WEIGHT ViT: neighbor
+    structure comes from how the tower folds images together, not from a
+    synthetic cluster geometry. Returns (gen_chunk(i) -> [CHUNK, D] bf16,
+    dim)."""
+    from mmrs_tpu.models import vit
+    from mmrs_tpu.models.configs import IMAGE_TOWERS
+    from mmrs_tpu.ops.normalize import l2_normalize
+    from mmrs_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+
+    cfg = IMAGE_TOWERS[tower_name]
+    size = cfg.image_size
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = vit.init(jax.random.key(42), cfg)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.ndim > 1 else x, params)
+    params = jax.device_put(params, jax.devices()[0])
+
+    # fixed per-family tables (keyed independently of the instance keys)
+    tk = jax.random.key(13)
+    freq = jax.random.uniform(jax.random.fold_in(tk, 0),
+                              (n_families, 3, 2), minval=2.0, maxval=24.0)
+    phase0 = jax.random.uniform(jax.random.fold_in(tk, 1),
+                                (n_families, 3), maxval=2 * np.pi)
+    base = jax.random.uniform(jax.random.fold_in(tk, 2),
+                              (n_families, 3), minval=0.25, maxval=0.75)
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    inv_std = 1.0 / jnp.asarray(CLIP_STD, jnp.float32)
+
+    @jax.jit
+    def _embed_sub(params, key):
+        kf, kp, ka, kn = jax.random.split(key, 4)
+        fam = jax.random.randint(kf, (sub_batch,), 0, n_families)
+        yy, xx = jnp.mgrid[0:size, 0:size] / size
+        ph = phase0[fam] + 0.3 * jax.random.normal(kp, (sub_batch, 3))
+        amp = 0.22 + 0.08 * jax.random.uniform(ka, (sub_batch, 3))
+        f = freq[fam]                                       # [B, 3, 2]
+        arg = (2 * np.pi * (f[..., 0][:, None, None, :] * xx[..., None]
+                            + f[..., 1][:, None, None, :] * yy[..., None])
+               + ph[:, None, None, :])
+        img = (base[fam][:, None, None, :]
+               + amp[:, None, None, :] * jnp.sin(arg)
+               + 0.02 * jax.random.normal(kn, (sub_batch, size, size, 3)))
+        x = ((jnp.clip(img, 0.0, 1.0) - mean) * inv_std).astype(jnp.bfloat16)
+        feats = vit.apply(params, x, cfg, compute_dtype=jnp.bfloat16)
+        return l2_normalize(feats.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    n_sub = CHUNK // sub_batch
+
+    def gen_chunk(i):
+        outs = [_embed_sub(params, jax.random.key(i * n_sub + s))
+                for s in range(n_sub)]                      # pipelined
+        return jnp.concatenate(outs, axis=0)
+
+    return gen_chunk, cfg.embed_dim
+
+
+def make_chunks(n_chunks, gen=None):
+    gen = gen or (lambda i: _gen_chunk(jax.random.key(i)))
+
     def chunks():
         for i in range(n_chunks):
-            yield _gen_chunk(jax.random.key(i))
+            yield gen(i)
     return chunks
 
 
-def exact_baseline(queries, n_chunks, k):
+def exact_baseline(queries, n_chunks, k, gen=None):
     """Streamed exact top-k (chunk-at-a-time scan, host merge) — recall
     oracle without holding the flat gallery next to the buckets."""
+    gen = gen or (lambda i: _gen_chunk(jax.random.key(i)))
     best_v = np.full((queries.shape[0], k), -np.inf, np.float32)
     best_i = np.full((queries.shape[0], k), -1, np.int64)
     for i in range(n_chunks):
-        g = _gen_chunk(jax.random.key(i))
+        g = gen(i)
         v, idx = cosine_topk(queries, g, k, impl="xla")
         v = np.asarray(v)
         idx = np.asarray(idx).astype(np.int64) + i * CHUNK
@@ -109,16 +176,39 @@ def main():
     ap.add_argument("--sidecar", default="",
                     help="dir: save the sidecar after build and time a "
                          "load_ivf rebuild (the serve-restart path)")
+    ap.add_argument("--corpus", default="anchors",
+                    choices=("anchors", "tower"),
+                    help="anchors = Gaussian anchor blobs (the friendly "
+                         "geometry); tower = random-weight ViT embeddings "
+                         "of structured synthetic images — the realistic-"
+                         "manifold mode (VERDICT r5 #6)")
+    ap.add_argument("--tower", default="vit_b32",
+                    choices=("vit_b32", "vit_tiny"),
+                    help="tower for --corpus tower (vit_tiny = CPU smoke)")
+    ap.add_argument("--families", type=int, default=8192,
+                    help="image families for --corpus tower")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="override the 65536-row chunk (smaller = cheaper "
+                         "tower-corpus runs)")
     args = ap.parse_args()
     quant = args.quant or ("int8" if args.int8 else "")
 
+    global CHUNK, DIM
+    if args.chunk:
+        CHUNK = args.chunk
+    gen = None
+    if args.corpus == "tower":
+        gen, DIM = make_tower_corpus(args.tower, args.families,
+                                     sub_batch=min(256, CHUNK))
+
     n_chunks = args.rows // CHUNK
     n = n_chunks * CHUNK
-    log(f"devices: {jax.devices()}  rows={n}  C={args.clusters}")
+    log(f"devices: {jax.devices()}  rows={n}  C={args.clusters}  "
+        f"corpus={args.corpus} dim={DIM}")
 
     t0 = time.perf_counter()
     ivf = build_ivf_streaming(
-        make_chunks(n_chunks), n, DIM, n_clusters=args.clusters,
+        make_chunks(n_chunks, gen), n, DIM, n_clusters=args.clusters,
         iters=args.iters, chunk=CHUNK, dtype=jnp.bfloat16,
         quantize=quant, cover=args.cover, slots_frac=args.slots_frac)
     jax.block_until_ready(ivf.buckets)
@@ -134,7 +224,8 @@ def main():
 
         save_ivf(args.sidecar, ivf)
         t0 = time.perf_counter()
-        ivf2 = load_ivf(args.sidecar, make_chunks=make_chunks(n_chunks),
+        ivf2 = load_ivf(args.sidecar,
+                        make_chunks=make_chunks(n_chunks, gen),
                         n=n, d=DIM, dtype=jnp.bfloat16, chunk=CHUNK)
         jax.block_until_ready(ivf2.buckets)
         load_s = time.perf_counter() - t0
@@ -148,14 +239,21 @@ def main():
             if leaf is not None:
                 leaf.delete()
 
-    # queries from the same distribution as the gallery (mixed anchors)
-    qd = _gen_chunk(jax.random.key(10_000))[: args.recall_queries]
+    # queries from the same distribution as the gallery (held-out keys)
+    qd = (gen(10_000) if gen is not None
+          else _gen_chunk(jax.random.key(10_000)))[: args.recall_queries]
 
     # recall vs the streamed exact scan
     log("exact baseline scan (streamed)...")
-    _, exact_i = exact_baseline(qd, n_chunks, args.k)
+    _, exact_i = exact_baseline(qd, n_chunks, args.k, gen)
 
-    for nprobe in (32, 64, 128, 256):
+    from mmrs_tpu.index.ivf import auto_nprobe
+
+    # the historical grid, clamped to C, plus the auto_nprobe default
+    # (C/8) — the knob VERDICT r5 #6 asks to re-examine per corpus
+    probes = sorted({p for p in (32, 64, 128, 256) if p <= args.clusters}
+                    | {auto_nprobe(args.clusters)})
+    for nprobe in probes:
         v, i = ivf_topk(qd, ivf, k=args.k, nprobe=nprobe, impl="auto")
         got = np.asarray(i).astype(np.int64)
         hits = sum(len(set(exact_i[r]) & set(got[r]))
@@ -180,6 +278,7 @@ def main():
             f"(Q1 IQR {lat[1]['iqr']:.2f})")
         print(json.dumps({
             "metric": "ivf_topk_10m",
+            "corpus": args.corpus,
             "quant": quant,
             "nprobe": nprobe,
             "recall_at_k": round(recall, 4),

@@ -52,4 +52,10 @@ run bench_cascade 3000 python bench_cascade.py --int8 --kv8 --fori --pc64
 #    ~5 min; keep it if the window looks healthy
 run bench_ivf_1m 2400 python bench_ivf.py --rows 1048576 --clusters 1024 --iters 5
 
+# 5. r5 #6: realistic-manifold recall — random-weight ViT-B/32 embeddings
+#    of structured synthetic images (vs the Gaussian anchors above);
+#    embeds ~5x 1M images through the tower, so the long timeout
+run bench_ivf_tower 5400 python bench_ivf.py --corpus tower --tower vit_b32 \
+    --rows 1048576 --clusters 1024 --iters 5 --families 8192
+
 echo "done — read $out/*.out, update COVERAGE.md/NEXT.md, commit"
