@@ -434,8 +434,11 @@ def release_gate(root: str, image: Optional[str] = None,
                 "skipped": f"no usable {golden} tower pair/tokenizer"}
         else:
             size = towers.clip_config.vision.image_size
-            txt = towers.text_encode([prompt])[0]
-            txt /= np.linalg.norm(txt)
+            # no in-place ops: release towers return read-only views of
+            # device arrays (caught by the r5 weights-drop drill — the
+            # real drop would have crashed here)
+            txt = np.asarray(towers.text_encode([prompt])[0])
+            txt = txt / np.linalg.norm(txt)
             pos = _embed_folder(towers, pos_dir, size)
             neg = _embed_folder(towers, neg_dir, size)
             res = find_thresholds(pos @ txt * logit_scale,
