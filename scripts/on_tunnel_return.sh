@@ -11,6 +11,9 @@
 #   bench_cascade (stage table), bench_ivf 1M-quick (distribution Q1)
 set -u
 cd "$(dirname "$0")/.."
+# scripts/*.py import mmrs_tpu; `python scripts/foo.py` puts scripts/ on
+# sys.path, not the repo root — export it explicitly
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 ts=$(date +%Y%m%d_%H%M%S)
 out="bench_logs/$ts"
 mkdir -p "$out"
