@@ -15,7 +15,10 @@ from the bf16 oracle on iid near-tie data, see test_quant4.py).
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
