@@ -5,10 +5,11 @@
 # bench_logs/<timestamp>/. Safe to re-run; each step is individually
 # timed out so one hang doesn't burn the window.
 #
-# Backlog (round 4): re-run every headline with the NEW multi-trial
-# instrument (median/IQR, VERDICT r3 #2) so BENCH_r04 has distributions:
-#   bench.py (embed/query/dedup), bench_vlm (serving config),
-#   bench_cascade (stage table), bench_ivf 1M-quick (distribution Q1)
+# Backlog (post-r5): every r5 on-chip item has run (bench_logs/
+# 20260819_193554 + r5s3 — headlines, tower-manifold IVF, decode-gap
+# probe, mesh1). The steps below re-run the standing headlines so any
+# future session gets fresh distributions; add real-weight parity
+# (`mmrs parity --release DIR`) as a step the day weights drop.
 set -u
 cd "$(dirname "$0")/.."
 # scripts/*.py import mmrs_tpu; `python scripts/foo.py` puts scripts/ on
